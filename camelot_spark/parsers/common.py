@@ -1,0 +1,100 @@
+"""Shared table-build step: text assignment + metrics.
+
+Mirrors the assignment loops of `camelot/parsers/stream.py:389-420` and
+`camelot/parsers/lattice.py:325-373`: vertical-then-horizontal
+direction order over direction-sorted lines (reading order
+`stream.py:326-327`), append-only cell text, accuracy/whitespace.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+
+from ..kernels import assign as asg
+from ..kernels import metrics as mtr
+from ..kernels.grid import Grid
+
+
+@dataclass
+class TableResult:
+    order: int                      # 1-based table number on page
+    bbox: tuple                     # (left, bottom, right, top)
+    data: list[list[str]]           # stripped cell grid, row-major
+    accuracy: float
+    whitespace: float
+    nrows: int
+    ncols: int
+    flavor: str
+
+
+def tline_dicts(frame: pd.DataFrame) -> list[dict]:
+    """Rows of a textline frame as the dict shape the assign kernels use."""
+    out = []
+    for t in frame.itertuples():
+        out.append(
+            {
+                "x0": float(t.x0),
+                "y0": float(t.y0),
+                "x1": float(t.x1),
+                "y1": float(t.y1),
+                "t": t.text,
+                "chars": t.chars,
+            }
+        )
+    return out
+
+
+def assign_text(
+    grid: Grid,
+    t_bbox: dict[str, pd.DataFrame],
+    split_text: bool,
+    flag_size: bool,
+    strip_text: str,
+    shift_text: list[str] | None = None,
+) -> list[float]:
+    """Run the assignment loop; returns per-line position errors.
+
+    ``shift_text`` non-None triggers the Lattice spanning-cell shift
+    (`lattice.py:353-356`); the reference's ``indices[:2] != (-1, -1)``
+    guard is always true (list vs tuple), so assignment is
+    unconditional here too.
+    """
+    pos_errors: list[float] = []
+    for direction in ("vertical", "horizontal"):
+        for tline in tline_dicts(t_bbox[direction]):
+            indices, error = asg.get_table_index(
+                grid,
+                tline,
+                direction,
+                split_text=split_text,
+                flag_size=flag_size,
+                strip_text=strip_text,
+            )
+            pos_errors.append(error)
+            if shift_text is not None:
+                indices = asg.reduce_index(grid, indices, shift_text=shift_text)
+            for r_idx, c_idx, text in indices:
+                grid.append_text(r_idx, c_idx, text)
+    return pos_errors
+
+
+def finish_table(
+    grid: Grid,
+    pos_errors: list[float],
+    order: int,
+    bbox: tuple,
+    flavor: str,
+) -> TableResult:
+    data = grid.data()
+    return TableResult(
+        order=order,
+        bbox=tuple(float(v) for v in bbox),
+        data=data,
+        accuracy=mtr.compute_accuracy([[100, pos_errors]]),
+        whitespace=mtr.compute_whitespace(data) if data and data[0] else 0.0,
+        nrows=grid.nrows,
+        ncols=grid.ncols,
+        flavor=flavor,
+    )

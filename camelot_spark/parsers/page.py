@@ -1,0 +1,135 @@
+"""Per-document page model: decode input spans into array state.
+
+Replaces the reference's layout parse (`camelot/utils.py:763-854`,
+`camelot/parsers/base.py:12-21`): the fixture encoder already emits
+textline geometry (FIXTURES.md §1), so "layout parsing" here is JSON
+payload decoding into struct-of-array textline frames, plus the
+rotation fix the reference applies at page-save time
+(`camelot/handlers.py:117-136`) re-expressed as a coordinate
+transform.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..kernels import textlines as tlk
+from ..kernels import transform as tfm
+
+
+@dataclass
+class Media:
+    media_ref: str
+    segments_v: np.ndarray
+    segments_h: np.ndarray
+    bbox: tuple | None = None
+    offset: int = -1
+
+
+@dataclass
+class Page:
+    width: float
+    height: float
+    horizontal_text: pd.DataFrame   # text_h + prose kinds
+    vertical_text: pd.DataFrame     # text_v kind
+    media: list[Media] = field(default_factory=list)
+    rotation: str = ""
+    n_spans: int = 0
+
+
+def parse_page(spans: list[dict]) -> Page:
+    """Decode one document's span array into a :class:`Page`.
+
+    Rotation is detected from char CTM signs (`camelot/utils.py:286-314`)
+    and, when present, all geometry is unrotated and text_h/text_v
+    swapped — the in-kernel equivalent of the reference's physical page
+    rotation (`camelot/handlers.py:130-133`).
+    """
+    width = height = 0.0
+    h_rec, v_rec, media = [], [], []
+    for s in spans:
+        kind = s["kind"]
+        if kind == "meta":
+            p = json.loads(s["text"])
+            width, height = float(p["width"]), float(p["height"])
+        elif kind in ("text_h", "prose"):
+            p = json.loads(s["text"])
+            p["offset"] = s["offset"]
+            h_rec.append(p)
+        elif kind == "text_v":
+            p = json.loads(s["text"])
+            p["offset"] = s["offset"]
+            v_rec.append(p)
+        elif kind == "media":
+            p = json.loads(s["text"]) if s["text"] else {}
+            bbox = tuple(p["bbox"]) if "bbox" in p else None
+            media.append(
+                Media(
+                    media_ref=s.get("media_ref") or "",
+                    segments_v=np.asarray(p.get("segments_v", []), dtype=np.float64).reshape(-1, 4),
+                    segments_h=np.asarray(p.get("segments_h", []), dtype=np.float64).reshape(-1, 4),
+                    bbox=bbox,
+                    offset=s["offset"],
+                )
+            )
+
+    h_text = tlk.make_textlines(h_rec)
+    v_text = tlk.make_textlines(v_rec)
+
+    # rotation detection — non-blank line counts + char CTM vote
+    hlen = int(tlk.nonblank_mask(h_text).sum()) if len(h_text) else 0
+    vlen = int(tlk.nonblank_mask(v_text).sum()) if len(v_text) else 0
+    rotation = ""
+    if hlen < vlen:
+        ms = []
+        for frame in (h_text, v_text):
+            for chars in frame["chars"]:
+                for ch in chars or []:
+                    m = ch.get("m")
+                    if m is not None:
+                        ms.append(m)
+        if ms:
+            rotation = tfm.detect_rotation(np.asarray(ms), hlen, vlen)
+
+    if rotation:
+        new_h = tfm.unrotate_textlines(v_text, rotation, width, height)
+        new_v = tfm.unrotate_textlines(h_text, rotation, width, height)
+        h_text, v_text = new_h, new_v
+        for m in media:
+            if len(m.segments_v):
+                sv = tfm.unrotate_segments(m.segments_v, rotation, width, height)
+            else:
+                sv = m.segments_v
+            if len(m.segments_h):
+                sh = tfm.unrotate_segments(m.segments_h, rotation, width, height)
+            else:
+                sh = m.segments_h
+            # segment roles swap: what was vertical is now horizontal
+            m.segments_v, m.segments_h = sh, sv
+            if m.bbox is not None:
+                m.bbox = tuple(tfm.unrotate_bboxes(np.array([m.bbox]), rotation, width, height)[0])
+        width, height = height, width
+
+    return Page(
+        width=width,
+        height=height,
+        horizontal_text=h_text,
+        vertical_text=v_text,
+        media=media,
+        rotation=rotation,
+        n_spans=len(spans),
+    )
+
+
+def parse_area_strings(areas: list[str]) -> list[tuple[float, float, float, float]]:
+    """'x1,y1,x2,y2' (left-top, right-bottom) → (left, bottom, right, top)
+    bbox keys, as in `camelot/parsers/stream.py:310-317`."""
+    out = []
+    for area in areas:
+        x1, y1, x2, y2 = (float(v) for v in area.split(","))
+        out.append((x1, y2, x2, y1))
+    return out
