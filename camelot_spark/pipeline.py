@@ -1,0 +1,181 @@
+"""Spark orchestration: documents DataFrame → extracted DataFrame.
+
+Design (SURVEY.md §3.4, revised): the input is already one row per
+document, so no ``groupBy`` is needed at all — the per-doc kernel runs
+under ``mapInPandas`` directly over the scan partitions, avoiding the
+group-exchange shuffle the reference-shaped ``applyInPandas`` plan
+would pay. The only optional shuffle is an explicit salted
+``repartition`` to spread pathological multi-table documents
+(north_rule skew requirement); AQE handles the rest.
+
+Scale posture:
+- Catalyst prunes to (doc_id, spans) at the parquet/Iceberg scan.
+- One Arrow batch carries many docs; all JVM↔Python traffic is
+  Arrow-batched. No per-row Python at the Spark API level.
+- Per-doc failures are captured into ``lineage.error`` instead of
+  failing the task — at 10^12 docs, a poison document must not kill
+  the job (``fail_fast=True`` restores strictness for tests).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from .config import LatticeConfig, StreamConfig, make_config
+from .extract_doc import extract_document
+from .schema import EXTRACTED_SCHEMA, KERNEL_VERSION
+
+
+def _extract_batch_iter(
+    batches: Iterator[pd.DataFrame], cfg: StreamConfig | LatticeConfig, fail_fast: bool
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: each Arrow batch holds many independent docs."""
+    import warnings
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    partition_id = ctx.partitionId() if ctx else -1
+    attempt = ctx.attemptNumber() if ctx else 0
+    flavor = "stream" if isinstance(cfg, StreamConfig) else "lattice"
+
+    for pdf in batches:
+        out: dict[str, list[Any]] = {k: [] for k in
+                                     ("doc_id", "spans", "n_tables", "accuracy",
+                                      "whitespace", "tables", "lineage")}
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            t0 = time.monotonic_ns()
+            err = None
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    res = extract_document(list(spans), cfg)
+            except Exception:
+                if fail_fast:
+                    raise
+                err = traceback.format_exc(limit=3)
+                res = {"spans": [], "tables": [], "n_tables": 0,
+                       "accuracy": None, "whitespace": None}
+            elapsed = (time.monotonic_ns() - t0) // 1000
+            out["doc_id"].append(doc_id)
+            out["spans"].append(
+                [{"kind": k, "text": t, "media_ref": m, "order": o}
+                 for k, t, m, o in res["spans"]]
+            )
+            out["n_tables"].append(res["n_tables"])
+            out["accuracy"].append(res["accuracy"])
+            out["whitespace"].append(res["whitespace"])
+            out["tables"].append(
+                [{"order": t.order, "accuracy": t.accuracy, "whitespace": t.whitespace,
+                  "nrows": t.nrows, "ncols": t.ncols,
+                  "x0": t.bbox[0], "y0": t.bbox[1], "x1": t.bbox[2], "y1": t.bbox[3]}
+                 for t in res["tables"]]
+            )
+            out["lineage"].append(
+                {"partition_id": partition_id, "kernel_version": KERNEL_VERSION,
+                 "flavor": flavor, "attempt": attempt,
+                 "n_input_spans": len(spans), "elapsed_us": elapsed, "error": err}
+            )
+        yield pd.DataFrame(out)
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_shipped(spark) -> None:
+    """Ship the ``camelot_spark`` package to executors via addPyFile.
+
+    The production deployment is ``spark-submit --py-files
+    camelot_spark.zip`` (north_rule); this makes ad-hoc sessions
+    (notebooks, tests launched from any cwd) behave the same way.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import os
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(tempfile.mkdtemp(prefix="camelot_spark_ship_"), "camelot_spark")
+    zip_path = shutil.make_archive(base, "zip", root_dir=pkg_root, base_dir="camelot_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
+def extract(
+    documents,
+    flavor: str = "lattice",
+    salt_partitions: int | None = None,
+    salt: int = 0,
+    fail_fast: bool = False,
+    **kwargs,
+):
+    """documents(doc_id, spans) → extracted DataFrame (EXTRACTED_SCHEMA).
+
+    ``salt_partitions``: explicit salted repartition width; None keeps
+    the scan partitioning (no shuffle at all — preferred when the
+    source is already well-sized). Docs are atomic units, so salting
+    only balances doc *count/size* across partitions.
+    """
+    from pyspark.sql import functions as F
+
+    ensure_shipped(documents.sparkSession)
+    cfg = make_config(flavor, **kwargs)
+    df = documents.select("doc_id", "spans")
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions, F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(salt_partitions))
+        )
+    return df.mapInPandas(
+        lambda it: _extract_batch_iter(it, cfg, fail_fast), schema=EXTRACTED_SCHEMA
+    )
+
+
+def run_extraction(
+    spark,
+    documents,
+    output_path: str,
+    flavor: str = "lattice",
+    resume: bool = True,
+    salt_partitions: int | None = None,
+    fail_fast: bool = False,
+    **kwargs,
+):
+    """Checkpointed job: extract → append to ``output_path`` (parquet
+    snapshot dir; Iceberg ``writeTo(...).append()`` when a catalog is
+    configured), with anti-join resume and observed per-run metrics.
+
+    Returns the observation metrics dict for the run (doc/table counts,
+    error count) — the per-partition lineage rides on every row.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    docs = documents
+    if resume:
+        try:
+            done = spark.read.parquet(output_path).select("doc_id")
+            # plain left_anti: AQE picks broadcast when `done` is small;
+            # at 10^12 docs a forced broadcast would be wrong.
+            docs = documents.join(done, "doc_id", "left_anti")
+        except Exception:
+            pass  # first run: nothing to resume from
+
+    result = extract(docs, flavor=flavor, salt_partitions=salt_partitions,
+                     fail_fast=fail_fast, **kwargs)
+    obs = Observation("extract_metrics")
+    observed = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tables").alias("tables"),
+        F.avg("accuracy").alias("avg_accuracy"),
+        F.sum(F.when(F.col("lineage.error").isNotNull(), 1).otherwise(0)).alias("errors"),
+    )
+    observed.write.mode("append").parquet(output_path)
+    return obs.get

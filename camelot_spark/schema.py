@@ -80,6 +80,7 @@ LINEAGE = StructType(
         StructField("attempt", IntegerType(), False),
         StructField("n_input_spans", IntegerType(), False),
         StructField("elapsed_us", LongType(), False),
+        StructField("error", StringType(), True),  # per-doc failure capture
     ]
 )
 

@@ -1,0 +1,110 @@
+"""Golden end-to-end span-sequence equality per fixture family —
+the correctness contract from BASELINE.json (exact (kind, text,
+media_ref, order) per doc), Spark-free via the document kernel."""
+
+import warnings
+
+import pytest
+
+from camelot_spark import extract_document, make_config
+from camelot_spark import fixtures as fx
+
+
+@pytest.mark.parametrize("family", list(fx.FAMILIES))
+def test_family_golden(family):
+    b = fx.FAMILIES[family](f"{family}-0")
+    cfg = make_config(b.flavor, **b.extract_kwargs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = extract_document(b.spans, cfg)
+    assert res["spans"] == b.golden()
+
+
+@pytest.mark.parametrize("family", list(fx.FAMILIES))
+def test_family_golden_jittered(family):
+    b = fx.FAMILIES[family](f"{family}-j", 17.0, 23.0)
+    cfg = make_config(b.flavor, **b.extract_kwargs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = extract_document(b.spans, cfg)
+    assert res["spans"] == b.golden()
+
+
+def test_parsing_report_metrics():
+    """accuracy/whitespace replicate the reference formulas
+    (`camelot/utils.py:709-760`): clean fixtures → 100 / 0."""
+    b = fx.doc_foo("foo-m")
+    res = extract_document(b.spans, make_config("lattice"))
+    assert res["n_tables"] == 1
+    assert res["accuracy"] == pytest.approx(100.0)
+    assert res["whitespace"] == 0.0
+    t = res["tables"][0]
+    assert (t.nrows, t.ncols) == (7, 7)
+    assert t.order == 1
+
+
+def test_table_order_two_tables():
+    """TableList ordering contract: top table order 1 (`core.py:356-361`)."""
+    b = fx.doc_twotables("tt-m")
+    res = extract_document(b.spans, make_config("stream"))
+    assert [t.order for t in res["tables"]] == [1, 2]
+    assert res["tables"][0].bbox[1] > res["tables"][1].bbox[1]
+
+
+def test_whitespace_counts_empty_cells():
+    b = fx.doc_rowspan("rs-m")
+    res = extract_document(b.spans, make_config("lattice"))
+    # one empty cell in a 5×4 grid
+    assert res["whitespace"] == pytest.approx(100 * 1 / 20.0)
+
+
+def test_stream_table_areas_kwarg():
+    """User table_areas path (`stream.py:309-317`): restrict to the
+    table region explicitly."""
+    b = fx.doc_health("ta-m")
+    # health table: cols 72..445, rows y 502..610 → area in lt/rb form
+    res = extract_document(
+        b.spans, make_config("stream", table_areas=["60,640,460,490"])
+    )
+    assert res["n_tables"] == 1
+    cells = [s for s in res["spans"] if s[0] == "cell"]
+    assert len(cells) == 8 * 4
+    assert cells[0][1] == "metric"
+
+
+def test_stream_table_regions_kwarg():
+    """table_regions filters candidate text (`stream.py:296-306`)."""
+    b = fx.doc_health("tr-m")
+    res = extract_document(
+        b.spans, make_config("stream", table_regions=["60,640,460,490"])
+    )
+    assert res["n_tables"] == 1
+    assert [s[1] for s in res["spans"] if s[0] == "cell"][:4] == [
+        "metric", "y2015", "y2016", "y2017",
+    ]
+
+
+def test_lattice_table_areas_kwarg():
+    b = fx.doc_foo("la-m")
+    res = extract_document(
+        b.spans, make_config("lattice", table_areas=["118,622,506,464"])
+    )
+    assert res["n_tables"] == 1
+    assert res["tables"][0].nrows == 7
+
+
+def test_edge_tol_extension():
+    """Sparse tall column chains only with a larger edge_tol
+    (`core.py:67`, test_common.py:126-131 analog)."""
+    from camelot_spark.fixtures import DocBuilder, add_stream_table
+
+    b = DocBuilder("edgetol-m")
+    cells = [[f"L{i}", f"R{i}"] for i in range(7)]
+    add_stream_table(b, cells, [72.0, 300.0], 700.0, row_h=80.0)
+    res_default = extract_document(b.spans, make_config("stream"))
+    res_tol = extract_document(b.spans, make_config("stream", edge_tol=500))
+    cells_tol = [s[1] for s in res_tol["spans"] if s[0] == "cell"]
+    assert cells_tol == [c for row in cells for c in row]
+    # with default tol the textedges never chain → whole-page fallback
+    # still yields a table, but detection used the fallback path
+    assert res_default["n_tables"] == 1

@@ -1,0 +1,280 @@
+"""Kernel unit tests against hand-computed micro-cases mirroring the
+reference's semantics (SURVEY.md §7.3 'hard parts')."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from camelot_spark.kernels import cols as colk
+from camelot_spark.kernels import lines as lnk
+from camelot_spark.kernels import metrics as mtr
+from camelot_spark.kernels import rows as rowk
+from camelot_spark.kernels import textedges as tek
+from camelot_spark.kernels import textlines as tlk
+from camelot_spark.kernels import textproc as txp
+from camelot_spark.kernels.assign import get_table_index, reduce_index
+from camelot_spark.kernels.grid import Grid
+
+
+def tl_frame(rows):
+    """rows: (x0, y0, x1, y1, text)"""
+    return tlk.make_textlines(
+        [{"x0": a, "y0": b, "x1": c, "y1": d, "t": t} for a, b, c, d, t in rows]
+    )
+
+
+# ---------------------------------------------------------------- rows
+
+
+def test_group_rows_anchor_gating():
+    # anchor stays at first line of group (stream.py:130-133): y0s
+    # 100, 98.5, 97.2 with tol 2 → 97.2 compares against 100, not 98.5
+    f = tl_frame([(0, 100, 10, 110, "a"), (0, 98.5, 10, 108, "b"), (0, 97.2, 10, 107, "c")])
+    labels = rowk.group_rows_labels(f, row_tol=2)
+    assert list(labels) == [0, 0, 1]
+
+
+def test_group_rows_blank_skip_and_bootstrap_drop():
+    # blank lines skipped; a line within tol of y=0 joins the discarded
+    # bootstrap group (stream.py:136 pop)
+    f = tl_frame([(0, 1.0, 10, 11, "low"), (0, 100, 10, 110, " "), (0, 50, 10, 60, "x")])
+    labels = rowk.group_rows_labels(f, row_tol=2)
+    assert list(labels) == [-1, -1, 0]
+
+
+def test_join_rows_midpoints():
+    g = [
+        tl_frame([(0, 100, 10, 110, "a")]),
+        tl_frame([(0, 80, 10, 90, "b")]),
+    ]
+    rows = rowk.join_rows(g, text_y_max=110, text_y_min=80)
+    # mids 105, 85 → boundary 95
+    assert rows == [(110, 95.0), (95.0, 80)]
+
+
+# ---------------------------------------------------------------- cols
+
+
+def test_merge_columns_positive_tol():
+    merged = colk.merge_columns([(0, 10), (9, 20), (30, 40)], column_tol=0)
+    assert merged == [(0, 20), (30, 40)]
+
+
+def test_merge_columns_negative_tol():
+    # higher[0] <= lower[1] and within |tol| → kept separate (stream.py:171-180)
+    merged = colk.merge_columns([(0, 10), (9.5, 20)], column_tol=-1)
+    assert merged == [(0, 10), (9.5, 20)]
+    # overlapping beyond |tol| → merged
+    merged = colk.merge_columns([(0, 10), (5, 20)], column_tol=-1)
+    assert merged == [(0, 20)]
+
+
+def test_mode_ncols_retry_without_ones():
+    assert colk.mode_ncols([1, 1, 1, 3, 3]) == 3
+    assert colk.mode_ncols([1, 1]) is None
+    assert colk.mode_ncols([2, 2, 3]) == 2
+
+
+def test_join_columns():
+    cols = colk.join_columns([(10, 20), (30, 40)], 5, 50)
+    assert cols == [(5, 25.0), (25.0, 50)]
+
+
+# ---------------------------------------------------------------- textedges
+
+
+def test_textedge_validity_threshold():
+    # 6 aligned lines → left-edge intersections 5 (> 4 → valid);
+    # 5 lines → 4 (invalid). core.py:16,73
+    def frame(n):
+        return tl_frame([(50, 600 - 14 * i, 80, 610 - 14 * i, "ab") for i in range(n)])
+
+    e6 = tek.generate_textedges(frame(6))["left"]
+    assert e6["is_valid"].tolist() == [True]
+    e5 = tek.generate_textedges(frame(5))["left"]
+    assert e5["is_valid"].tolist() == [False]
+
+
+def test_textedge_far_line_lost_not_readded():
+    # a line whose x matches but y0 gap > edge_tol neither extends nor
+    # re-creates the edge (core.py:116-127 quirk)
+    f = tl_frame([(50, 600, 80, 610, "ab"), (50, 500, 80, 510, "cd")])
+    e = tek.generate_textedges(f, edge_tol=50)["left"]
+    assert len(e) == 1 and e["intersections"].tolist() == [0]
+    assert e["y0"].tolist() == [600.0]
+
+
+def test_textedge_running_mean_x():
+    f = tl_frame([(50, 600, 80, 610, "ab"), (50.4, 586, 80, 596, "cd")])
+    e = tek.generate_textedges(f)["left"]
+    assert np.isclose(e["x"].iloc[0], (0 * 50 + 50.4) / 1.0)  # (n*x + x')/(n+1), n=0
+
+
+def test_short_text_excluded_from_edges():
+    # len(strip) > 1 gate (core.py:134)
+    f = tl_frame([(50, 600, 55, 610, "a"), (50, 586, 80, 596, "bc")])
+    e = tek.generate_textedges(f)["left"]
+    assert len(e) == 1 and e["y0"].tolist() == [586.0]
+
+
+# ---------------------------------------------------------------- lines
+
+
+def test_merge_close_lines_running_mean():
+    # sequential running mean: [10, 11, 12] tol 2 → 10→(10+11)/2=10.5→(10.5+12)/2=11.25
+    assert lnk.merge_close_lines([10, 11, 12], line_tol=2) == [11.25]
+    assert lnk.merge_close_lines([10, 20, 21], line_tol=2) == [10, 20.5]
+
+
+def test_segment_tables_joint_threshold_and_cap():
+    # 2×2 grid of lines → 4 joints → dropped (needs > 4)
+    v = [(0, 0, 0, 10), (10, 0, 10, 10)]
+    h = [(0, 0, 10, 0), (0, 10, 10, 10)]
+    assert lnk.segment_tables(v, h) == {}
+    # 3×3 → 9 joints → kept
+    v = [(x, 0, x, 10) for x in (0, 5, 10)]
+    h = [(0, y, 10, y) for y in (0, 5, 10)]
+    t = lnk.segment_tables(v, h)
+    assert list(t) == [(0.0, 0.0, 10.0, 10.0)]
+    assert len(t[(0.0, 0.0, 10.0, 10.0)]) == 9
+
+
+def test_segment_tables_top10_cap():
+    v, h = [], []
+    for k in range(12):
+        ox = k * 50
+        # grids of increasing size so area ordering is deterministic
+        s = 10 + k
+        v += [(ox + x, 0, ox + x, s) for x in (0, s / 2, s)]
+        h += [(ox, y, ox + s, y) for y in (0, s / 2, s)]
+    t = lnk.segment_tables(v, h)
+    assert len(t) == lnk.MAX_TABLES_PER_PAGE
+    # the two smallest grids (k=0,1) dropped
+    assert (0.0, 0.0, 10.0, 10.0) not in t
+
+
+# ---------------------------------------------------------------- grid
+
+
+def make_grid3():
+    cols = [(0, 10), (10, 20), (20, 30)]
+    rows = [(30, 20), (20, 10), (10, 0)]
+    return Grid(cols, rows)
+
+
+def test_set_edges_full_grid():
+    g = make_grid3()
+    v = [(x, 0, x, 30) for x in (0, 10, 20, 30)]
+    h = [(0, y, 30, y) for y in (0, 10, 20, 30)]
+    g.set_edges(v, h)
+    assert g.left.all() and g.right.all() and g.top.all() and g.bottom.all()
+
+
+def test_set_edges_partial_and_span():
+    g = make_grid3()
+    v = [(x, 0, x, 30) for x in (0, 10, 20, 30)]
+    # omit the h edge between rows 0 and 1 over column 0
+    h = [(0, 0, 30, 0), (10, 20, 30, 20), (0, 10, 30, 10), (0, 30, 30, 30)]
+    g.set_edges(v, h)
+    g.set_border()
+    g.set_span()
+    assert not g.top[1, 0] and not g.bottom[0, 0]
+    assert g.vspan[1, 0] and g.vspan[0, 0]
+    assert not g.hspan.any()
+
+
+def test_set_span_truth_table():
+    g = Grid([(0, 10)], [(10, 0)])
+    # bound 0 → both spans (core.py:566-568)
+    g.set_span()
+    assert g.hspan[0, 0] and g.vspan[0, 0]
+    g2 = Grid([(0, 10)], [(10, 0)])
+    g2.left[:] = g2.right[:] = True
+    g2.set_span()
+    assert g2.vspan[0, 0] and not g2.hspan[0, 0]
+
+
+def test_reduce_index_walks():
+    g = make_grid3()
+    g.set_all_edges()
+    g.left[1, 1] = False
+    g.hspan[1, 1] = True
+    out = reduce_index(g, [(1, 1, "x")], shift_text=["l", "t"])
+    assert out == [(1, 0, "x")]
+    out = reduce_index(g, [(1, 1, "x")], shift_text=["r"])
+    assert out == [(1, 1, "x")]  # right edge present → no move
+
+
+# ---------------------------------------------------------------- assign
+
+
+def test_get_table_index_basic_and_error():
+    g = make_grid3()
+    t = {"x0": 2.0, "y0": 22.0, "x1": 8.0, "y1": 28.0, "t": "hi\n", "chars": None}
+    idx, err = get_table_index(g, t, "horizontal")
+    assert idx == [(0, 0, "hi\n")] and err == 0.0
+    # overhanging line: x1 beyond the cell → positive error
+    t2 = {"x0": 2.0, "y0": 22.0, "x1": 14.0, "y1": 28.0, "t": "hi\n", "chars": None}
+    idx2, err2 = get_table_index(g, t2, "horizontal")
+    assert idx2[0][:2] == (0, 0) and err2 > 0
+
+
+def test_get_table_index_no_row_wraps_to_last_cell():
+    g = make_grid3()
+    t = {"x0": 2.0, "y0": 40.0, "x1": 8.0, "y1": 50.0, "t": "up\n", "chars": None}
+    idx, err = get_table_index(g, t, "horizontal")
+    assert idx[0][:2] == (-1, -1)  # caller appends to cells[-1][-1]
+
+
+# ---------------------------------------------------------------- textproc
+
+
+def test_flag_font_size():
+    chars = [
+        {"c": "9", "x0": 0, "y0": 0, "x1": 5, "y1": 10},
+        {"c": "5", "x0": 5, "y0": 0, "x1": 10, "y1": 10},
+        {"c": "*", "x0": 10, "y0": 0, "x1": 15, "y1": 6},
+        {"c": "\n"},
+    ]
+    assert txp.flag_font_size(chars, "horizontal") == "95<s>*</s>"
+    # uniform size → full text incl. trailing anno newline
+    uni = [
+        {"c": "a", "x0": 0, "y0": 0, "x1": 5, "y1": 10},
+        {"c": "\n"},
+    ]
+    assert txp.flag_font_size(uni, "horizontal") == "a\n"
+
+
+def test_text_strip():
+    assert txp.text_strip("4,100\n", " ,\n") == "4100"
+    assert txp.text_strip("abc", "") == "abc"
+
+
+# ---------------------------------------------------------------- metrics
+
+
+def test_compute_accuracy():
+    assert mtr.compute_accuracy([[100, [0.0, 0.0]]]) == 100.0
+    assert mtr.compute_accuracy([[100, []]]) == 0.0
+    with pytest.raises(ValueError):
+        mtr.compute_accuracy([[50, [0.0]], [20, [0.0]]])
+
+
+def test_compute_whitespace():
+    assert mtr.compute_whitespace([["a", ""], ["", "b"]]) == 50.0
+
+
+# ---------------------------------------------------------------- geometry
+
+
+def test_text_in_bbox_midpoint_rule():
+    f = tl_frame([(0, 0, 10, 10, "in"), (100, 100, 120, 120, "out")])
+    kept = tlk.text_in_bbox((0, 0, 20, 20), f)
+    assert kept["text"].tolist() == ["in"]
+
+
+def test_segments_in_bbox():
+    v = np.array([[5, 1, 5, 9], [50, 1, 50, 9]], dtype=float)
+    h = np.array([[1, 5, 9, 5]], dtype=float)
+    vs, hs = tlk.segments_in_bbox((0, 0, 10, 10), v, h)
+    assert len(vs) == 1 and len(hs) == 1

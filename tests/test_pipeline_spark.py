@@ -1,0 +1,100 @@
+"""Spark end-to-end: documents DataFrame → mapInPandas kernel →
+extracted DataFrame; golden equality, error capture, checkpoint/resume,
+and plan shape (no unnecessary shuffle)."""
+
+import pytest
+
+from camelot_spark import fixtures as fx
+from camelot_spark.pipeline import extract, run_extraction
+from camelot_spark.schema import DOCUMENTS_SCHEMA
+
+
+def docs_df(spark, builders):
+    rows = [(b.doc_id, [tuple(s.values()) for s in b.spans]) for b in builders]
+    return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def stream_builders():
+    return [
+        fx.doc_health("health-s0"),
+        fx.doc_twotables("twotables-s0"),
+        fx.doc_prose_interleave("prose-s0"),
+        fx.doc_rotated("clockwise", "rotcw-s0"),
+        fx.doc_blank("blank-s0"),
+    ]
+
+
+def test_stream_spark_golden(spark, stream_builders):
+    df = docs_df(spark, stream_builders)
+    out = {r["doc_id"]: r for r in extract(df, flavor="stream", fail_fast=True).collect()}
+    assert set(out) == {b.doc_id for b in stream_builders}
+    for b in stream_builders:
+        got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in out[b.doc_id]["spans"]]
+        assert got == b.golden(), b.doc_id
+
+
+def test_lattice_spark_golden(spark):
+    builders = [fx.doc_foo("foo-s0"), fx.doc_rowspan("rowspan-s0")]
+    df = docs_df(spark, builders)
+    out = {r["doc_id"]: r for r in extract(df, flavor="lattice", fail_fast=True).collect()}
+    for b in builders:
+        got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in out[b.doc_id]["spans"]]
+        assert got == b.golden(), b.doc_id
+    assert out["foo-s0"]["accuracy"] == pytest.approx(100.0)
+    assert out["foo-s0"]["lineage"]["kernel_version"]
+
+
+def test_poison_doc_captured_in_lineage(spark):
+    b = fx.doc_health("ok-1")
+    rows = [
+        (b.doc_id, [tuple(s.values()) for s in b.spans]),
+        ("poison-1", [("text_h", "not json", "", 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    out = {r["doc_id"]: r for r in extract(df, flavor="stream").collect()}
+    assert out["ok-1"]["n_tables"] == 1
+    assert out["poison-1"]["n_tables"] == 0
+    assert "JSONDecodeError" in out["poison-1"]["lineage"]["error"]
+    # fail_fast surfaces the error instead
+    with pytest.raises(Exception):
+        extract(df, flavor="stream", fail_fast=True).collect()
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    out_path = str(tmp_path / "extracted")
+    b1, b2 = fx.doc_health("cp-1"), fx.doc_health("cp-2")
+    df1 = docs_df(spark, [b1])
+    run_extraction(spark, df1, out_path, flavor="stream")
+    first = spark.read.parquet(out_path)
+    assert first.count() == 1
+
+    # second run over both docs resumes: only cp-2 is processed
+    df_both = docs_df(spark, [b1, b2])
+    metrics = run_extraction(spark, df_both, out_path, flavor="stream")
+    assert metrics["docs"] == 1
+    allrows = spark.read.parquet(out_path)
+    assert allrows.count() == 2
+    assert set(r["doc_id"] for r in allrows.select("doc_id").collect()) == {"cp-1", "cp-2"}
+
+
+def test_no_shuffle_without_salt(spark, stream_builders):
+    """mapInPandas over scan partitions: the default plan must not
+    contain an Exchange (the applyInPandas shape would)."""
+    df = docs_df(spark, stream_builders[:2])
+    plan = extract(df, flavor="stream")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    salted = extract(df, flavor="stream", salt_partitions=8)
+    plan2 = salted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan2
+
+
+def test_salted_repartition_balances(spark):
+    docs = fx.replicate(64)
+    rows = [(d, [tuple(s.values()) for s in spans]) for d, spans, _ in docs]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA).coalesce(1)
+    out = extract(df, flavor="stream", salt_partitions=8)
+    pids = [r["lineage"]["partition_id"] for r in out.collect()]
+    # AQE may coalesce the small partitions; docs must still spread
+    assert len(pids) == 64
+    assert len(set(pids)) >= 3
