@@ -1,38 +1,115 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship extraction — synthesize the deterministic
+span-document corpus from sf0.001 ``documents.parquet`` keys and run
+the Stream extraction pipeline end-to-end (SURVEY.md §3.4).
+
+``queries()``/``oracle_sql()``: one entry per implemented operator
+family (SURVEY.md §2 relational skeletons + the training-data pipeline
+ops). SQL-expressible operators carry DuckDB oracles with exactly
+matching column names/types; approximate/hash-dependent and
+extraction ops are rows-only (no oracle) but fully deterministic.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from camelot_spark import fixtures as fx
+from camelot_spark.pipeline import extract, synthesize_documents
+from camelot_spark.tdp import dedup, multimodal, relational, similarity
+from camelot_spark.tdp import text as tdp_text
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: documents keys →
+    synthesized span corpus → Stream extraction → extracted spans."""
+    src = _load(spark, "/root/testdata/sf0.001", "documents")
+    docs = synthesize_documents(src, families=fx.STREAM_FAMILIES)
+    extracted = extract(docs, flavor="stream", fail_fast=True)
+    return extracted.select(
+        "doc_id", "n_tables", F.size("spans").alias("n_spans"), "accuracy", "whitespace"
+    )
+
+
+def _extract_corpus(flavor: str, families: list[str]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        src = _load(spark, sf_dir, "documents")
+        docs = synthesize_documents(src, families=families)
+        extracted = extract(docs, flavor=flavor, fail_fast=True)
+        return extracted.select(
+            "doc_id", "n_tables", F.size("spans").alias("n_spans"),
+            F.floor(F.coalesce("whitespace", F.lit(0.0)) * 100).cast("bigint").alias("ws_x100"),
+        )
+
+    return q
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational skeletons of the extraction kernels (§2.9) ---
+        "sessionize_gaps": lambda s, d: relational.sessionize_gaps(_load(s, d, "events")),
+        "interval_islands": lambda s, d: relational.interval_islands(_load(s, d, "lineitem")),
+        "mode_of_counts": lambda s, d: relational.mode_of_counts(_load(s, d, "orders")),
+        "argmax_vote": lambda s, d: relational.argmax_vote(_load(s, d, "orders")),
+        "topk_cap": lambda s, d: relational.topk_cap(_load(s, d, "part")),
+        "grid_metrics": lambda s, d: relational.grid_metrics(_load(s, d, "lineitem")),
+        "range_predicate": lambda s, d: relational.range_predicate(_load(s, d, "events")),
+        # --- text analysis ---
+        "langid_vote": lambda s, d: tdp_text.langid(_load(s, d, "documents")),
+        "quality_score": lambda s, d: tdp_text.quality_score(_load(s, d, "documents")),
+        "token_stats": lambda s, d: tdp_text.token_stats(_load(s, d, "documents")),
+        "doc_fingerprint": lambda s, d: tdp_text.fingerprint(_load(s, d, "documents")),
+        # --- deduplication ---
+        "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
+        "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_adjacent(_load(s, d, "documents")),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_load(s, d, "documents")),
+        "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
+        # --- similarity search ---
+        "ann_topk": lambda s, d: similarity.cosine_topk(_load(s, d, "embeddings")),
+        "embedding_neardup": lambda s, d: similarity.embedding_neardup_adjacent(_load(s, d, "embeddings")),
+        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_load(s, d, "embeddings")),
+        "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
+        # --- multimodal plumbing ---
+        "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),
+        # --- flagship extraction (non-SQL-expressible, rows-only) ---
+        "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
+        "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sessionize_gaps": relational.SESSIONIZE_SQL,
+        "interval_islands": relational.INTERVAL_ISLANDS_SQL,
+        "mode_of_counts": relational.MODE_SQL,
+        "argmax_vote": relational.ARGMAX_SQL,
+        "topk_cap": relational.TOPK_SQL,
+        "grid_metrics": relational.GRID_METRICS_SQL,
+        "range_predicate": relational.RANGE_PREDICATE_SQL,
+        "langid_vote": tdp_text.LANGID_SQL,
+        "quality_score": tdp_text.QUALITY_SQL,
+        "token_stats": tdp_text.TOKEN_STATS_SQL,
+        "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "ann_topk": similarity.ANN_TOPK_SQL,
+        "embedding_neardup": similarity.NEARDUP_SQL,
+        "media_meta": multimodal.MEDIA_META_SQL,
+        # minhash_lsh_pairs / simhash_near_dups / ann_lsh_topk /
+        # ivf_assign: xxhash64-dependent or plan-shape ops — rows-only.
+        # extract_stream_corpus / extract_lattice_corpus: the extraction
+        # pipeline itself — not SQL-expressible, rows-only.
+    }

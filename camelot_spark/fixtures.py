@@ -440,6 +440,23 @@ def corpus() -> list:
 
 # families safe to run under default per-flavor kwargs (bench tiling)
 BENCH_FAMILIES = ["health", "foo", "twotables", "rowspan", "prose"]
+STREAM_FAMILIES = ["health", "twotables", "prose"]
+LATTICE_FAMILIES = ["foo", "rowspan"]
+
+
+def builder_for(doc_key: str, families: list[str] | None = None,
+                skew_family: str = "twotables", skew_frac: float = 0.05) -> DocBuilder:
+    """Deterministic builder for an arbitrary key (corpus synthesis from
+    driver tables): family + jitter seeded by crc32(doc_key)."""
+    fams = families or BENCH_FAMILIES
+    seed = zlib.crc32(doc_key.encode())
+    if (seed % 1000) / 1000.0 < skew_frac:
+        fam = skew_family if skew_family in fams else fams[0]
+    else:
+        fam = fams[(seed >> 4) % len(fams)]
+    dx = float((seed >> 8) % 40)
+    dy = float((seed >> 16) % 60)
+    return FAMILIES[fam](f"{fam}-{doc_key}", dx, dy)
 
 
 def replicate(n_docs: int, families: list[str] | None = None, skew_family: str = "twotables",

@@ -84,6 +84,33 @@ def _extract_batch_iter(
         yield pd.DataFrame(out)
 
 
+def synthesize_documents(source_df, key_col: str = "doc_id", families: list[str] | None = None):
+    """Distributed fixture-corpus synthesis: one span-document per input
+    row, deterministically derived from the row's key (FIXTURES.md §4).
+    Generation happens on executors inside Arrow batches — no
+    driver-side corpus materialization at any scale."""
+    from .schema import DOCUMENTS_SCHEMA
+
+    ensure_shipped(source_df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from camelot_spark import fixtures as fx
+
+        for pdf in batches:
+            out = {"doc_id": [], "spans": []}
+            for k in pdf[key_col].astype(str):
+                b = fx.builder_for(k, families=families)
+                out["doc_id"].append(b.doc_id)
+                out["spans"].append(
+                    [{"kind": s["kind"], "text": s["text"],
+                      "media_ref": s["media_ref"], "offset": s["offset"]}
+                     for s in b.spans]
+                )
+            yield pd.DataFrame(out)
+
+    return source_df.select(key_col).mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
 _SHIPPED_SESSIONS: set[int] = set()
 
 

@@ -1,0 +1,177 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Exact + n-gram Jaccard carry DuckDB oracles (integer outputs). MinHash
+and SimHash hinge on Spark's xxhash64, which has no DuckDB twin, so
+they are rows-only-checked — but fully deterministic.
+
+Scale notes:
+- exact dedup: single hash-aggregate on a 64-bit content hash; never
+  groupBy the full text at 100 TB (shuffle writes the hash, not the
+  document).
+- MinHash LSH: shingle → K minhashes → B bands; candidate pairs come
+  from an equi-join on (band, band_signature) — a shuffle on small
+  fixed-width keys. Pair explosion is bounded per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Per-source doc/distinct counts via content hash (exact dedup)."""
+    return (
+        documents.select("source", F.xxhash64("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.countDistinct("h").cast("bigint").alias("distinct_docs"),
+        )
+        .withColumn("dupes", (F.col("docs") - F.col("distinct_docs")).cast("bigint"))
+        .select("source", "docs", "distinct_docs", "dupes")
+    )
+
+
+def _shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (empty when the
+    text has fewer than n tokens — callers filter those out)."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_adjacent(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Exact word-3-gram Jaccard between consecutive doc_ids — the
+    exact-similarity baseline the MinHash path approximates. Output
+    floor(J*10000) for oracle-exact comparison."""
+    d = documents.where(F.size(F.split("text", " ")) >= n).select(
+        F.col("doc_id").cast("bigint").alias("id"), _shingles(F.col("text"), n).alias("sh")
+    )
+    a = d.alias("a")
+    b = d.select((F.col("id") - 1).alias("id"), F.col("sh").alias("sh_b")).alias("b")
+    pairs = a.join(b, "id")
+    inter = F.size(F.array_intersect("sh", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh", "sh_b")).cast("double")
+    return pairs.select(
+        F.col("id").alias("a_id"),
+        (F.col("id") + 1).alias("b_id"),
+        F.floor(inter / union * 10000).cast("bigint").alias("jaccard_x10k"),
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
+    """K minhashes per doc: min over shingles of xxhash64(shingle, seed k).
+
+    Expressed as array ops (transform/aggregate) — no UDF, runs in
+    codegen. Seeds are column literals so one pass computes all K.
+    """
+    d = documents.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda s, k=k: F.xxhash64(s, F.lit(k))))
+            for k in range(num_hashes)
+        ]
+    )
+    return d.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: split the K-wide signature into bands, join
+    docs sharing any (band_id, band_signature) bucket."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, n)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def simhash64(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sign of Σ ±1 across
+    token hashes; vectorized via bit arithmetic on xxhash64 tokens."""
+    toks = documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = toks.select("doc_id", F.xxhash64("w").alias("h"))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_cols)
+    sim = None
+    for b in range(64):
+        # bit 63 is the sign bit of the signed 64-bit result
+        weight = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        term = F.when(F.col(f"b{b}") > 0, weight).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k, bucketed by
+    16-bit chunks (a pair within distance 3 shares ≥1 exact chunk)."""
+    s = simhash64(documents)
+    chunks = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(hamming <= max_hamming).select("a_id", "b_id", hamming.alias("hamming"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dupes
+FROM documents GROUP BY source
+"""
+
+NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3)
+SELECT a.id AS a_id, a.id + 1 AS b_id,
+       CAST(FLOOR(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) * 10000) AS BIGINT)
+         AS jaccard_x10k
+FROM sh a JOIN sh b ON b.id = a.id + 1
+"""

@@ -1,0 +1,182 @@
+"""Relational skeletons of the extraction kernels (SURVEY.md §2.9),
+expressed over the driver's TPC-H-ish tables so the DuckDB oracle can
+check them: gap-sessionization (G1), interval islands (G3), mode with
+the reference's exclude-1 retry (G2), argmax vote (G8), top-k cap
+(L3), accuracy/whitespace-style metrics (G11/G12), point-in-box range
+predicate (F1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 1800
+
+
+def sessionize_gaps(events: DataFrame) -> DataFrame:
+    """G1 analog: per user, a new session starts when the gap to the
+    previous event exceeds 30 min; count sessions per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0).alias("new_session"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
+        .select(F.col("user_id").cast("bigint").alias("user_id"), "n_sessions")
+    )
+
+
+def interval_islands(lineitem: DataFrame) -> DataFrame:
+    """G3 analog (gaps-and-islands): per supplier, merge overlapping
+    [shipdate, shipdate+7d] intervals; count the merged islands."""
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    start = F.unix_timestamp("l_shipdate")
+    end = start + 7 * 86400
+    prev_max_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = lineitem.select(
+        "l_suppkey",
+        F.when(prev_max_end.isNull() | (start > prev_max_end), 1).otherwise(0).alias("new_island"),
+    )
+    return (
+        marked.groupBy("l_suppkey")
+        .agg(F.sum("new_island").cast("bigint").alias("n_islands"))
+        .select(F.col("l_suppkey").cast("bigint").alias("suppkey"), "n_islands")
+    )
+
+
+def mode_of_counts(orders: DataFrame) -> DataFrame:
+    """G2 analog with the reference's semantics (`stream.py:349-358`):
+    mode of per-customer order counts (ties → smallest); if the mode is
+    1, retry with 1s excluded."""
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("f"))
+    m1 = freq.orderBy(F.desc("f"), F.asc("cnt")).limit(1).select(F.col("cnt").alias("m1"))
+    m2 = (
+        freq.where(F.col("cnt") != 1)
+        .orderBy(F.desc("f"), F.asc("cnt"))
+        .limit(1)
+        .select(F.col("cnt").alias("m2"))
+    )
+    return (
+        m1.crossJoin(m2)
+        .select(
+            F.when(F.col("m1") == 1, F.col("m2")).otherwise(F.col("m1"))
+            .cast("bigint")
+            .alias("modal_count")
+        )
+    )
+
+
+def argmax_vote(orders: DataFrame) -> DataFrame:
+    """G8 analog (`core.py:137-158`): the order priority whose finished
+    orders carry the highest total price wins the vote."""
+    sums = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    return (
+        sums.orderBy(F.desc("s"), F.asc("o_orderpriority"))
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("winning_priority"))
+    )
+
+
+def topk_cap(part: DataFrame, k: int = 10) -> DataFrame:
+    """L3 analog (`image_processing.py:168`): keep the k largest by
+    retail price (deterministic tie-break on key)."""
+    w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("p_partkey").cast("bigint").alias("partkey"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def grid_metrics(lineitem: DataFrame) -> DataFrame:
+    """G11/G12 analog: accuracy-style weighted mean of (1 - discount)
+    and whitespace-style empty-fraction (qty < 5), ×10000 floored."""
+    return lineitem.agg(
+        F.floor(F.avg(F.lit(1.0) - F.col("l_discount")) * 10000).cast("bigint").alias("accuracy_x10k"),
+        F.floor(
+            F.avg(F.when(F.col("l_quantity") < 5, 1.0).otherwise(0.0)) * 10000
+        ).cast("bigint").alias("whitespace_x10k"),
+    )
+
+
+def range_predicate(events: DataFrame) -> DataFrame:
+    """F1 analog (`utils.py:354-379`): midpoint-in-box ±2 tolerance —
+    events whose value lies in [10-2, 20+2], counted per type."""
+    return (
+        events.where((F.col("value") >= 10 - 2) & (F.col("value") <= 20 + 2))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_box"))
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_S}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+INTERVAL_ISLANDS_SQL = """
+WITH m AS (
+  SELECT l_suppkey,
+         CASE WHEN max(epoch(l_shipdate) + 7*86400)
+                    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR epoch(l_shipdate) > max(epoch(l_shipdate) + 7*86400)
+                    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM lineitem)
+SELECT CAST(l_suppkey AS BIGINT) AS suppkey, CAST(SUM(new_island) AS BIGINT) AS n_islands
+FROM m GROUP BY l_suppkey
+"""
+
+MODE_SQL = """
+WITH counts AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+freq AS (SELECT cnt, COUNT(*) AS f FROM counts GROUP BY cnt),
+m1 AS (SELECT cnt AS m1 FROM freq ORDER BY f DESC, cnt ASC LIMIT 1),
+m2 AS (SELECT cnt AS m2 FROM freq WHERE cnt <> 1 ORDER BY f DESC, cnt ASC LIMIT 1)
+SELECT CAST(CASE WHEN m1.m1 = 1 THEN m2.m2 ELSE m1.m1 END AS BIGINT) AS modal_count
+FROM m1, m2
+"""
+
+ARGMAX_SQL = """
+SELECT o_orderpriority AS winning_priority
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY SUM(o_totalprice) DESC, o_orderpriority ASC LIMIT 1
+"""
+
+TOPK_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS partkey,
+       CAST(row_number() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rank
+FROM part QUALIFY rank <= 10
+"""
+
+GRID_METRICS_SQL = """
+SELECT CAST(FLOOR(AVG(1.0 - l_discount) * 10000) AS BIGINT) AS accuracy_x10k,
+       CAST(FLOOR(AVG(CASE WHEN l_quantity < 5 THEN 1.0 ELSE 0.0 END) * 10000) AS BIGINT) AS whitespace_x10k
+FROM lineitem
+"""
+
+RANGE_PREDICATE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_in_box
+FROM events WHERE value >= 8 AND value <= 22
+GROUP BY event_type
+"""

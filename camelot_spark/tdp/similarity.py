@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — a broadcast of the
+  query vector against a single scan; dot products via zip_with +
+  aggregate (JVM-side, no UDF).
+- LSH-bucketed variant (random-hyperplane signs): the scale path —
+  candidates share a signature bucket, so the 100 TB case does a
+  shuffle on small keys instead of an all-pairs cross join.
+- IVF-style variant: coarse quantization by nearest of K fixed pivot
+  vectors; probe only the query's cell.
+
+Cosines are computed in DOUBLE with identical left-to-right summation
+order in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector (brute force).
+
+    Broadcast the 1-row query; rank by (cos desc, vec_id) for a
+    deterministic result. Output (vec_id, rank) — integer-typed.
+    """
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embeddings.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot(F.col("embedding"), F.col("q_emb"))
+             / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("vec_id").cast("bigint").alias("vec_id"), F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def embedding_neardup_adjacent(embeddings: DataFrame) -> DataFrame:
+    """Cosine between consecutive vec_ids — embedding near-dup check.
+    Output floor(cos*10000) as BIGINT."""
+    e = embeddings.select(F.col("vec_id").cast("bigint").alias("id"), "embedding")
+    a = e.alias("a")
+    b = e.select((F.col("id") - 1).alias("id"), F.col("embedding").alias("emb_b")).alias("b")
+    pairs = a.join(b, "id")
+    cos = _dot(F.col("embedding"), F.col("emb_b")) / (
+        _norm(F.col("embedding")) * _norm(F.col("emb_b"))
+    )
+    return pairs.select(
+        F.col("id").alias("a_id"),
+        (F.col("id") + 1).alias("b_id"),
+        F.floor(cos * 10000).cast("bigint").alias("cos_x10k"),
+    )
+
+
+def lsh_signatures(embeddings: DataFrame, n_planes: int = 16) -> DataFrame:
+    """Random-hyperplane LSH signature: bit b = sign of <v, h_b> where
+    h_b is a deterministic pseudo-random hyperplane derived from
+    (b, dimension index) via a fixed integer mix — reproducible across
+    runs with no stored model."""
+    dim_idx = F.transform(F.col("embedding"), lambda x, i: i)
+
+    def plane_component(i, b):
+        # deterministic pseudo-random ±1/±3 weights from an integer mix
+        mixed = (i * 2654435761 + F.lit(b * 40503 + 12345)) % 7
+        return (mixed - 3).cast("double")
+
+    def _weighted(b):
+        return lambda x, i: x.cast("double") * plane_component(i, b)
+
+    sig = None
+    for b in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), dim_idx, _weighted(b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return embeddings.select("vec_id", sig.cast("bigint").alias("lsh_sig"))
+
+
+def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+             n_planes: int = 16, max_hamming: int = 6) -> DataFrame:
+    """ANN top-k: restrict brute-force scoring to vectors whose LSH
+    signature is within ``max_hamming`` bits of the query's — the
+    bucketed scale path (candidate set ≪ corpus)."""
+    sigs = lsh_signatures(embeddings, n_planes)
+    q_sig = sigs.where(F.col("vec_id") == query_vec_id).select(
+        F.col("lsh_sig").alias("q_sig")
+    )
+    cand_ids = (
+        sigs.crossJoin(F.broadcast(q_sig))
+        .where(F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("q_sig"))) <= max_hamming)
+        .select("vec_id")
+    )
+    cands = embeddings.join(cand_ids, "vec_id")
+    return cosine_topk(cands, query_vec_id=query_vec_id, k=k)
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF coarse assignment: cell = argmin distance to K deterministic
+    pivot directions (axis-aligned pairs) — a stand-in for trained
+    centroids that keeps the probe-one-cell plan shape."""
+    def _masked(c):
+        return lambda x, i: F.when(
+            (i * 31 + F.lit(c)) % n_cells == 0, x.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    cell = None
+    best = None
+    for c in range(n_cells):
+        # pivot c: +1 on dims where (dim*31+c) % n_cells == 0
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(F.col("embedding"), lambda x, i: i),
+                _masked(c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if cell is None:
+            cell, best = F.lit(c), proj
+        else:
+            cell = F.when(proj > best, F.lit(c)).otherwise(cell)
+            best = F.greatest(best, proj)
+    return embeddings.select("vec_id", cell.cast("int").alias("ivf_cell"))
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q_emb,     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+           AS cos
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+NEARDUP_SQL = """
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings)
+SELECT a.id AS a_id, a.id + 1 AS b_id,
+       CAST(FLOOR(
+         list_sum(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+         * 10000) AS BIGINT) AS cos_x10k
+FROM e a JOIN e b ON b.id = a.id + 1
+"""

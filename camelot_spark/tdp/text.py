@@ -1,0 +1,140 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions (whole-stage codegen; no
+Python in the hot path). Outputs are integers/strings so the DuckDB
+oracles hash-match exactly; where doubles are unavoidable the same
+operation order is used on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# pseudo-language stopword profiles over the synthetic corpus vocab
+LANG_PROFILES = {
+    "data": ["data", "row", "column", "table"],
+    "perf": ["fast", "slow", "small", "big"],
+    "query": ["query", "scan", "filter", "join"],
+}
+
+STOPWORDS = ["a", "the", "of", "and", "in"]
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def langid(documents: DataFrame) -> DataFrame:
+    """N-gram/stopword-profile language vote: per doc, count profile-word
+    occurrences per profile; predict the argmax (ties → lexicographically
+    smallest profile name)."""
+    toks = _tokens(F.col("text"))
+    scored = documents.select(
+        "doc_id",
+        *[
+            F.size(F.filter(toks, lambda w, p=p: F.array_contains(F.array(*[F.lit(x) for x in ws]), w))).alias(f"score_{p}")
+            for p, ws in LANG_PROFILES.items()
+        ],
+    )
+    # argmax with lexicographic tie-break: compare (score, reversed-name)
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1)
+    for p in sorted(LANG_PROFILES):  # later names only win with strictly higher score
+        pred = F.when(F.col(f"score_{p}") > best, F.lit(p)).otherwise(pred)
+        best = F.greatest(best, F.col(f"score_{p}"))
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Composite quality score from stopword ratio, long-token ratio and
+    length; ×100 floored to BIGINT for exact oracle comparison."""
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), w))).cast("double")
+        / n_tok
+    )
+    long_ratio = F.size(F.filter(toks, lambda w: F.length(w) > 5)).cast("double") / n_tok
+    len_term = F.least(n_tok, F.lit(100.0)) / F.lit(100.0)
+    score = stop_ratio * 40 + long_ratio * 30 + len_term * 30
+    return documents.select(
+        "doc_id",
+        F.floor(score * 100).cast("bigint").alias("quality_x100"),
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count."""
+    return documents.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0))
+        .cast("bigint")
+        .alias("re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Position-weighted integer document fingerprint (rolling-hash
+    analog, exact integer arithmetic → portable across engines):
+    fp = Σ_i (len(w_i)*31 + ascii(w_i[0])) * ((i mod 97) + 1), i 1-based.
+    """
+    exploded = documents.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w"))
+    term = (F.length("w") * 31 + F.ascii(F.substring("w", 1, 1))) * (
+        ((F.col("pos") + 1) % 97) + 1
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg(F.sum(term).cast("bigint").alias("fp"))
+    )
+
+
+LANGID_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w IN ('data','row','column','table'))) AS s_data,
+         len(list_filter(string_split(text, ' '), w -> w IN ('fast','slow','small','big'))) AS s_perf,
+         len(list_filter(string_split(text, ' '), w -> w IN ('query','scan','filter','join'))) AS s_query
+  FROM documents)
+SELECT doc_id,
+       CASE
+         WHEN s_query > s_data AND s_query > s_perf THEN 'query'
+         WHEN s_perf > s_data AND s_perf >= s_query THEN 'perf'
+         ELSE 'data'
+       END AS pred_lang
+FROM scored
+"""
+
+QUALITY_SQL = """
+SELECT doc_id,
+       CAST(FLOOR((
+         (CAST(len(list_filter(string_split(text,' '), w -> w IN ('a','the','of','and','in'))) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE)) * 40
+       + (CAST(len(list_filter(string_split(text,' '), w -> length(w) > 5)) AS DOUBLE)
+            / CAST(len(string_split(text,' ')) AS DOUBLE)) * 30
+       + LEAST(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0 * 30
+       ) * 100) AS BIGINT) AS quality_x100
+FROM documents
+"""
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_m
+FROM documents
+"""
+
+FINGERPRINT_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents)
+SELECT doc_id,
+       CAST(SUM((length(w)*31 + ord(w[1:1])) * ((pos % 97) + 1)) AS BIGINT) AS fp
+FROM tok GROUP BY doc_id
+"""
