@@ -66,13 +66,13 @@ def assemble_spans(page: Page, tables: list[TableResult]) -> list[tuple]:
         consumed_h |= tlk.text_in_bbox_mask(t.bbox, page.horizontal_text)
         consumed_v |= tlk.text_in_bbox_mask(t.bbox, page.vertical_text)
     for frame, consumed in ((page.horizontal_text, consumed_h), (page.vertical_text, consumed_v)):
-        for i, tl in enumerate(frame.itertuples()):
+        for i in range(len(frame)):
             if consumed[i]:
                 continue
-            text = (tl.text or "").strip()
+            text = (frame.text[i] or "").strip()
             if not text:
                 continue
-            units.append((float(tl.y0), float(tl.x0), _RANK_PROSE, int(tl.offset), text))
+            units.append((float(frame.y0[i]), float(frame.x0[i]), _RANK_PROSE, int(frame.offset[i]), text))
 
     for m in page.media:
         anchor = float(m.bbox[1]) if m.bbox is not None else float("-inf")

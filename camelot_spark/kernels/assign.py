@@ -115,13 +115,11 @@ def get_table_index(
     """
     r_idx, c_idx = -1, -1
     y_mid = (tline["y0"] + tline["y1"]) / 2.0
-    row_tops = np.asarray([r[0] for r in grid.rows])
-    row_bots = np.asarray([r[1] for r in grid.rows])
-    hit = np.flatnonzero((y_mid < row_tops) & (y_mid > row_bots))
+    hit = np.flatnonzero((y_mid < grid.row_t) & (y_mid > grid.row_b))
     if hit.size:
         r = int(hit[0])
-        col_l = np.asarray([c[0] for c in grid.cols])
-        col_r = np.asarray([c[1] for c in grid.cols])
+        col_l = grid.col_l
+        col_r = grid.col_r
         overlap_mask = (col_l <= tline["x1"]) & (col_r >= tline["x0"])
         left = np.maximum(col_l, tline["x0"])
         right = np.minimum(col_r, tline["x1"])
@@ -168,25 +166,30 @@ def reduce_index(
     `camelot/parsers/lattice.py:133-176`.
 
     The directional while-walks are replaced by precomputed
-    nearest-bounded-cell index maps (one accumulate pass per axis).
+    nearest-bounded-cell index maps (one accumulate pass per axis,
+    cached on the grid — edges are frozen before assignment starts).
     """
-    nr, nc = grid.nrows, grid.ncols
-    cidx = np.arange(nc)
-    ridx = np.arange(nr)
-    # nearest col ≤ c with left edge, per row (forward accumulate)
-    left_anchor = np.maximum.accumulate(np.where(grid.left, cidx[None, :], -1), axis=1)
-    # nearest col ≥ c with right edge (reverse accumulate)
-    right_anchor = np.flip(
-        np.minimum.accumulate(np.flip(np.where(grid.right, cidx[None, :], nc), axis=1), axis=1),
-        axis=1,
-    )
-    # nearest row ≤ r with top edge, per col
-    top_anchor = np.maximum.accumulate(np.where(grid.top, ridx[:, None], -1), axis=0)
-    # nearest row ≥ r with bottom edge
-    bottom_anchor = np.flip(
-        np.minimum.accumulate(np.flip(np.where(grid.bottom, ridx[:, None], nr), axis=0), axis=0),
-        axis=0,
-    )
+    anchors = getattr(grid, "_anchors", None)
+    if anchors is None:
+        nr, nc = grid.nrows, grid.ncols
+        cidx = np.arange(nc)
+        ridx = np.arange(nr)
+        # nearest col ≤ c with left edge, per row (forward accumulate)
+        left_anchor = np.maximum.accumulate(np.where(grid.left, cidx[None, :], -1), axis=1)
+        # nearest col ≥ c with right edge (reverse accumulate)
+        right_anchor = np.flip(
+            np.minimum.accumulate(np.flip(np.where(grid.right, cidx[None, :], nc), axis=1), axis=1),
+            axis=1,
+        )
+        # nearest row ≤ r with top edge, per col
+        top_anchor = np.maximum.accumulate(np.where(grid.top, ridx[:, None], -1), axis=0)
+        # nearest row ≥ r with bottom edge
+        bottom_anchor = np.flip(
+            np.minimum.accumulate(np.flip(np.where(grid.bottom, ridx[:, None], nr), axis=0), axis=0),
+            axis=0,
+        )
+        anchors = grid._anchors = (left_anchor, right_anchor, top_anchor, bottom_anchor)
+    left_anchor, right_anchor, top_anchor, bottom_anchor = anchors
 
     out = []
     for r_idx, c_idx, text in indices:

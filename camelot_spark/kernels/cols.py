@@ -10,9 +10,9 @@ from __future__ import annotations
 import warnings
 
 import numpy as np
-import pandas as pd
 
 from . import rows as rows_kernel
+from .textlines import TL, isclose
 
 
 def mode_ncols(elements: list[int]) -> int | None:
@@ -49,13 +49,13 @@ def merge_columns(intervals: list[tuple[float, float]], column_tol: float = 0):
             continue
         lower = merged[-1]
         if column_tol >= 0:
-            if higher[0] <= lower[1] or np.isclose(higher[0], lower[1], atol=column_tol):
+            if higher[0] <= lower[1] or isclose(higher[0], lower[1], atol=column_tol):
                 merged[-1] = (min(lower[0], higher[0]), max(lower[1], higher[1]))
             else:
                 merged.append(higher)
         else:
             if higher[0] <= lower[1]:
-                if np.isclose(higher[0], lower[1], atol=abs(column_tol)):
+                if isclose(higher[0], lower[1], atol=abs(column_tol)):
                     merged.append(higher)
                 else:
                     merged[-1] = (min(lower[0], higher[0]), max(lower[1], higher[1]))
@@ -65,23 +65,19 @@ def merge_columns(intervals: list[tuple[float, float]], column_tol: float = 0):
 
 
 def add_columns(
-    cols: list[tuple[float, float]], text: pd.DataFrame, row_tol: float
+    cols: list[tuple[float, float]], text: TL, row_tol: float
 ) -> list[tuple[float, float]]:
-    """Extend columns from stray text — `stream.py:210-236`.
-
-    Re-runs row grouping on the leftover text, keeps rows of maximal
-    length, merges their x-extents into the column list.
-    """
+    """Extend columns from stray text — `stream.py:210-236`."""
     if len(text):
-        grouped = rows_kernel.group_rows(text, row_tol=row_tol)
-        elements = [len(r) for r in grouped]
+        grouped = rows_kernel.group_rows_indices(text, row_tol=row_tol)
+        elements = [len(g) for g in grouped]
         if elements:
             mx = max(elements)
             new_cols = [
-                (float(t.x0), float(t.x1))
-                for r in grouped
-                if len(r) == mx
-                for t in r.itertuples()
+                (float(text.x0[i]), float(text.x1[i]))
+                for g in grouped
+                if len(g) == mx
+                for i in g
             ]
             cols = cols + merge_columns(sorted(new_cols))
     return cols
@@ -99,9 +95,10 @@ def join_columns(
 
 
 def infer_columns(
-    rows_grouped: list[pd.DataFrame],
+    row_groups: list[np.ndarray],
     elements: list[int],
-    t_frames: list[pd.DataFrame],
+    h_text: TL,
+    v_text: TL,
     text_x_min: float,
     text_x_max: float,
     row_tol: float,
@@ -110,41 +107,51 @@ def infer_columns(
 ) -> list[tuple[float, float]]:
     """Full inferred-columns path — `stream.py:347-385`.
 
-    ``t_frames`` is [horizontal, vertical] in the reference's dict
-    iteration order, used for the inner/outer stray-text scan.
+    The inner/outer stray-text scan iterates horizontal-then-vertical
+    (the reference's t_bbox dict order) per gap.
     """
     ncols = mode_ncols(elements)
     if ncols is None:
         warnings.warn(f"No tables found in table area {table_label}")
-        ncols = 1  # reference proceeds with stale ncols==1 after the warn
+        ncols = 1  # reference proceeds with the stale ncols == 1
     cols = [
-        (float(t.x0), float(t.x1))
-        for r in rows_grouped
-        if len(r) == ncols
-        for t in r.itertuples()
+        (float(h_text.x0[i]), float(h_text.x1[i]))
+        for g in row_groups
+        if len(g) == ncols
+        for i in g
     ]
     cols = merge_columns(sorted(cols), column_tol=column_tol)
 
-    inner_parts = []
+    frames = [h_text, v_text]
+    inner_idx: list[tuple[TL, np.ndarray]] = []
     for i in range(1, len(cols)):
         left = cols[i - 1][1]
         right = cols[i][0]
-        for f in t_frames:
+        for f in frames:
             if len(f) == 0:
                 continue
-            m = (f["x0"].to_numpy() > left) & (f["x1"].to_numpy() < right)
+            m = (f.x0 > left) & (f.x1 < right)
             if m.any():
-                inner_parts.append(f[m])
+                inner_idx.append((f, np.flatnonzero(m)))
     if cols:
-        for f in t_frames:
+        for f in frames:
             if len(f) == 0:
                 continue
-            m = (f["x0"].to_numpy() > cols[-1][1]) | (f["x1"].to_numpy() < cols[0][0])
+            m = (f.x0 > cols[-1][1]) | (f.x1 < cols[0][0])
             if m.any():
-                inner_parts.append(f[m])
-    if inner_parts:
-        inner_text = pd.concat(inner_parts, ignore_index=True)
-    else:
-        inner_text = t_frames[0].iloc[0:0]
-    cols = add_columns(cols, inner_text, row_tol)
+                inner_idx.append((f, np.flatnonzero(m)))
+    if inner_idx:
+        inner_text = _concat_tl(inner_idx)
+        cols = add_columns(cols, inner_text, row_tol)
     return join_columns(cols, text_x_min, text_x_max)
+
+
+def _concat_tl(parts: list[tuple[TL, np.ndarray]]) -> TL:
+    x0 = np.concatenate([f.x0[i] for f, i in parts])
+    y0 = np.concatenate([f.y0[i] for f, i in parts])
+    x1 = np.concatenate([f.x1[i] for f, i in parts])
+    y1 = np.concatenate([f.y1[i] for f, i in parts])
+    text = [f.text[j] for f, i in parts for j in i]
+    chars = [f.chars[j] for f, i in parts for j in i]
+    offset = np.concatenate([f.offset[i] for f, i in parts])
+    return TL(x0, y0, x1, y1, text, chars, offset)

@@ -19,6 +19,11 @@ class Grid:
     def __init__(self, cols: list[tuple[float, float]], rows: list[tuple[float, float]]):
         self.cols = [(float(a), float(b)) for a, b in cols]
         self.rows = [(float(a), float(b)) for a, b in rows]
+        # cached coordinate arrays (hot path: per-textline assignment)
+        self.col_l = np.asarray([c[0] for c in self.cols])
+        self.col_r = np.asarray([c[1] for c in self.cols])
+        self.row_t = np.asarray([r[0] for r in self.rows])
+        self.row_b = np.asarray([r[1] for r in self.rows])
         nr, nc = len(rows), len(cols)
         self.nrows, self.ncols = nr, nc
         self.left = np.zeros((nr, nc), dtype=bool)
@@ -45,8 +50,8 @@ class Grid:
         edge of the last column, etc.) and the skip when the segment's
         leading coordinate aligns with no row/col.
         """
-        col_lefts = np.asarray([c[0] for c in self.cols])
-        row_tops = np.asarray([r[0] for r in self.rows])
+        col_lefts = self.col_l
+        row_tops = self.row_t
 
         for v in np.asarray(vertical, dtype=np.float64).reshape(-1, 4):
             # v = (x, y_bottom, x, y_top) in PDF space

@@ -28,13 +28,15 @@ def merge_close_lines(ar: list[float] | np.ndarray, line_tol: float = 2) -> list
     Sequential by construction: each merge updates the running value the
     next comparison uses.
     """
+    from .textlines import isclose
+
     ret: list[float] = []
     for a in ar:
         if not ret:
             ret.append(float(a))
             continue
         temp = ret[-1]
-        if np.isclose(temp, a, atol=line_tol):
+        if isclose(temp, a, atol=line_tol):
             ret[-1] = (temp + float(a)) / 2.0
         else:
             ret.append(float(a))

@@ -1,15 +1,17 @@
 """TextEdge accumulation and table-area detection (Nurminen-style).
 
-Re-derives `camelot/core.py:21-231` (TextEdge / TextEdges) as
-struct-of-arrays folds. The x running-mean and the y0-gap gating are
-order-sensitive left-folds over textlines in reading order, so the scan
-is sequential per document; all state lives in flat numpy arrays.
+Re-derives `camelot/core.py:21-231` (TextEdge / TextEdges). The x
+running-mean and the y0-gap gating are order-sensitive left-folds over
+textlines in reading order; edge registries are flat parallel lists
+scanned with scalar isclose (registries hold tens of edges — a Python
+list scan beats numpy dispatch overhead at this size by ~30×).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
+from .textlines import TL, isclose
 
 # `camelot/core.py:16`: a textedge is valid after >4 intersections.
 TEXTEDGE_REQUIRED_ELEMENTS = 4
@@ -20,7 +22,7 @@ ALIGNS = ("left", "right", "middle")
 
 
 class EdgeState:
-    """Flat-array registry of text edges for one alignment."""
+    """Flat parallel-list registry of text edges for one alignment."""
 
     __slots__ = ("x", "y0", "y1", "intersections")
 
@@ -30,20 +32,11 @@ class EdgeState:
         self.y1: list[float] = []
         self.intersections: list[int] = []
 
-    def as_frame(self) -> pd.DataFrame:
-        inter = np.asarray(self.intersections, dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "x": np.asarray(self.x, dtype=np.float64),
-                "y0": np.asarray(self.y0, dtype=np.float64),
-                "y1": np.asarray(self.y1, dtype=np.float64),
-                "intersections": inter,
-                "is_valid": inter > TEXTEDGE_REQUIRED_ELEMENTS,
-            }
-        )
+    def valid_mask(self) -> list[bool]:
+        return [n > TEXTEDGE_REQUIRED_ELEMENTS for n in self.intersections]
 
 
-def generate_textedges(tl: pd.DataFrame, edge_tol: float = 50) -> dict[str, pd.DataFrame]:
+def generate_textedges(tl: TL, edge_tol: float = 50) -> dict[str, EdgeState]:
     """Accumulate left/right/middle edges over reading-ordered textlines.
 
     Semantics per `camelot/core.py:98-135`: for each line with >1 char
@@ -54,91 +47,85 @@ def generate_textedges(tl: pd.DataFrame, edge_tol: float = 50) -> dict[str, pd.D
     far edge is left untouched (reference quirk — no new edge created).
     """
     states = {a: EdgeState() for a in ALIGNS}
-    keep = tl["text"].str.strip().str.len().fillna(0).to_numpy() > 1  # core.py:134
-    x0s = tl["x0"].to_numpy()
-    x1s = tl["x1"].to_numpy()
-    y0s = tl["y0"].to_numpy()
-    y1s = tl["y1"].to_numpy()
-    for i in np.flatnonzero(keep):
-        xs = {
-            "left": x0s[i],
-            "right": x1s[i],
-            "middle": x0s[i] + (x1s[i] - x0s[i]) / 2.0,
-        }
-        for align in ALIGNS:
-            st = states[align]
-            x_coord = xs[align]
-            ex = np.asarray(st.x, dtype=np.float64)
-            hits = np.flatnonzero(np.isclose(ex, x_coord, atol=0.5))
-            if hits.size == 0:
-                st.x.append(float(x_coord))
+    x0s, x1s, y0s, y1s = tl.x0, tl.x1, tl.y0, tl.y1
+    texts = tl.text
+    st_l, st_r, st_m = states["left"], states["right"], states["middle"]
+    for i in range(len(tl)):
+        t = texts[i]
+        if not (t and len(t.strip()) > 1):  # core.py:134
+            continue
+        xl = x0s[i]
+        xr = x1s[i]
+        for st, x_coord in ((st_l, xl), (st_r, xr), (st_m, xl + (xr - xl) / 2.0)):
+            xs = st.x
+            hit = -1
+            for j in range(len(xs)):
+                if isclose(xs[j], x_coord, atol=0.5):
+                    hit = j
+                    break
+            if hit < 0:
+                xs.append(float(x_coord))
                 st.y0.append(float(y0s[i]))
                 st.y1.append(float(y1s[i]))
                 st.intersections.append(0)
-            else:
-                j = int(hits[0])
-                if np.isclose(st.y0[j], y0s[i], atol=edge_tol):
-                    n = st.intersections[j]
-                    st.x[j] = (n * st.x[j] + x_coord) / float(n + 1)
-                    st.y0[j] = float(y0s[i])
-                    st.intersections[j] = n + 1
-    return {a: states[a].as_frame() for a in ALIGNS}
+            elif isclose(st.y0[hit], y0s[i], atol=edge_tol):
+                n = st.intersections[hit]
+                xs[hit] = (n * xs[hit] + x_coord) / float(n + 1)
+                st.y0[hit] = float(y0s[i])
+                st.intersections[hit] = n + 1
+    return states
 
 
-def relevant_align(edges: dict[str, pd.DataFrame]) -> str:
+def relevant_align(edges: dict[str, EdgeState]) -> str:
     """Alignment whose valid edges intersect the most — `core.py:137-158`.
-
-    Ties resolve in dict insertion order left → right → middle.
-    """
+    Ties resolve in dict insertion order left → right → middle."""
     best_align, best_sum = "left", -1
     for align in ALIGNS:
-        f = edges[align]
-        s = int(f.loc[f["is_valid"], "intersections"].sum())
+        st = edges[align]
+        s = sum(
+            n for n, v in zip(st.intersections, st.valid_mask()) if v
+        )
         if s > best_sum:
             best_align, best_sum = align, s
     return best_align
 
 
-def table_areas(
-    tl: pd.DataFrame, relevant: pd.DataFrame
-) -> list[tuple[float, float, float, float]]:
+def table_areas(tl: TL, relevant: EdgeState) -> list[tuple[float, float, float, float]]:
     """Sweep valid edges into areas, extend with overlapping textlines,
     pad — `camelot/core.py:160-231`.
 
-    Areas are kept as an ordered list (reference dict preserves
-    insertion order); "first overlapping area" search order matters.
-    """
+    Areas are an ordered list (the reference dict preserves insertion
+    order; updates pop + re-append at the end)."""
     if len(tl) == 0:
         return []
-    rel = relevant.sort_values(["y0", "x"], ascending=[False, True], kind="stable")
+    order = np.lexsort(
+        (np.asarray(relevant.x), -np.asarray(relevant.y0))
+    ) if relevant.x else []
+    valid = relevant.valid_mask()
 
     areas: list[list[float]] = []
-    for e in rel.itertuples():
-        if not e.is_valid:
+    for j in order:
+        if not valid[j]:
             continue
+        ex, ey0, ey1 = relevant.x[j], relevant.y0[j], relevant.y1[j]
         if not areas:
-            areas.append([e.x, e.y0, e.x, e.y1])
+            areas.append([ex, ey0, ex, ey1])
             continue
         found = None
         for k, area in enumerate(areas):
-            if e.y1 >= area[1] and e.y0 <= area[3]:
+            if ey1 >= area[1] and ey0 <= area[3]:
                 found = k
                 break
         if found is None:
-            areas.append([e.x, e.y0, e.x, e.y1])
+            areas.append([ex, ey0, ex, ey1])
         else:
             a = areas.pop(found)
-            # reference re-inserts the updated area at the dict's end
-            areas.append([a[0], min(e.y0, a[1]), max(a[2], e.x), max(a[3], e.y1)])
+            areas.append([a[0], min(ey0, a[1]), max(a[2], ex), max(a[3], ey1)])
 
     # extend with any textline vertically inside an area (core.py:206-223)
-    sum_h = 0.0
-    x0s = tl["x0"].to_numpy()
-    y0s = tl["y0"].to_numpy()
-    x1s = tl["x1"].to_numpy()
-    y1s = tl["y1"].to_numpy()
+    x0s, y0s, x1s, y1s = tl.x0, tl.y0, tl.x1, tl.y1
+    sum_h = float((y1s - y0s).sum())
     for i in range(len(tl)):
-        sum_h += y1s[i] - y0s[i]
         found = None
         for k, area in enumerate(areas):
             if y0s[i] >= area[1] and y1s[i] <= area[3]:

@@ -1,93 +1,121 @@
 """Struct-of-arrays textline container + geometric filters.
 
 Replaces the reference's PDFMiner object lists (`camelot/utils.py:817-854`
-``get_text_objects``) with a pandas frame whose columns are numpy arrays,
-so every downstream predicate is a vectorized mask instead of a Python
-list comprehension (e.g. ``text_in_bbox`` `camelot/utils.py:354-379`).
+``get_text_objects``) with flat numpy arrays so every downstream
+predicate is a vectorized mask. A lightweight class (not pandas) keeps
+per-document overhead at microseconds — the kernel runs per doc inside
+Arrow batches, so constant factors multiply by 10^12.
+
+``isclose`` replicates np.isclose's formula (|a-b| <= atol + rtol*|b|,
+rtol=1e-5) in scalar form; the reference's float semantics depend on it
+(`stream.py:130`, `core.py:67,103`, `utils.py:402`).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
-TL_COLUMNS = ["x0", "y0", "x1", "y1", "text", "chars", "offset"]
+_RTOL = 1.0e-5  # np.isclose default
 
 
-def make_textlines(records: list[dict]) -> pd.DataFrame:
-    """Build a textline frame from parsed span payload dicts.
+def isclose(a: float, b: float, atol: float) -> bool:
+    """Scalar np.isclose(a, b, atol=atol) without numpy call overhead."""
+    return abs(a - b) <= atol + _RTOL * abs(b)
 
-    Each record: {x0, y0, x1, y1, t (text), chars (list|None), offset}.
-    """
-    if not records:
-        return empty_textlines()
-    df = pd.DataFrame(
-        {
-            "x0": np.asarray([r["x0"] for r in records], dtype=np.float64),
-            "y0": np.asarray([r["y0"] for r in records], dtype=np.float64),
-            "x1": np.asarray([r["x1"] for r in records], dtype=np.float64),
-            "y1": np.asarray([r["y1"] for r in records], dtype=np.float64),
-            "text": pd.Series([r["t"] for r in records], dtype=object),
-            "chars": pd.Series([r.get("chars") for r in records], dtype=object),
-            "offset": np.asarray([r.get("offset", -1) for r in records], dtype=np.int64),
+
+class TL:
+    """Textlines as parallel arrays: bbox coords (float64), text
+    (list[str]), chars (list[list[dict]|None]), offset (int64)."""
+
+    __slots__ = ("x0", "y0", "x1", "y1", "text", "chars", "offset")
+
+    def __init__(self, x0, y0, x1, y1, text, chars, offset):
+        self.x0 = x0
+        self.y0 = y0
+        self.x1 = x1
+        self.y1 = y1
+        self.text = text
+        self.chars = chars
+        self.offset = offset
+
+    def __len__(self) -> int:
+        return len(self.x0)
+
+    def take(self, idx) -> "TL":
+        idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.flatnonzero(idx)
+        return TL(
+            self.x0[idx],
+            self.y0[idx],
+            self.x1[idx],
+            self.y1[idx],
+            [self.text[i] for i in idx],
+            [self.chars[i] for i in idx],
+            self.offset[idx],
+        )
+
+    def nonblank_mask(self) -> np.ndarray:
+        return np.fromiter(
+            (bool(t and t.strip()) for t in self.text), dtype=bool, count=len(self.text)
+        )
+
+    def line_dict(self, i: int) -> dict:
+        """Per-line dict for the assign kernels."""
+        return {
+            "x0": float(self.x0[i]),
+            "y0": float(self.y0[i]),
+            "x1": float(self.x1[i]),
+            "y1": float(self.y1[i]),
+            "t": self.text[i],
+            "chars": self.chars[i],
         }
-    )
-    return df
 
 
-def empty_textlines() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "x0": np.empty(0, dtype=np.float64),
-            "y0": np.empty(0, dtype=np.float64),
-            "x1": np.empty(0, dtype=np.float64),
-            "y1": np.empty(0, dtype=np.float64),
-            "text": pd.Series([], dtype=object),
-            "chars": pd.Series([], dtype=object),
-            "offset": np.empty(0, dtype=np.int64),
-        }
-    )
+def make_textlines(records: list[dict]) -> TL:
+    """Build a TL from parsed span payload dicts
+    ({x0,y0,x1,y1,t,chars,offset})."""
+    n = len(records)
+    x0 = np.empty(n)
+    y0 = np.empty(n)
+    x1 = np.empty(n)
+    y1 = np.empty(n)
+    text: list = [None] * n
+    chars: list = [None] * n
+    offset = np.empty(n, dtype=np.int64)
+    for i, r in enumerate(records):
+        x0[i] = r["x0"]
+        y0[i] = r["y0"]
+        x1[i] = r["x1"]
+        y1[i] = r["y1"]
+        text[i] = r["t"]
+        chars[i] = r.get("chars")
+        offset[i] = r.get("offset", -1)
+    return TL(x0, y0, x1, y1, text, chars, offset)
 
 
-def sort_reading_order(tl: pd.DataFrame) -> pd.DataFrame:
-    """Reading-order sort ``(-y0, x0)`` — `camelot/parsers/stream.py:277,326`."""
-    return tl.sort_values(["y0", "x0"], ascending=[False, True], kind="stable").reset_index(
-        drop=True
-    )
+def empty_textlines() -> TL:
+    z = np.empty(0)
+    return TL(z, z, z, z, [], [], np.empty(0, dtype=np.int64))
 
 
-def sort_vertical_order(tl: pd.DataFrame) -> pd.DataFrame:
+def sort_reading_order(tl: TL) -> TL:
+    """Reading-order sort ``(-y0, x0)`` — `camelot/parsers/stream.py:277,326`.
+    np.lexsort is stable; last key is primary."""
+    return tl.take(np.lexsort((tl.x0, -tl.y0)))
+
+
+def sort_vertical_order(tl: TL) -> TL:
     """Vertical-text sort ``(x0, -y0)`` — `camelot/parsers/stream.py:327`."""
-    return tl.sort_values(["x0", "y0"], ascending=[True, False], kind="stable").reset_index(
-        drop=True
-    )
+    return tl.take(np.lexsort((-tl.y0, tl.x0)))
 
 
-def text_in_bbox(bbox: tuple, tl: pd.DataFrame) -> pd.DataFrame:
-    """Textlines whose midpoint lies in bbox ± 2pt.
-
-    Vectorized form of `camelot/utils.py:354-379`: keep lines with
-    ``lb-2 <= mid <= rt+2`` on both axes.
-    """
-    if len(tl) == 0:
-        return tl
-    x_mid = (tl["x0"].to_numpy() + tl["x1"].to_numpy()) / 2.0
-    y_mid = (tl["y0"].to_numpy() + tl["y1"].to_numpy()) / 2.0
-    m = (
-        (bbox[0] - 2 <= x_mid)
-        & (x_mid <= bbox[2] + 2)
-        & (bbox[1] - 2 <= y_mid)
-        & (y_mid <= bbox[3] + 2)
-    )
-    return tl[m].reset_index(drop=True)
-
-
-def text_in_bbox_mask(bbox: tuple, tl: pd.DataFrame) -> np.ndarray:
-    """Boolean mask variant of :func:`text_in_bbox` (same predicate)."""
+def text_in_bbox_mask(bbox: tuple, tl: TL) -> np.ndarray:
+    """Midpoint-in-bbox ± 2pt mask — `camelot/utils.py:354-379`."""
     if len(tl) == 0:
         return np.zeros(0, dtype=bool)
-    x_mid = (tl["x0"].to_numpy() + tl["x1"].to_numpy()) / 2.0
-    y_mid = (tl["y0"].to_numpy() + tl["y1"].to_numpy()) / 2.0
+    x_mid = (tl.x0 + tl.x1) / 2.0
+    y_mid = (tl.y0 + tl.y1) / 2.0
     return (
         (bbox[0] - 2 <= x_mid)
         & (x_mid <= bbox[2] + 2)
@@ -96,14 +124,14 @@ def text_in_bbox_mask(bbox: tuple, tl: pd.DataFrame) -> np.ndarray:
     )
 
 
+def text_in_bbox(bbox: tuple, tl: TL) -> TL:
+    return tl.take(text_in_bbox_mask(bbox, tl))
+
+
 def segments_in_bbox(
     bbox: tuple, v_segments: np.ndarray, h_segments: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Ruling segments inside bbox ± 2pt — `camelot/utils.py:317-351`.
-
-    ``v_segments``/``h_segments`` are (N,4) float arrays (x1,y1,x2,y2),
-    vertical as (x, y_bottom, x, y_top), horizontal as (x_left, y, x_right, y).
-    """
+    """Ruling segments inside bbox ± 2pt — `camelot/utils.py:317-351`."""
     v = np.asarray(v_segments, dtype=np.float64).reshape(-1, 4)
     h = np.asarray(h_segments, dtype=np.float64).reshape(-1, 4)
     lb0, lb1, rt0, rt1 = bbox[0], bbox[1], bbox[2], bbox[3]
@@ -112,15 +140,15 @@ def segments_in_bbox(
     return v[vm], h[hm]
 
 
-def nonblank_mask(tl: pd.DataFrame) -> np.ndarray:
-    """Lines with non-blank text after strip (`stream.py:129`)."""
-    return tl["text"].str.strip().str.len().fillna(0).to_numpy() > 0
-
-
-def text_bbox(frames: list[pd.DataFrame]) -> tuple[float, float, float, float]:
+def text_bbox(frames: list[TL]) -> tuple[float, float, float, float]:
     """Bounding box over all text — `camelot/parsers/stream.py:82-103`."""
-    xs0 = np.concatenate([f["x0"].to_numpy() for f in frames if len(f)])
-    ys0 = np.concatenate([f["y0"].to_numpy() for f in frames if len(f)])
-    xs1 = np.concatenate([f["x1"].to_numpy() for f in frames if len(f)])
-    ys1 = np.concatenate([f["y1"].to_numpy() for f in frames if len(f)])
-    return float(xs0.min()), float(ys0.min()), float(xs1.max()), float(ys1.max())
+    xmin = ymin = np.inf
+    xmax = ymax = -np.inf
+    for f in frames:
+        if len(f) == 0:
+            continue
+        xmin = min(xmin, f.x0.min())
+        ymin = min(ymin, f.y0.min())
+        xmax = max(xmax, f.x1.max())
+        ymax = max(ymax, f.y1.max())
+    return float(xmin), float(ymin), float(xmax), float(ymax)

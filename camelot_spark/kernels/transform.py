@@ -14,7 +14,8 @@ The fixes below invert those maps.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
+from .textlines import TL
 
 
 def detect_rotation(chars_m: np.ndarray, n_horizontal: int, n_vertical: int) -> str:
@@ -55,15 +56,15 @@ def unrotate_bboxes(
     )
 
 
-def unrotate_textlines(tl: pd.DataFrame, rotation: str, width: float, height: float) -> pd.DataFrame:
-    """Unrotate a textline frame (bboxes + member char boxes)."""
+def unrotate_textlines(tl: TL, rotation: str, width: float, height: float) -> TL:
+    """Unrotate a TL (bboxes + member char boxes)."""
     if len(tl) == 0:
         return tl
-    boxes = unrotate_bboxes(tl[["x0", "y0", "x1", "y1"]].to_numpy(), rotation, width, height)
-    out = tl.copy()
-    out["x0"], out["y0"], out["x1"], out["y1"] = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    boxes = unrotate_bboxes(
+        np.stack([tl.x0, tl.y0, tl.x1, tl.y1], axis=1), rotation, width, height
+    )
     new_chars = []
-    for chars in out["chars"]:
+    for chars in tl.chars:
         if not chars:
             new_chars.append(chars)
             continue
@@ -79,8 +80,10 @@ def unrotate_textlines(tl: pd.DataFrame, rotation: str, width: float, height: fl
             nch["x0"], nch["y0"], nch["x1"], nch["y1"] = map(float, cb)
             fixed.append(nch)
         new_chars.append(fixed)
-    out["chars"] = pd.Series(new_chars, dtype=object, index=out.index)
-    return out
+    return TL(
+        boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3],
+        list(tl.text), new_chars, tl.offset.copy(),
+    )
 
 
 def unrotate_segments(seg: np.ndarray, rotation: str, width: float, height: float) -> np.ndarray:

@@ -10,11 +10,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import pandas as pd
-
 from ..kernels import assign as asg
 from ..kernels import metrics as mtr
 from ..kernels.grid import Grid
+from ..kernels.textlines import TL
 
 
 @dataclass
@@ -29,26 +28,9 @@ class TableResult:
     flavor: str
 
 
-def tline_dicts(frame: pd.DataFrame) -> list[dict]:
-    """Rows of a textline frame as the dict shape the assign kernels use."""
-    out = []
-    for t in frame.itertuples():
-        out.append(
-            {
-                "x0": float(t.x0),
-                "y0": float(t.y0),
-                "x1": float(t.x1),
-                "y1": float(t.y1),
-                "t": t.text,
-                "chars": t.chars,
-            }
-        )
-    return out
-
-
 def assign_text(
     grid: Grid,
-    t_bbox: dict[str, pd.DataFrame],
+    t_bbox: dict[str, TL],
     split_text: bool,
     flag_size: bool,
     strip_text: str,
@@ -63,7 +45,9 @@ def assign_text(
     """
     pos_errors: list[float] = []
     for direction in ("vertical", "horizontal"):
-        for tline in tline_dicts(t_bbox[direction]):
+        frame = t_bbox[direction]
+        for i in range(len(frame)):
+            tline = frame.line_dict(i)
             indices, error = asg.get_table_index(
                 grid,
                 tline,

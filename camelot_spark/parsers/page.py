@@ -3,10 +3,9 @@
 Replaces the reference's layout parse (`camelot/utils.py:763-854`,
 `camelot/parsers/base.py:12-21`): the fixture encoder already emits
 textline geometry (FIXTURES.md §1), so "layout parsing" here is JSON
-payload decoding into struct-of-array textline frames, plus the
-rotation fix the reference applies at page-save time
-(`camelot/handlers.py:117-136`) re-expressed as a coordinate
-transform.
+payload decoding into struct-of-array textlines, plus the rotation fix
+the reference applies at page-save time (`camelot/handlers.py:117-136`)
+re-expressed as a coordinate transform.
 """
 
 from __future__ import annotations
@@ -15,10 +14,10 @@ import json
 from dataclasses import dataclass, field
 
 import numpy as np
-import pandas as pd
 
 from ..kernels import textlines as tlk
 from ..kernels import transform as tfm
+from ..kernels.textlines import TL
 
 
 @dataclass
@@ -34,8 +33,8 @@ class Media:
 class Page:
     width: float
     height: float
-    horizontal_text: pd.DataFrame   # text_h + prose kinds
-    vertical_text: pd.DataFrame     # text_v kind
+    horizontal_text: TL   # text_h + prose kinds
+    vertical_text: TL     # text_v kind
     media: list[Media] = field(default_factory=list)
     rotation: str = ""
     n_spans: int = 0
@@ -81,13 +80,13 @@ def parse_page(spans: list[dict]) -> Page:
     v_text = tlk.make_textlines(v_rec)
 
     # rotation detection — non-blank line counts + char CTM vote
-    hlen = int(tlk.nonblank_mask(h_text).sum()) if len(h_text) else 0
-    vlen = int(tlk.nonblank_mask(v_text).sum()) if len(v_text) else 0
+    hlen = int(h_text.nonblank_mask().sum()) if len(h_text) else 0
+    vlen = int(v_text.nonblank_mask().sum()) if len(v_text) else 0
     rotation = ""
     if hlen < vlen:
         ms = []
         for frame in (h_text, v_text):
-            for chars in frame["chars"]:
+            for chars in frame.chars:
                 for ch in chars or []:
                     m = ch.get("m")
                     if m is not None:
@@ -100,14 +99,16 @@ def parse_page(spans: list[dict]) -> Page:
         new_v = tfm.unrotate_textlines(h_text, rotation, width, height)
         h_text, v_text = new_h, new_v
         for m in media:
-            if len(m.segments_v):
-                sv = tfm.unrotate_segments(m.segments_v, rotation, width, height)
-            else:
-                sv = m.segments_v
-            if len(m.segments_h):
-                sh = tfm.unrotate_segments(m.segments_h, rotation, width, height)
-            else:
-                sh = m.segments_h
+            sv = (
+                tfm.unrotate_segments(m.segments_v, rotation, width, height)
+                if len(m.segments_v)
+                else m.segments_v
+            )
+            sh = (
+                tfm.unrotate_segments(m.segments_h, rotation, width, height)
+                if len(m.segments_h)
+                else m.segments_h
+            )
             # segment roles swap: what was vertical is now horizontal
             m.segments_v, m.segments_h = sh, sv
             if m.bbox is not None:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import warnings
 
-import pandas as pd
+import numpy as np
 
 from ..config import StreamConfig
 from ..kernels import cols as colk
@@ -20,11 +20,12 @@ from ..kernels import rows as rowk
 from ..kernels import textedges as tek
 from ..kernels import textlines as tlk
 from ..kernels.grid import Grid
+from ..kernels.textlines import TL
 from .common import TableResult, assign_text, finish_table
 from .page import Page, parse_area_strings
 
 
-def _nurminen_table_detection(textlines: pd.DataFrame, edge_tol: float, width: float, height: float):
+def _nurminen_table_detection(textlines: TL, edge_tol: float, width: float, height: float):
     """`camelot/parsers/stream.py:267-290`: textedges → relevant align →
     table areas; whole page as fallback."""
     tl = tlk.sort_reading_order(textlines)
@@ -41,27 +42,27 @@ def _generate_table_bbox(page: Page, cfg: StreamConfig):
     if cfg.table_areas is None:
         hor_text = page.horizontal_text
         if cfg.table_regions is not None:
-            parts = []
+            # per-region concatenation, duplicates included — a line in
+            # two regions appears twice, as in `stream.py:298-306`
+            keep_order: list[int] = []
             for bbox in parse_area_strings(cfg.table_regions):
-                parts.append(tlk.text_in_bbox(bbox, page.horizontal_text))
-            hor_text = (
-                pd.concat(parts, ignore_index=True) if parts else page.horizontal_text.iloc[0:0]
-            )
+                keep_order.extend(
+                    np.flatnonzero(tlk.text_in_bbox_mask(bbox, page.horizontal_text))
+                )
+            hor_text = page.horizontal_text.take(np.asarray(keep_order, dtype=np.int64))
         return _nurminen_table_detection(hor_text, cfg.edge_tol, page.width, page.height)
     return parse_area_strings(cfg.table_areas)
 
 
 def _generate_columns_and_rows(page: Page, cfg: StreamConfig, table_idx: int, tk: tuple):
     """`camelot/parsers/stream.py:320-387`."""
-    t_bbox = {
-        "horizontal": tlk.sort_reading_order(tlk.text_in_bbox(tk, page.horizontal_text)),
-        "vertical": tlk.sort_vertical_order(tlk.text_in_bbox(tk, page.vertical_text)),
-    }
-    frames = [t_bbox["horizontal"], t_bbox["vertical"]]
-    text_x_min, text_y_min, text_x_max, text_y_max = tlk.text_bbox(frames)
-    rows_grouped = rowk.group_rows(t_bbox["horizontal"], row_tol=cfg.row_tol)
-    rows = rowk.join_rows(rows_grouped, text_y_max, text_y_min)
-    elements = [len(r) for r in rows_grouped]
+    h = tlk.sort_reading_order(tlk.text_in_bbox(tk, page.horizontal_text))
+    v = tlk.sort_vertical_order(tlk.text_in_bbox(tk, page.vertical_text))
+    t_bbox = {"horizontal": h, "vertical": v}
+    text_x_min, text_y_min, text_x_max, text_y_max = tlk.text_bbox([h, v])
+    row_groups = rowk.group_rows_indices(h, row_tol=cfg.row_tol)
+    rows = rowk.join_rows(row_groups, h, text_y_max, text_y_min)
+    elements = [len(g) for g in row_groups]
 
     if cfg.columns is not None and cfg.columns[table_idx] != "":
         cols_c = [float(c) for c in cfg.columns[table_idx].split(",")]
@@ -70,9 +71,10 @@ def _generate_columns_and_rows(page: Page, cfg: StreamConfig, table_idx: int, tk
         cols = [(cols_c[i], cols_c[i + 1]) for i in range(len(cols_c) - 1)]
     else:
         cols = colk.infer_columns(
-            rows_grouped,
+            row_groups,
             elements,
-            frames,
+            h,
+            v,
             text_x_min,
             text_x_max,
             cfg.row_tol,

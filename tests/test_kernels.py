@@ -30,24 +30,23 @@ def test_group_rows_anchor_gating():
     # anchor stays at first line of group (stream.py:130-133): y0s
     # 100, 98.5, 97.2 with tol 2 → 97.2 compares against 100, not 98.5
     f = tl_frame([(0, 100, 10, 110, "a"), (0, 98.5, 10, 108, "b"), (0, 97.2, 10, 107, "c")])
-    labels = rowk.group_rows_labels(f, row_tol=2)
-    assert list(labels) == [0, 0, 1]
+    groups = rowk.group_rows_indices(f, row_tol=2)
+    assert [list(g) for g in groups] == [[0, 1], [2]]
 
 
 def test_group_rows_blank_skip_and_bootstrap_drop():
     # blank lines skipped; a line within tol of y=0 joins the discarded
     # bootstrap group (stream.py:136 pop)
     f = tl_frame([(0, 1.0, 10, 11, "low"), (0, 100, 10, 110, " "), (0, 50, 10, 60, "x")])
-    labels = rowk.group_rows_labels(f, row_tol=2)
-    assert list(labels) == [-1, -1, 0]
+    groups = rowk.group_rows_indices(f, row_tol=2)
+    assert [list(g) for g in groups] == [[2]]
 
 
 def test_join_rows_midpoints():
-    g = [
-        tl_frame([(0, 100, 10, 110, "a")]),
-        tl_frame([(0, 80, 10, 90, "b")]),
-    ]
-    rows = rowk.join_rows(g, text_y_max=110, text_y_min=80)
+    f = tl_frame([(0, 100, 10, 110, "a"), (0, 80, 10, 90, "b")])
+    import numpy as np
+
+    rows = rowk.join_rows([np.array([0]), np.array([1])], f, text_y_max=110, text_y_min=80)
     # mids 105, 85 → boundary 95
     assert rows == [(110, 95.0), (95.0, 80)]
 
@@ -90,9 +89,9 @@ def test_textedge_validity_threshold():
         return tl_frame([(50, 600 - 14 * i, 80, 610 - 14 * i, "ab") for i in range(n)])
 
     e6 = tek.generate_textedges(frame(6))["left"]
-    assert e6["is_valid"].tolist() == [True]
+    assert e6.valid_mask() == [True]
     e5 = tek.generate_textedges(frame(5))["left"]
-    assert e5["is_valid"].tolist() == [False]
+    assert e5.valid_mask() == [False]
 
 
 def test_textedge_far_line_lost_not_readded():
@@ -100,21 +99,21 @@ def test_textedge_far_line_lost_not_readded():
     # re-creates the edge (core.py:116-127 quirk)
     f = tl_frame([(50, 600, 80, 610, "ab"), (50, 500, 80, 510, "cd")])
     e = tek.generate_textedges(f, edge_tol=50)["left"]
-    assert len(e) == 1 and e["intersections"].tolist() == [0]
-    assert e["y0"].tolist() == [600.0]
+    assert e.intersections == [0]
+    assert e.y0 == [600.0]
 
 
 def test_textedge_running_mean_x():
     f = tl_frame([(50, 600, 80, 610, "ab"), (50.4, 586, 80, 596, "cd")])
     e = tek.generate_textedges(f)["left"]
-    assert np.isclose(e["x"].iloc[0], (0 * 50 + 50.4) / 1.0)  # (n*x + x')/(n+1), n=0
+    assert np.isclose(e.x[0], (0 * 50 + 50.4) / 1.0)  # (n*x + x')/(n+1), n=0
 
 
 def test_short_text_excluded_from_edges():
     # len(strip) > 1 gate (core.py:134)
     f = tl_frame([(50, 600, 55, 610, "a"), (50, 586, 80, 596, "bc")])
     e = tek.generate_textedges(f)["left"]
-    assert len(e) == 1 and e["y0"].tolist() == [586.0]
+    assert e.y0 == [586.0]
 
 
 # ---------------------------------------------------------------- lines
@@ -270,7 +269,7 @@ def test_compute_whitespace():
 def test_text_in_bbox_midpoint_rule():
     f = tl_frame([(0, 0, 10, 10, "in"), (100, 100, 120, 120, "out")])
     kept = tlk.text_in_bbox((0, 0, 20, 20), f)
-    assert kept["text"].tolist() == ["in"]
+    assert kept.text == ["in"]
 
 
 def test_segments_in_bbox():
