@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline extraction pipeline plus every `__spark_entry__`
+query at ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock seconds over all timed queries; the
+headline documents/sec throughput is reported as ``docs_per_sec``.
+
+Modes:
+  (no args)       one JSON line for the driver
+  --scaling       run the extraction job at two parallelism levels
+                  (default 8 and 32 cores) via subprocesses, compute
+                  throughput-scaling efficiency, update BENCH_SCALING.md
+  --headline-only internal: used by --scaling subprocesses
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Replication factor for the headline corpus: each documents.parquet key
+# spawns REPL span-documents so the kernel time dominates fixed overheads.
+REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "4"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"camelot-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without driver-side materialization."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def replicated_keys(spark, sf_dir: str, repl: int, cpus: int):
+    """documents.parquet keys × repl — the headline corpus key set.
+
+    The explode keeps synthesis distributed: keys are generated on
+    executors, never collected to the driver.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    keys = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(repl - 1)),
+                lambda i: F.concat_ws("-", F.col("doc_id").cast("string"), i.cast("string")),
+            )
+        ).alias("doc_id")
+    )
+    # Even slices across all cores; synthesis + extraction are
+    # embarrassingly parallel so a round-robin spread is the right plan.
+    return keys.repartition(cpus * 4)
+
+
+def run_headline(spark, sf_dir: str, cpus: int, repl: int):
+    """Full-corpus extraction (both flavors) → (n_docs, seconds)."""
+    from camelot_spark import fixtures as fx
+    from camelot_spark.pipeline import extract, synthesize_documents
+
+    keys = replicated_keys(spark, sf_dir, repl, cpus)
+    n_docs = keys.count()
+
+    t0 = time.monotonic()
+    stream_docs = synthesize_documents(keys, families=fx.STREAM_FAMILIES)
+    _force(extract(stream_docs, flavor="stream", fail_fast=True))
+    lattice_docs = synthesize_documents(keys, families=fx.LATTICE_FAMILIES)
+    _force(extract(lattice_docs, flavor="lattice", fail_fast=True))
+    elapsed = time.monotonic() - t0
+    # Each key is extracted under both flavors → 2 documents processed.
+    return 2 * n_docs, elapsed
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        return run_scaling()
+
+    spark = build_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.headline_only:
+            n_docs, sec = run_headline(spark, SF_DIR, args.cpus, REPL)
+            print(json.dumps({"cpus": args.cpus, "docs": n_docs, "sec": round(sec, 3),
+                              "docs_per_sec": round(n_docs / sec, 2)}))
+            return
+
+        import __spark_entry__ as entrymod
+
+        timings: dict[str, float] = {}
+
+        # Warm-up: JVM + Arrow + python worker pool + package zip ship.
+        n_warm, _ = run_headline(spark, SF_DIR.replace("sf0.1", "sf0.001")
+                                 if "sf0.1" in SF_DIR else SF_DIR, args.cpus, 1)
+
+        n_docs, sec = run_headline(spark, SF_DIR, args.cpus, REPL)
+        timings["extract_corpus_headline"] = round(sec, 3)
+        docs_per_sec = n_docs / sec
+
+        for name, q in entrymod.queries().items():
+            t0 = time.monotonic()
+            _force(q(spark, SF_DIR))
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "documents/sec table-extraction throughput (synthetic camelot-corpus replica, both flavors) + per-query wall seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "docs_per_sec": round(docs_per_sec, 2),
+            "headline_docs": n_docs,
+            "cpus": args.cpus,
+        }))
+    finally:
+        spark.stop()
+
+
+def run_scaling() -> None:
+    """Same input, two parallelism levels → scaling efficiency.
+
+    Sandbox stand-in for the north_rule's N vs 4N executors: identical
+    job at local[8] and local[32]; efficiency =
+    (tp_4N / tp_N) / (4N / N).
+    """
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")]
+    results = []
+    for cpus in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only", "--cpus", str(cpus)],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(f"local[{cpus}]: {results[-1]['docs_per_sec']} docs/sec", file=sys.stderr)
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    report = {
+        "levels": results,
+        "core_ratio": ratio,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+        f.write("# Throughput-scaling efficiency (north_rule N vs 4N evidence)\n\n")
+        f.write("Same input, same job, two parallelism levels (sandbox stand-in\n"
+                "for N vs 4N executors — see BASELINE.md):\n\n")
+        f.write("| cores | docs | seconds | docs/sec |\n|---|---|---|---|\n")
+        for r in results:
+            f.write(f"| local[{r['cpus']}] | {r['docs']} | {r['sec']} | {r['docs_per_sec']} |\n")
+        f.write(f"\n- core ratio: {ratio}×\n")
+        f.write(f"- **scaling efficiency: {report['scaling_efficiency']}** "
+                f"(target ≥ 0.8 → {'PASS' if report['pass'] else 'FAIL'})\n")
+
+
+if __name__ == "__main__":
+    main()
