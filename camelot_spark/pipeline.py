@@ -35,6 +35,21 @@ def _extract_batch_iter(
     batches: Iterator[pd.DataFrame], cfg: StreamConfig | LatticeConfig, fail_fast: bool
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: each Arrow batch holds many independent docs."""
+
+    def docs(pdf):
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            yield doc_id, list(spans)
+
+    yield from _extract_doc_iter(batches, docs, cfg, fail_fast)
+
+
+def _extract_doc_iter(
+    batches: Iterator[pd.DataFrame],
+    docs_of,
+    cfg: StreamConfig | LatticeConfig,
+    fail_fast: bool,
+) -> Iterator[pd.DataFrame]:
+    """Shared kernel body: ``docs_of(pdf)`` yields (doc_id, span-list)."""
     import warnings
 
     from pyspark import TaskContext
@@ -48,13 +63,13 @@ def _extract_batch_iter(
         out: dict[str, list[Any]] = {k: [] for k in
                                      ("doc_id", "spans", "n_tables", "accuracy",
                                       "whitespace", "tables", "lineage")}
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+        for doc_id, spans in docs_of(pdf):
             t0 = time.monotonic_ns()
             err = None
             try:
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore")
-                    res = extract_document(list(spans), cfg)
+                    res = extract_document(spans, cfg)
             except Exception:
                 if fail_fast:
                     raise
@@ -109,6 +124,40 @@ def synthesize_documents(source_df, key_col: str = "doc_id", families: list[str]
             yield pd.DataFrame(out)
 
     return source_df.select(key_col).mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
+def synthesize_and_extract(
+    keys_df,
+    flavor: str,
+    families: list[str] | None = None,
+    key_col: str = "doc_id",
+    fail_fast: bool = False,
+    **kwargs,
+):
+    """Fused corpus path: fixture synthesis + extraction in ONE
+    mapInPandas stage.
+
+    The two-stage form (synthesize_documents → extract) pays a full
+    Arrow round-trip of the span structs through the JVM between the
+    stages; for the synthetic bench/test corpus that intermediate is
+    never needed, and fusing halves the JVM↔Python traffic. The
+    production path (real documents scanned from Iceberg/parquet)
+    still uses ``extract`` directly.
+    """
+    ensure_shipped(keys_df.sparkSession)
+    cfg = make_config(flavor, **kwargs)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from camelot_spark import fixtures as fx
+
+        def docs(pdf):
+            for k in pdf[key_col].astype(str):
+                b = fx.builder_for(k, families=families)
+                yield b.doc_id, b.spans
+
+        yield from _extract_doc_iter(batches, docs, cfg, fail_fast)
+
+    return keys_df.select(key_col).mapInPandas(gen, schema=EXTRACTED_SCHEMA)
 
 
 _SHIPPED_SESSIONS: set[int] = set()

@@ -7,3 +7,21 @@ only in Arrow-batched ``mapInPandas`` where semantics require it
 (multimodal decode). Deterministic outputs, integer-typed where a
 DuckDB oracle must hash-match.
 """
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition when the scan is under-partitioned.
+
+    Small local parquet files arrive as a single input split, which
+    serializes CPU-heavy expression work (shingling, minhashing) onto
+    one core before the first shuffle. On a real cluster the scan is
+    already split by ``spark.sql.files.maxPartitionBytes``, so this is
+    a no-op there — the guard keeps us from paying a gratuitous
+    full-width shuffle at 100 TB.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

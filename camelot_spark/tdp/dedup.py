@@ -47,7 +47,9 @@ def ngram_jaccard_adjacent(documents: DataFrame, n: int = 3) -> DataFrame:
     """Exact word-3-gram Jaccard between consecutive doc_ids — the
     exact-similarity baseline the MinHash path approximates. Output
     floor(J*10000) for oracle-exact comparison."""
-    d = documents.where(F.size(F.split("text", " ")) >= n).select(
+    from . import spread
+
+    d = spread(documents).where(F.size(F.split("text", " ")) >= n).select(
         F.col("doc_id").cast("bigint").alias("id"), _shingles(F.col("text"), n).alias("sh")
     )
     a = d.alias("a")
@@ -68,7 +70,9 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32, n: int = 3) -
     Expressed as array ops (transform/aggregate) — no UDF, runs in
     codegen. Seeds are column literals so one pass computes all K.
     """
-    d = documents.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+    from . import spread
+
+    d = spread(documents).select("doc_id", _shingles(F.col("text"), n).alias("sh"))
     sig = F.array(
         *[
             F.array_min(F.transform("sh", lambda s, k=k: F.xxhash64(s, F.lit(k))))
@@ -109,7 +113,9 @@ def minhash_lsh_pairs(
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of Σ ±1 across
     token hashes; vectorized via bit arithmetic on xxhash64 tokens."""
-    toks = documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    from . import spread
+
+    toks = spread(documents).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     h = toks.select("doc_id", F.xxhash64("w").alias("h"))
     bit_cols = [
         F.sum(

@@ -98,3 +98,21 @@ def test_salted_repartition_balances(spark):
     # AQE may coalesce the small partitions; docs must still spread
     assert len(pids) == 64
     assert len(set(pids)) >= 3
+
+def test_fused_synthesize_and_extract_matches_two_stage(spark):
+    """The fused corpus kernel (one mapInPandas) must emit byte-identical
+    results to synthesize_documents → extract."""
+    from camelot_spark.pipeline import synthesize_and_extract, synthesize_documents
+
+    keys = spark.createDataFrame([(str(i),) for i in range(24)], "doc_id string")
+    fams = fx.STREAM_FAMILIES
+    two = extract(synthesize_documents(keys, families=fams), flavor="stream", fail_fast=True)
+    one = synthesize_and_extract(keys, "stream", families=fams, fail_fast=True)
+
+    def norm(df):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+            for r in df.collect()
+        }
+
+    assert norm(one) == norm(two)
