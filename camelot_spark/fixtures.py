@@ -137,11 +137,32 @@ def add_stream_table(b: DocBuilder, cells: list[list[str]], col_x: list[float],
     }
 
 
+def _rasterize_segments(segments: list[tuple], width: float, height: float,
+                        scale: int, thickness: int = 3) -> dict:
+    """Draw ruling segments as black strokes on a white page bitmap —
+    the fixture stand-in for the ghostscript page render
+    (`camelot/parsers/lattice.py:211-221`). Image space: row 0 = top."""
+    import numpy as np
+
+    from .kernels.raster import encode_bitmap
+
+    img_w, img_h = int(width * scale), int(height * scale)
+    mask = np.zeros((img_h, img_w), dtype=bool)
+    t = thickness // 2
+    for (x0, y0, x1, y1) in segments:
+        c0, c1 = int(round(min(x0, x1) * scale)), int(round(max(x0, x1) * scale))
+        r0 = img_h - int(round(max(y0, y1) * scale))
+        r1 = img_h - int(round(min(y0, y1) * scale))
+        mask[max(r0 - t, 0):r1 + t + 1, max(c0 - t, 0):c1 + t + 1] = True
+    return encode_bitmap(mask)
+
+
 def add_lattice_table(b: DocBuilder, cells: list[list[str]], xs: list[float],
                       ys: list[float], media_ref: str,
                       drop_v: list[tuple] | None = None,
                       drop_h: list[tuple] | None = None,
-                      emit_media_golden: bool = True) -> dict:
+                      emit_media_golden: bool = True,
+                      raster_scale: int | None = None) -> dict:
     """Fully/partially ruled lattice table.
 
     ``xs``: column boundary x coords (asc, len C+1); ``ys``: row boundary
@@ -180,7 +201,15 @@ def add_lattice_table(b: DocBuilder, cells: list[list[str]], xs: list[float],
             segs_h.append((xs[run[0]], ys[i], xs[run[-1] + 1], ys[i]))
 
     bbox = (xs[0], ys[-1], xs[-1], ys[0])
-    payload = {"segments_v": segs_v, "segments_h": segs_h, "bbox": bbox}
+    if raster_scale:
+        payload = {
+            "bitmap": _rasterize_segments(
+                segs_v + segs_h, b.width, b.height, raster_scale
+            ),
+            "bbox": bbox,
+        }
+    else:
+        payload = {"segments_v": segs_v, "segments_h": segs_h, "bbox": bbox}
     off = b.add_span("media", payload, media_ref=media_ref)
     if emit_media_golden:
         b.add_media_golden(bbox[1], bbox[0], off, media_ref)
@@ -416,9 +445,31 @@ def doc_prose_interleave(doc_id: str = "prose-0", dx: float = 0.0, dy: float = 0
     return b
 
 
+def doc_rasterfoo(doc_id: str = "rasterfoo-0", dx: float = 0.0, dy: float = 0.0):
+    """Lattice raster path: the foo grid carried as a page *bitmap*
+    instead of pre-extracted segments — exercises L1-L4
+    (threshold → morphology → contours → joints) end to end
+    (`camelot/image_processing.py:9-224`)."""
+    b = DocBuilder(doc_id)
+    b.flavor = "lattice"
+    # integer-friendly coords so centerline pixels land exactly
+    xs = [120.0 + 48.0 * j for j in range(8)]
+    ys = [620.0 - 22.0 * i for i in range(8)]
+    cells = _grid_texts(7, 7, "r")
+    cells[0] = [f"hd{j}" for j in range(7)]
+    t = add_lattice_table(b, cells, xs, ys, media_ref=f"mem://{doc_id}/raster-1",
+                          raster_scale=2)
+    # detected contour bbox = true bbox grown by the stroke: 1px into the
+    # run + 1px exclusive-end, at scale 2 → bottom 2px = 1pt below ys[-1]
+    b.add_table_golden(t["bbox"][1] - 1.0, t["bbox"][0] - 0.5, 1, cells)
+    b.add_prose("Rasterized ruling grid", xs[0], ys[0] + 30.0)
+    return b
+
+
 FAMILIES = {
     "health": doc_health,
     "foo": doc_foo,
+    "rasterfoo": doc_rasterfoo,
     "twotables": doc_twotables,
     "rowspan": doc_rowspan,
     "copytext": doc_copytext,

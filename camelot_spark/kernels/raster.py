@@ -1,0 +1,309 @@
+"""Raster path for the Lattice flavor (L1-L4) — pure numpy, no cv2.
+
+Re-derives `camelot/image_processing.py` over a page bitmap carried by
+the ``media`` span (`media_ref` payload, FIXTURES.md §1):
+
+- ``adaptive_threshold``      ← `image_processing.py:9-53`   (L1)
+- ``find_lines``              ← `image_processing.py:56-135` (L2)
+- ``find_contours``           ← `image_processing.py:138-175` (L3)
+- ``find_joints``             ← `image_processing.py:178-224` (L4)
+- ``scale_image_to_pdf``      ← `camelot/utils.py:159-283` + scaler
+                                 setup `camelot/parsers/lattice.py:244-251` (L5)
+
+cv2 isn't available in this environment, and a faithful translation
+would be the wrong shape anyway: each operator below is vectorized
+numpy over the whole bitmap (cumsum box filters, run-length morphology,
+run-merge connected components) — per-pixel work never touches Python.
+
+Image convention matches the reference raster: row 0 = top of the
+page, x right / y down; PDF space is bottom-left-origin. All segment /
+table outputs are integer pixel coords until ``scale_image_to_pdf``.
+
+Deviation noted: the reference's adaptive threshold uses a Gaussian-
+weighted window (`cv2.ADAPTIVE_THRESH_GAUSSIAN_C`); we use a box mean
+over the same ``blocksize`` window. For ruling-line detection the two
+are interchangeable (binary decision, high-contrast line art); a
+Gaussian window is a separable convolution away if ever needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _box_mean(g: np.ndarray, k: int) -> np.ndarray:
+    """k×k box-filter local mean via 2-D cumsum (edge-replicated pad)."""
+    pad = k // 2
+    p = np.pad(g, pad + 1, mode="edge").astype(np.float64)
+    cs = p.cumsum(axis=0).cumsum(axis=1)
+    H, W = g.shape
+    # window sum at (i, j) over rows [i-pad, i+pad] etc. in padded coords
+    a = cs[k:k + H, k:k + W]
+    b = cs[0:H, k:k + W]
+    c = cs[k:k + H, 0:W]
+    d = cs[0:H, 0:W]
+    return (a - b - c + d) / float(k * k)
+
+
+def adaptive_threshold(
+    img: np.ndarray, process_background: bool = False, blocksize: int = 15, c: int = -2
+) -> np.ndarray:
+    """Grayscale (H, W) uint8 → binary ruling mask — `image_processing.py:9-53`.
+
+    Foreground lines (dark on light) are inverted first unless
+    ``process_background``; a pixel passes when it exceeds its local
+    window mean minus ``c`` (cv2 THRESH_BINARY semantics).
+    """
+    g = np.asarray(img, dtype=np.float64)
+    if not process_background:
+        g = 255.0 - g
+    return g > (_box_mean(g, blocksize) - float(c))
+
+
+def _runs_along_rows(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All horizontal runs of True: (row, start, end) arrays, end exclusive."""
+    H, W = mask.shape
+    padded = np.zeros((H, W + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    r_s, c_s = np.nonzero(d == 1)
+    r_e, c_e = np.nonzero(d == -1)
+    # starts and ends are ordered identically (row-major scan)
+    return r_s, c_s, c_e
+
+
+def _open_along_axis(mask: np.ndarray, size: int, axis: int) -> np.ndarray:
+    """Binary morphological open with a 1×size (axis=1) or size×1 (axis=0)
+    kernel: erase runs shorter than ``size``, keep longer runs at full
+    extent — exactly cv2 erode+dilate with the same 1-D kernel."""
+    m = mask if axis == 1 else mask.T
+    rows, starts, ends = _runs_along_rows(m)
+    keep = (ends - starts) >= max(size, 1)
+    out = np.zeros_like(m, dtype=np.int8)
+    if keep.any():
+        delta = np.zeros((m.shape[0], m.shape[1] + 1), dtype=np.int32)
+        np.add.at(delta, (rows[keep], starts[keep]), 1)
+        np.add.at(delta, (rows[keep], ends[keep]), -1)
+        out = (delta.cumsum(axis=1)[:, :-1] > 0).astype(np.int8)
+    return out if axis == 1 else out.T
+
+
+def _dilate_along_axis(mask: np.ndarray, amount: int, axis: int) -> np.ndarray:
+    """Extend every run by ``amount`` pixels on both ends (1-D dilation)."""
+    if amount <= 0:
+        return mask
+    m = (mask if axis == 1 else mask.T).astype(bool)
+    rows, starts, ends = _runs_along_rows(m)
+    W = m.shape[1]
+    delta = np.zeros((m.shape[0], W + 1), dtype=np.int32)
+    np.add.at(delta, (rows, np.maximum(starts - amount, 0)), 1)
+    np.add.at(delta, (rows, np.minimum(ends + amount, W)), -1)
+    out = (delta.cumsum(axis=1)[:, :-1] > 0).astype(np.int8)
+    return out if axis == 1 else out.T
+
+
+def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """External bounding rects (x, y, w, h) of 8-connected components.
+
+    Run-merge CC: runs within a row are nodes; runs in adjacent rows
+    whose column spans touch (8-connectivity ⇒ ±1 overlap) are unioned.
+    Cost is O(#runs α) — per-pixel work stays in the vectorized
+    run-extraction above, so Python only loops over line blobs.
+    """
+    m = np.asarray(mask, dtype=bool)
+    rows, starts, ends = _runs_along_rows(m)
+    n = len(rows)
+    if n == 0:
+        return []
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    # row-major order: group run indices per row
+    row_of = rows
+    row_starts_idx = np.searchsorted(row_of, np.arange(m.shape[0]))
+    row_ends_idx = np.searchsorted(row_of, np.arange(m.shape[0]), side="right")
+    prev_idx: list[int] = []
+    for r in range(m.shape[0]):
+        cur_idx = list(range(row_starts_idx[r], row_ends_idx[r]))
+        if prev_idx and cur_idx:
+            i = j = 0
+            while i < len(prev_idx) and j < len(cur_idx):
+                a, b = prev_idx[i], cur_idx[j]
+                # 8-connectivity: spans [s,e) touch diagonally when
+                # a.start <= b.end and b.start <= a.end (±1 slack)
+                if starts[a] <= ends[b] and starts[b] <= ends[a]:
+                    union(a, b)
+                if ends[a] < ends[b]:
+                    i += 1
+                else:
+                    j += 1
+        prev_idx = cur_idx
+
+    boxes: dict[int, list[int]] = {}
+    for i in range(n):
+        root = find(i)
+        x0, x1, y = int(starts[i]), int(ends[i]), int(rows[i])
+        if root not in boxes:
+            boxes[root] = [x0, y, x1, y + 1]
+        else:
+            bx = boxes[root]
+            bx[0] = min(bx[0], x0)
+            bx[1] = min(bx[1], y)
+            bx[2] = max(bx[2], x1)
+            bx[3] = max(bx[3], y + 1)
+    return [(b[0], b[1], b[2] - b[0], b[3] - b[1]) for b in boxes.values()]
+
+
+def find_lines(
+    threshold: np.ndarray,
+    regions: list[tuple[int, int, int, int]] | None = None,
+    direction: str = "horizontal",
+    line_scale: int = 15,
+    iterations: int = 0,
+) -> tuple[np.ndarray, list[tuple[int, int, int, int]]]:
+    """Ruling segments in one direction — `image_processing.py:56-135`.
+
+    Morphological open with a 1×(W/scale) or (H/scale)×1 kernel keeps
+    only long straight runs; each surviving blob's bounding rect
+    collapses to its centerline segment (`:116-133` semantics,
+    including the integer // 2 midpoint).
+    Returns (direction mask, [(x1, y1, x2, y2)] in image coords).
+    """
+    mask = np.asarray(threshold, dtype=bool)
+    if regions is not None:
+        # zero out pixels outside user regions — `image_processing.py:105-110`
+        keep = np.zeros_like(mask)
+        for (x, y, w, h) in regions:
+            keep[y:y + h, x:x + w] = True
+        mask = mask & keep
+
+    H, W = mask.shape
+    if direction == "vertical":
+        size, axis = H // line_scale, 0
+    elif direction == "horizontal":
+        size, axis = W // line_scale, 1
+    else:
+        raise ValueError("Specify direction as either 'vertical' or 'horizontal'")
+
+    dmask = _open_along_axis(mask, size, axis)
+    if iterations:
+        dmask = _dilate_along_axis(dmask, iterations, axis)
+
+    lines = []
+    for (x, y, w, h) in connected_components(dmask):
+        x1, x2, y1, y2 = x, x + w, y, y + h
+        if direction == "vertical":
+            lines.append(((x1 + x2) // 2, y2, (x1 + x2) // 2, y1))
+        else:
+            lines.append((x1, (y1 + y2) // 2, x2, (y1 + y2) // 2))
+    return dmask.astype(np.int8), lines
+
+
+def find_contours(vertical: np.ndarray, horizontal: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Table-boundary rects from the OR of the two masks, 10 largest by
+    area — `image_processing.py:138-175` (`mask = v + h`, `:156`; cap `:168`)."""
+    mask = np.asarray(vertical, bool) | np.asarray(horizontal, bool)
+    rects = connected_components(mask)
+    rects.sort(key=lambda r: r[2] * r[3], reverse=True)
+    return rects[:10]
+
+
+def find_joints(
+    contours: list[tuple[int, int, int, int]],
+    vertical: np.ndarray,
+    horizontal: np.ndarray,
+) -> dict[tuple[int, int, int, int], list[tuple[int, int]]]:
+    """Joint coords per table rect from the AND of the masks —
+    `image_processing.py:178-224` (`np.multiply` `:201`; ≤4-joint drop
+    `:215`; blob-center joint coords and (x, y+h, x+w, y) table keys)."""
+    joints_mask = np.asarray(vertical, bool) & np.asarray(horizontal, bool)
+    tables: dict[tuple[int, int, int, int], list[tuple[int, int]]] = {}
+    for (x, y, w, h) in contours:
+        roi = joints_mask[y:y + h, x:x + w]
+        blobs = connected_components(roi)
+        if len(blobs) <= 4:
+            continue
+        joint_coords = []
+        for (jx, jy, jw, jh) in blobs:
+            c1 = x + (2 * jx + jw) // 2
+            c2 = y + (2 * jy + jh) // 2
+            joint_coords.append((c1, c2))
+        tables[(x, y + h, x + w, y)] = joint_coords
+    return tables
+
+
+def scale_image_to_pdf(
+    tables: dict[tuple[int, int, int, int], list[tuple[int, int]]],
+    v_segments: list[tuple[int, int, int, int]],
+    h_segments: list[tuple[int, int, int, int]],
+    pdf_w: float,
+    pdf_h: float,
+    img_w: int,
+    img_h: int,
+):
+    """Image space (top-left origin) → PDF space (bottom-left origin) —
+    `camelot/utils.py:228-283` (`scale_image`) with the scalers from
+    `camelot/parsers/lattice.py:244-251`."""
+    fx = pdf_w / float(img_w)
+    fy = pdf_h / float(img_h)
+
+    def px(v):  # x: scale only
+        return float(v) * fx
+
+    def py(v):  # y: flip about image height, then scale
+        return abs(float(v) - img_h) * fy
+
+    tables_new = {}
+    for (x1, y1, x2, y2), joints in tables.items():
+        k = (px(x1), py(y1), px(x2), py(y2))
+        tables_new[k] = [(px(jx), py(jy)) for jx, jy in joints]
+
+    v_new = np.asarray(
+        [(px(x1), py(y1), px(x2), py(y2)) for x1, y1, x2, y2 in v_segments],
+        dtype=np.float64,
+    ).reshape(-1, 4)
+    h_new = np.asarray(
+        [(px(x1), py(y1), px(x2), py(y2)) for x1, y1, x2, y2 in h_segments],
+        dtype=np.float64,
+    ).reshape(-1, 4)
+    return tables_new, v_new, h_new
+
+
+# ---------------------------------------------------------------------------
+# bitmap payload codec (fixture ↔ kernel) — stand-in for the ghostscript
+# render (`camelot/parsers/lattice.py:211-221`): `media_ref` resolves to
+# a pre-rasterized page bitmap shipped inline as packed bits.
+# ---------------------------------------------------------------------------
+
+def encode_bitmap(black_mask: np.ndarray) -> dict:
+    """(H, W) bool black-pixel mask → JSON-safe payload dict."""
+    import base64
+
+    m = np.asarray(black_mask, dtype=bool)
+    return {
+        "w": int(m.shape[1]),
+        "h": int(m.shape[0]),
+        "bits": base64.b64encode(np.packbits(m, axis=None).tobytes()).decode("ascii"),
+    }
+
+
+def decode_bitmap(payload: dict) -> np.ndarray:
+    """Payload dict → (H, W) uint8 grayscale (black=0, white=255)."""
+    import base64
+
+    w, h = int(payload["w"]), int(payload["h"])
+    bits = np.frombuffer(base64.b64decode(payload["bits"]), dtype=np.uint8)
+    mask = np.unpackbits(bits, count=w * h).reshape(h, w).astype(bool)
+    img = np.full((h, w), 255, dtype=np.uint8)
+    img[mask] = 0
+    return img

@@ -58,16 +58,76 @@ def _clip_segments_to_regions(
     return np.asarray(out, dtype=np.float64).reshape(-1, 4)
 
 
+def _raster_tables(page: Page, cfg: LatticeConfig):
+    """Raster path (L1-L4): media bitmaps → masks → centerline segments
+    → contour/joint tables, all mapped back to PDF space. Mirrors
+    `camelot/parsers/lattice.py:224-296` with the numpy kernels in
+    `kernels/raster.py` replacing cv2."""
+    from ..kernels import raster as rk
+
+    tables_pdf: dict = {}
+    v_parts, h_parts = [], []
+    for m in page.media:
+        if not m.bitmap:
+            continue
+        img = rk.decode_bitmap(m.bitmap)
+        img_h, img_w = img.shape
+        thr = rk.adaptive_threshold(
+            img,
+            process_background=cfg.process_background,
+            blocksize=cfg.threshold_blocksize,
+            c=cfg.threshold_constant,
+        )
+        regions_img = None
+        if cfg.table_regions is not None:
+            # PDF rects → image rects (scale_pdf, `utils.py:159-198`)
+            sx, sy = img_w / page.width, img_h / page.height
+            regions_img = [
+                (int(x0 * sx), int((page.height - y1) * sy),
+                 int((x1 - x0) * sx), int((y1 - y0) * sy))
+                for (x0, y0, x1, y1) in parse_area_strings(cfg.table_regions)
+            ]
+        vmask, vlines = rk.find_lines(
+            thr, regions_img, "vertical", cfg.line_scale, cfg.iterations
+        )
+        hmask, hlines = rk.find_lines(
+            thr, regions_img, "horizontal", cfg.line_scale, cfg.iterations
+        )
+        if cfg.table_areas is None:
+            contours = rk.find_contours(vmask, hmask)
+            tables_img = rk.find_joints(contours, vmask, hmask)
+        else:
+            # user areas are applied downstream in PDF space (joint
+            # filter), same outcome as the reference's scale_pdf areas
+            tables_img = {}
+        tpdf, vpdf, hpdf = rk.scale_image_to_pdf(
+            tables_img, vlines, hlines, page.width, page.height, img_w, img_h
+        )
+        tables_pdf.update(tpdf)
+        v_parts.append(vpdf)
+        h_parts.append(hpdf)
+    return tables_pdf, v_parts, h_parts
+
+
 def _generate_table_bbox(page: Page, cfg: LatticeConfig):
-    """`camelot/parsers/lattice.py:224-296` on the segment path."""
+    """`camelot/parsers/lattice.py:224-296`; segment or raster path per
+    media payload (both feed the same downstream grid build)."""
     v, h = _gather_segments(page)
     if cfg.table_regions is not None:
         regions = parse_area_strings(cfg.table_regions)
         v = _clip_segments_to_regions(v, regions, "v")
         h = _clip_segments_to_regions(h, regions, "h")
 
+    raster_tables, r_v, r_h = _raster_tables(page, cfg)
+    if r_v:
+        v = np.concatenate([v] + r_v)
+        h = np.concatenate([h] + r_h)
+
     if cfg.table_areas is None:
-        table_bbox = lnk.segment_tables(v, h, tol=cfg.joint_tol)
+        if raster_tables or any(m.bitmap for m in page.media):
+            table_bbox = raster_tables
+        else:
+            table_bbox = lnk.segment_tables(v, h, tol=cfg.joint_tol)
     else:
         joints, _, _ = lnk.segment_joints(v, h, tol=cfg.joint_tol)
         table_bbox = {}

@@ -27,6 +27,7 @@ class Media:
     segments_h: np.ndarray
     bbox: tuple | None = None
     offset: int = -1
+    bitmap: dict | None = None  # packed page raster (raster lattice path)
 
 
 @dataclass
@@ -73,6 +74,7 @@ def parse_page(spans: list[dict]) -> Page:
                     segments_h=np.asarray(p.get("segments_h", []), dtype=np.float64).reshape(-1, 4),
                     bbox=bbox,
                     offset=s["offset"],
+                    bitmap=p.get("bitmap"),
                 )
             )
 

@@ -178,6 +178,10 @@ def ensure_shipped(spark) -> None:
     import tempfile
 
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isdir(pkg_root):
+        # already imported from a --py-files zip: shipped by spark-submit
+        _SHIPPED_SESSIONS.add(key)
+        return
     base = os.path.join(tempfile.mkdtemp(prefix="camelot_spark_ship_"), "camelot_spark")
     zip_path = shutil.make_archive(base, "zip", root_dir=pkg_root, base_dir="camelot_spark")
     spark.sparkContext.addPyFile(zip_path)

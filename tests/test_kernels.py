@@ -277,3 +277,109 @@ def test_segments_in_bbox():
     h = np.array([[1, 5, 9, 5]], dtype=float)
     vs, hs = tlk.segments_in_bbox((0, 0, 10, 10), v, h)
     assert len(vs) == 1 and len(hs) == 1
+
+
+# ---------------------------------------------------------------------------
+# raster kernels (L1-L4, `camelot/image_processing.py` parity)
+# ---------------------------------------------------------------------------
+
+class TestRasterKernels:
+    def _page(self):
+        import numpy as np
+        img = np.full((200, 300), 255, dtype=np.uint8)
+        # 3px-thick grid: v lines at x=50,150,250 (y 40..160),
+        # h lines at y=50,100,150 (x 40..260)
+        for x in (50, 150, 250):
+            img[39:162, x - 1:x + 2] = 0
+        for y in (50, 100, 150):
+            img[y - 1:y + 2, 39:262] = 0
+        return img
+
+    def test_adaptive_threshold_foreground(self):
+        from camelot_spark.kernels import raster as rk
+        img = self._page()
+        thr = rk.adaptive_threshold(img)
+        assert thr[50, 150] and thr[100, 50]      # line pixels pass
+        assert not thr[10, 10] and not thr[190, 290]  # background drops
+
+    def test_adaptive_threshold_process_background(self):
+        from camelot_spark.kernels import raster as rk
+        import numpy as np
+        # light lines on dark page: only the background branch finds them
+        img = 255 - self._page()
+        thr = rk.adaptive_threshold(img, process_background=True)
+        assert thr[50, 150] and not thr[10, 10]
+
+    def test_open_keeps_full_extent_and_drops_short_runs(self):
+        from camelot_spark.kernels import raster as rk
+        import numpy as np
+        m = np.zeros((5, 100), dtype=bool)
+        m[1, 10:90] = True   # long run: kept at full extent
+        m[3, 10:20] = True   # short run: erased (kernel = 100//5 = 20)
+        out = rk._open_along_axis(m, 20, axis=1).astype(bool)
+        assert out[1, 10:90].all() and not out[1, 9] and not out[1, 90]
+        assert not out[3].any()
+
+    def test_find_lines_centerline_semantics(self):
+        from camelot_spark.kernels import raster as rk
+        img = self._page()
+        thr = rk.adaptive_threshold(img)
+        _, vlines = rk.find_lines(thr, direction="vertical", line_scale=15)
+        _, hlines = rk.find_lines(thr, direction="horizontal", line_scale=15)
+        assert sorted(x1 for x1, _, _, _ in vlines) == [50, 150, 250]
+        assert sorted(y1 for _, y1, _, _ in hlines) == [50, 100, 150]
+        # vertical lines carry (x, y2, x, y1) with y2 > y1 (image coords)
+        x1, y2, x2, y1 = vlines[0]
+        assert y2 > y1
+
+    def test_find_contours_and_joints(self):
+        from camelot_spark.kernels import raster as rk
+        img = self._page()
+        thr = rk.adaptive_threshold(img)
+        vmask, _ = rk.find_lines(thr, direction="vertical", line_scale=15)
+        hmask, _ = rk.find_lines(thr, direction="horizontal", line_scale=15)
+        contours = rk.find_contours(vmask, hmask)
+        assert len(contours) == 1
+        tables = rk.find_joints(contours, vmask, hmask)
+        assert len(tables) == 1
+        joints = next(iter(tables.values()))
+        assert sorted(joints) == sorted((x, y) for x in (50, 150, 250) for y in (50, 100, 150))
+
+    def test_joint_drop_rule(self):
+        """Contours with <= 4 joints are dropped (`image_processing.py:215`)."""
+        from camelot_spark.kernels import raster as rk
+        import numpy as np
+        img = np.full((200, 300), 255, dtype=np.uint8)
+        img[99:102, 39:262] = 0            # one h line
+        img[39:162, 149:152] = 0           # one v line → 1 joint
+        thr = rk.adaptive_threshold(img)
+        vmask, _ = rk.find_lines(thr, direction="vertical", line_scale=15)
+        hmask, _ = rk.find_lines(thr, direction="horizontal", line_scale=15)
+        assert rk.find_joints(rk.find_contours(vmask, hmask), vmask, hmask) == {}
+
+    def test_connected_components_8conn(self):
+        from camelot_spark.kernels import raster as rk
+        import numpy as np
+        m = np.zeros((4, 4), dtype=bool)
+        m[0, 0] = m[1, 1] = True   # diagonal touch → one component
+        m[3, 3] = True             # separate
+        rects = sorted(rk.connected_components(m))
+        assert len(rects) == 2
+        assert rects[0] == (0, 0, 2, 2)
+
+    def test_bitmap_codec_roundtrip(self):
+        from camelot_spark.kernels import raster as rk
+        import numpy as np
+        rng = np.random.default_rng(7)
+        mask = rng.random((37, 53)) < 0.2
+        img = rk.decode_bitmap(rk.encode_bitmap(mask))
+        assert ((img == 0) == mask).all()
+
+    def test_scale_image_to_pdf_roundtrip(self):
+        from camelot_spark.kernels import raster as rk
+        tables = {(10, 190, 290, 10): [(50, 100)]}
+        t2, v2, h2 = rk.scale_image_to_pdf(tables, [(50, 160, 50, 40)], [], 150.0, 100.0, 300, 200)
+        (k, joints), = t2.items()
+        assert k == (5.0, 5.0, 145.0, 95.0)      # y flipped about img_h
+        assert joints == [(25.0, 50.0)]
+        assert v2[0].tolist() == [25.0, 20.0, 25.0, 80.0]
