@@ -59,6 +59,25 @@ def _extract_corpus(flavor: str, families: list[str]):
     return q
 
 
+def _sink_query(kind: str):
+    from camelot_spark import sinks
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        src = _load(spark, sf_dir, "documents")
+        src = src.select("doc_id").repartition(spark.sparkContext.defaultParallelism * 4)
+        ext = synthesize_and_extract(src, "stream", families=fx.STREAM_FAMILIES, fail_fast=True)
+        if kind == "report":
+            return sinks.parsing_report(ext).select(
+                "doc_id", "table_order", "nrows", "ncols",
+                F.floor(F.col("accuracy")).cast("bigint").alias("acc_floor"),
+            )
+        return sinks.to_csv(ext).select(
+            "doc_id", "table_order", F.length("payload").alias("n_chars")
+        )
+
+    return q
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- relational skeletons of the extraction kernels (§2.9) ---
@@ -89,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
+        # --- sinks over the extracted corpus (rows-only) ---
+        "table_export_csv": _sink_query("csv"),
+        "parsing_report": _sink_query("report"),
     }
 
 
