@@ -105,6 +105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
         # --- multimodal plumbing ---
         "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),
+        "frame_sample_counts": lambda s, d: (
+            multimodal.frame_sample(_load(s, d, "documents"))
+            .groupBy("doc_id").count().withColumnRenamed("count", "n_frames")
+        ),
+        "media_resize": lambda s, d: (
+            multimodal.resize_media(_load(s, d, "documents"))
+            .select("doc_id", "width", "height", F.crc32("pixels").alias("pixels_crc"))
+        ),
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
@@ -132,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ANN_TOPK_SQL,
         "embedding_neardup": similarity.NEARDUP_SQL,
         "media_meta": multimodal.MEDIA_META_SQL,
+        "frame_sample_counts": multimodal.FRAME_COUNTS_SQL,
         # minhash_lsh_pairs / simhash_near_dups / ann_lsh_topk /
         # ivf_assign: xxhash64-dependent or plan-shape ops — rows-only.
         # extract_stream_corpus / extract_lattice_corpus: the extraction

@@ -1,0 +1,60 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference has no streaming surface (SURVEY.md §2.9); this is the
+Spark-native continuous-ingest shape for the same kernel: new document
+files landing in a directory (or an Iceberg/Kafka source in
+production) flow through the identical ``mapInPandas`` extraction and
+append to the output sink, with the streaming checkpoint providing
+exactly-once resumability — a stronger form of the batch path's
+anti-join resume (`pipeline.run_extraction`).
+
+The extraction kernel is stateless per document, so no watermarks or
+stateful operators are needed: one doc in → one extracted row out,
+regardless of arrival order.
+"""
+
+from __future__ import annotations
+
+from .pipeline import extract
+from .schema import DOCUMENTS_SCHEMA
+
+
+def read_document_stream(spark, input_path: str, max_files_per_trigger: int | None = None):
+    """File-source stream of documents rows (parquet dirs; an Iceberg
+    streaming read drops in behind the same schema)."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def start_extraction_stream(
+    spark,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    flavor: str = "lattice",
+    available_now: bool = True,
+    salt_partitions: int | None = None,
+    fail_fast: bool = False,
+    **kwargs,
+):
+    """documents files → extract → parquet append, checkpointed.
+
+    ``available_now=True`` drains the current backlog and stops (batch
+    catch-up semantics); ``False`` runs continuously per micro-batch.
+    Returns the StreamingQuery.
+    """
+    docs = read_document_stream(spark, input_path)
+    extracted = extract(
+        docs, flavor=flavor, salt_partitions=salt_partitions, fail_fast=fail_fast, **kwargs
+    )
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

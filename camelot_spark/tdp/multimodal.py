@@ -93,3 +93,104 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(((octet_length(encode(text)) * 7) % 480) + 1 AS INTEGER) AS fake_height
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample / feature-extract plumbing
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("pixels", BinaryType(), False),
+    ]
+)
+
+
+def resize_media(documents: DataFrame, width: int = 32, height: int = 24) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, Arrow-batched.
+
+    Decode is the deterministic fake (bytes as a 1×N grayscale strip);
+    the resize itself is real vectorized numpy (stride-index gather),
+    which is exactly what a PIL-backed version would feed it.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "pixels": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                src = np.frombuffer(payload, dtype=np.uint8)
+                if src.size == 0:
+                    src = np.zeros(1, dtype=np.uint8)
+                # fake decode: 1×N strip → resample to height×width by
+                # nearest-neighbor index gather (the real kernel body)
+                idx = (np.arange(width * height) * src.size) // (width * height)
+                img = src[idx].reshape(height, width)
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["pixels"].append(img.tobytes())
+            yield pd.DataFrame(out)
+
+    return attach_fake_payload(documents).mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(documents: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Video-style frame sampling: payload = concatenated fixed-size
+    frames; keep every Nth. One input row fans out to many output rows
+    (the real video plan shape — decode stays stubbed)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(payload[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(out) if out["doc_id"] else pd.DataFrame(
+                {k: pd.Series([], dtype=o) for k, o in
+                 (("doc_id", "object"), ("frame_idx", "int32"), ("frame", "object"))}
+            )
+
+    return attach_fake_payload(documents).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def media_features(documents: DataFrame, dim: int = 8) -> DataFrame:
+    """Byte-histogram feature vector (array<double>) per payload — the
+    embed step that feeds the similarity operators; pure JVM array
+    expressions, no Python."""
+    # histogram over byte buckets via aggregate on the binary→int array
+    b = F.transform(
+        F.split(F.encode(F.col("text"), "utf-8").cast("string"), ""),
+        lambda c: F.ascii(c) % dim,
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda k: F.size(F.filter(b, lambda x: x == k)).cast("double"),
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), counts.alias("features")
+    )
+
+
+FRAME_COUNTS_SQL = """
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(FLOOR(octet_length(encode(text)) / 64) AS BIGINT) AS n_total
+  FROM documents)
+SELECT doc_id, CAST(FLOOR((n_total + 3) / 4) AS BIGINT) AS n_frames
+FROM f WHERE n_total >= 1
+"""
