@@ -108,3 +108,70 @@ def test_edge_tol_extension():
     # with default tol the textedges never chain → whole-page fallback
     # still yields a table, but detection used the fallback path
     assert res_default["n_tables"] == 1
+
+
+def test_stream_columns_kwarg():
+    """User-supplied column separators (`stream.py:336-345`): same cells
+    as the inferred path when the separators match the layout."""
+    b = fx.doc_health()
+    auto = extract_document(b.spans, make_config("stream"))
+    user = extract_document(
+        b.spans, make_config("stream", table_areas=["60,640,460,490"], columns=["170,290,410"])
+    )
+    auto_cells = [s for s in auto["spans"] if s[0] == "cell"]
+    user_cells = [s for s in user["spans"] if s[0] == "cell"]
+    assert [c[1] for c in auto_cells] == [c[1] for c in user_cells]
+
+
+def test_lattice_shift_text_directions():
+    """L9: spanning-cell text shifts to the configured corner
+    (`lattice.py:133-176`). rowspan doc: text of the merged cell sits in
+    the top cell by default ('l','t'); with ('r','b') it moves down."""
+    b = fx.doc_rowspan()
+    default = extract_document(b.spans, make_config("lattice"))
+    shifted = extract_document(b.spans, make_config("lattice", shift_text=["r", "b"]))
+    d_cells = [s[1] for s in default["spans"] if s[0] == "cell"]
+    s_cells = [s[1] for s in shifted["spans"] if s[0] == "cell"]
+    assert sorted(d_cells) == sorted(s_cells)  # same content, moved
+    assert d_cells != s_cells
+
+
+def test_raster_table_regions():
+    """Region mask on the raster path (`image_processing.py:105-110`):
+    a region covering the grid keeps the table; one missing it finds
+    nothing."""
+    b = fx.doc_rasterfoo()
+    hit = extract_document(
+        b.spans, make_config("lattice", table_regions=["100,640,480,440"])
+    )
+    assert hit["n_tables"] == 1
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        miss = extract_document(
+            b.spans, make_config("lattice", table_regions=["10,780,100,700"])
+        )
+    assert miss["n_tables"] == 0
+
+
+def test_raster_iterations_dilation_stable():
+    """`iterations` dilates detected line masks (`image_processing.py:112-114`);
+    centerlines are unchanged so the golden still holds."""
+    b = fx.doc_rasterfoo()
+    res = extract_document(b.spans, make_config("lattice", iterations=2))
+    assert res["spans"] == b.golden()
+
+
+def test_no_per_row_python_in_package():
+    """SURVEY §7.3 lint: the Spark surface must stay Arrow-batched —
+    no row-at-a-time `F.udf`/`@udf`, no RDD hops."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "camelot_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        for bad in ("F.udf(", "@udf", ".rdd.map", ".rdd.flatMap", "rdd.mapPartitions"):
+            if bad in src:
+                offenders.append((str(p), bad))
+    assert not offenders, offenders
