@@ -159,6 +159,57 @@ def get_table_index(
     return [(r_idx, c_idx, text_strip(tline["t"], strip_text))], error
 
 
+def assign_indices_batch(grid: Grid, frame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized `get_table_index` over a whole TL frame (the hot path
+    when neither split_text nor flag_size rewrites the text).
+
+    Same math as the scalar version — row = first interval containing
+    the y-midpoint, col = argmax x-overlap ratio, error = normalized
+    overhang vs the chosen (or wrapped last) cell — as one broadcasted
+    (N × rows/cols) pass instead of N Python calls.
+    Returns (row_idx, col_idx, error) with -1 for unassigned lines.
+    """
+    n = len(frame)
+    if n == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+    x0, x1, y0, y1 = frame.x0, frame.x1, frame.y0, frame.y1
+    y_mid = (y0 + y1) / 2.0
+
+    row_hit = (y_mid[:, None] < grid.row_t[None, :]) & (y_mid[:, None] > grid.row_b[None, :])
+    has_row = row_hit.any(axis=1)
+    r = np.where(has_row, row_hit.argmax(axis=1), -1)
+
+    col_l, col_r = grid.col_l, grid.col_r
+    overlap = (col_l[None, :] <= x1[:, None]) & (col_r[None, :] >= x0[:, None])
+    left = np.maximum(col_l[None, :], x0[:, None])
+    right = np.minimum(col_r[None, :], x1[:, None])
+    ratio = np.where(overlap, np.abs(left - right) / np.abs(col_l - col_r)[None, :], -1.0)
+    c = np.where(has_row, ratio.argmax(axis=1), -1)
+
+    for i in np.flatnonzero(has_row & ~overlap.any(axis=1)):
+        warnings.warn(
+            "{} {} does not lie in column range {}".format(
+                frame.text[i].strip("\n"),
+                (x0[i], x1[i]),
+                (grid.cols[0][0], grid.cols[-1][1]),
+            )
+        )
+
+    # error vs chosen cell; index -1 wraps to the last row/col
+    rr_t, rr_b = grid.row_t[r], grid.row_b[r]
+    cc_l, cc_r = col_l[c], col_r[c]
+    y0_off = np.where(y0 > rr_t, np.abs(y0 - rr_t), 0.0)
+    y1_off = np.where(y1 < rr_b, np.abs(y1 - rr_b), 0.0)
+    x0_off = np.where(x0 < cc_l, np.abs(x0 - cc_l), 0.0)
+    x1_off = np.where(x1 > cc_r, np.abs(x1 - cc_r), 0.0)
+    X = np.abs(x0 - x1)
+    X[X == 0.0] = 1.0
+    Y = np.abs(y0 - y1)
+    Y[Y == 0.0] = 1.0
+    error = ((X * (y0_off + y1_off)) + (Y * (x0_off + x1_off))) / (X * Y)
+    return r.astype(np.int64), c.astype(np.int64), error
+
+
 def reduce_index(
     grid: Grid, indices: list[tuple[int, int, str]], shift_text: list[str]
 ) -> list[tuple[int, int, str]]:

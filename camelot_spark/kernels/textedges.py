@@ -9,9 +9,11 @@ list scan beats numpy dispatch overhead at this size by ~30×).
 
 from __future__ import annotations
 
+from bisect import insort
+
 import numpy as np
 
-from .textlines import TL, isclose
+from .textlines import TL  # noqa: F401  (TL used in type hints)
 
 # `camelot/core.py:16`: a textedge is valid after >4 intersections.
 TEXTEDGE_REQUIRED_ELEMENTS = 4
@@ -22,15 +24,22 @@ ALIGNS = ("left", "right", "middle")
 
 
 class EdgeState:
-    """Flat parallel-list registry of text edges for one alignment."""
+    """Flat parallel-list registry of text edges for one alignment.
 
-    __slots__ = ("x", "y0", "y1", "intersections")
+    ``buckets`` indexes edges by int(x) so the find-within-0.5pt scan
+    touches ~3 tiny buckets instead of the whole registry; insertion
+    order (= reference registry order) is preserved inside each bucket
+    and the overall first match is the minimum index across buckets.
+    """
+
+    __slots__ = ("x", "y0", "y1", "intersections", "buckets")
 
     def __init__(self) -> None:
         self.x: list[float] = []
         self.y0: list[float] = []
         self.y1: list[float] = []
         self.intersections: list[int] = []
+        self.buckets: dict[int, list[int]] = {}
 
     def valid_mask(self) -> list[bool]:
         return [n > TEXTEDGE_REQUIRED_ELEMENTS for n in self.intersections]
@@ -47,32 +56,65 @@ def generate_textedges(tl: TL, edge_tol: float = 50) -> dict[str, EdgeState]:
     far edge is left untouched (reference quirk — no new edge created).
     """
     states = {a: EdgeState() for a in ALIGNS}
-    x0s, x1s, y0s, y1s = tl.x0, tl.x1, tl.y0, tl.y1
+    # eligible lines once (core.py:134), coordinates as Python floats —
+    # scalar ops in the fold are ~5x faster on float than numpy scalars
     texts = tl.text
-    st_l, st_r, st_m = states["left"], states["right"], states["middle"]
-    for i in range(len(tl)):
-        t = texts[i]
-        if not (t and len(t.strip()) > 1):  # core.py:134
-            continue
-        xl = x0s[i]
-        xr = x1s[i]
-        for st, x_coord in ((st_l, xl), (st_r, xr), (st_m, xl + (xr - xl) / 2.0)):
-            xs = st.x
+    keep = [i for i in range(len(tl)) if texts[i] and len(texts[i].strip()) > 1]
+    x0l = tl.x0.tolist()
+    x1l = tl.x1.tolist()
+    y0l = tl.y0.tolist()
+    y1l = tl.y1.tolist()
+    coords = {
+        "left": x0l,
+        "right": x1l,
+        "middle": [x0l[i] + (x1l[i] - x0l[i]) / 2.0 for i in range(len(tl))],
+    }
+    for align in ALIGNS:
+        st = states[align]
+        xarr = coords[align]
+        xs = st.x
+        sy0 = st.y0
+        sy1 = st.y1
+        sint = st.intersections
+        buckets = st.buckets
+        get = buckets.get
+        for i in keep:
+            x_coord = xarr[i]
+            tol = 0.5 + 1.0e-5 * abs(x_coord)  # isclose(edge.x, x, atol=0.5)
+            k = int(x_coord)
             hit = -1
-            for j in range(len(xs)):
-                if isclose(xs[j], x_coord, atol=0.5):
-                    hit = j
-                    break
+            for kk in (k - 1, k, k + 1):
+                lst = get(kk)
+                if lst:
+                    for j in lst:  # ascending → first match = bucket min
+                        if abs(xs[j] - x_coord) <= tol:
+                            if hit < 0 or j < hit:
+                                hit = j
+                            break
             if hit < 0:
-                xs.append(float(x_coord))
-                st.y0.append(float(y0s[i]))
-                st.y1.append(float(y1s[i]))
-                st.intersections.append(0)
-            elif isclose(st.y0[hit], y0s[i], atol=edge_tol):
-                n = st.intersections[hit]
-                xs[hit] = (n * xs[hit] + x_coord) / float(n + 1)
-                st.y0[hit] = float(y0s[i])
-                st.intersections[hit] = n + 1
+                j = len(xs)
+                xs.append(x_coord)
+                sy0.append(y0l[i])
+                sy1.append(y1l[i])
+                sint.append(0)
+                lst = get(k)
+                if lst is None:
+                    buckets[k] = [j]
+                else:
+                    lst.append(j)
+            else:
+                y0i = y0l[i]
+                if abs(sy0[hit] - y0i) <= edge_tol + 1.0e-5 * abs(y0i):  # isclose
+                    n = sint[hit]
+                    old_x = xs[hit]
+                    new_x = (n * old_x + x_coord) / (n + 1.0)
+                    xs[hit] = new_x
+                    sy0[hit] = y0i
+                    sint[hit] = n + 1
+                    ok, nk = int(old_x), int(new_x)
+                    if ok != nk:  # running mean drifted across a bucket edge
+                        buckets[ok].remove(hit)
+                        insort(buckets.setdefault(nk, []), hit)
     return states
 
 

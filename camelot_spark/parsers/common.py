@@ -43,9 +43,25 @@ def assign_text(
     guard is always true (list vs tuple), so assignment is
     unconditional here too.
     """
+    from ..kernels.textproc import text_strip
+
     pos_errors: list[float] = []
+    fast = not split_text and not flag_size
     for direction in ("vertical", "horizontal"):
         frame = t_bbox[direction]
+        if fast:
+            # batched T1: one broadcast pass instead of a Python call per
+            # line; identical math to get_table_index (kernels/assign.py)
+            r_idx, c_idx, errors = asg.assign_indices_batch(grid, frame)
+            pos_errors.extend(errors.tolist())
+            for i in range(len(frame)):
+                indices = [(int(r_idx[i]), int(c_idx[i]),
+                            text_strip(frame.text[i], strip_text))]
+                if shift_text is not None:
+                    indices = asg.reduce_index(grid, indices, shift_text=shift_text)
+                for r, c, text in indices:
+                    grid.append_text(r, c, text)
+            continue
         for i in range(len(frame)):
             tline = frame.line_dict(i)
             indices, error = asg.get_table_index(

@@ -51,21 +51,22 @@ def parse_page(spans: list[dict]) -> Page:
     """
     width = height = 0.0
     h_rec, v_rec, media = [], [], []
-    for s in spans:
+    # one C-level parse for the whole doc instead of one loads() per
+    # span — the per-call setup dominates at ~40 small payloads/doc
+    payloads = json.loads(
+        "[" + ",".join((s["text"] or "{}") for s in spans) + "]"
+    )
+    for s, p in zip(spans, payloads):
         kind = s["kind"]
         if kind == "meta":
-            p = json.loads(s["text"])
             width, height = float(p["width"]), float(p["height"])
         elif kind in ("text_h", "prose"):
-            p = json.loads(s["text"])
             p["offset"] = s["offset"]
             h_rec.append(p)
         elif kind == "text_v":
-            p = json.loads(s["text"])
             p["offset"] = s["offset"]
             v_rec.append(p)
         elif kind == "media":
-            p = json.loads(s["text"]) if s["text"] else {}
             bbox = tuple(p["bbox"]) if "bbox" in p else None
             media.append(
                 Media(
