@@ -2,7 +2,7 @@
 
 Design (SURVEY.md §3.4, revised): the input is already one row per
 document, so no ``groupBy`` is needed at all — the per-doc kernel runs
-under ``mapInPandas`` directly over the scan partitions, avoiding the
+under ``mapInArrow`` directly over the scan partitions, avoiding the
 group-exchange shuffle the reference-shaped ``applyInPandas`` plan
 would pay. The only optional shuffle is an explicit salted
 ``repartition`` to spread pathological multi-table documents
@@ -29,74 +29,6 @@ import pandas as pd
 from .config import LatticeConfig, StreamConfig, make_config
 from .extract_doc import extract_document
 from .schema import EXTRACTED_SCHEMA, KERNEL_VERSION
-
-
-def _extract_batch_iter(
-    batches: Iterator[pd.DataFrame], cfg: StreamConfig | LatticeConfig, fail_fast: bool
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: each Arrow batch holds many independent docs."""
-
-    def docs(pdf):
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            yield doc_id, list(spans)
-
-    yield from _extract_doc_iter(batches, docs, cfg, fail_fast)
-
-
-def _extract_doc_iter(
-    batches: Iterator[pd.DataFrame],
-    docs_of,
-    cfg: StreamConfig | LatticeConfig,
-    fail_fast: bool,
-) -> Iterator[pd.DataFrame]:
-    """Shared kernel body: ``docs_of(pdf)`` yields (doc_id, span-list)."""
-    import warnings
-
-    from pyspark import TaskContext
-
-    ctx = TaskContext.get()
-    partition_id = ctx.partitionId() if ctx else -1
-    attempt = ctx.attemptNumber() if ctx else 0
-    flavor = "stream" if isinstance(cfg, StreamConfig) else "lattice"
-
-    for pdf in batches:
-        out: dict[str, list[Any]] = {k: [] for k in
-                                     ("doc_id", "spans", "n_tables", "accuracy",
-                                      "whitespace", "tables", "lineage")}
-        for doc_id, spans in docs_of(pdf):
-            t0 = time.monotonic_ns()
-            err = None
-            try:
-                with warnings.catch_warnings():
-                    warnings.simplefilter("ignore")
-                    res = extract_document(spans, cfg)
-            except Exception:
-                if fail_fast:
-                    raise
-                err = traceback.format_exc(limit=3)
-                res = {"spans": [], "tables": [], "n_tables": 0,
-                       "accuracy": None, "whitespace": None}
-            elapsed = (time.monotonic_ns() - t0) // 1000
-            out["doc_id"].append(doc_id)
-            out["spans"].append(
-                [{"kind": k, "text": t, "media_ref": m, "order": o}
-                 for k, t, m, o in res["spans"]]
-            )
-            out["n_tables"].append(res["n_tables"])
-            out["accuracy"].append(res["accuracy"])
-            out["whitespace"].append(res["whitespace"])
-            out["tables"].append(
-                [{"order": t.order, "accuracy": t.accuracy, "whitespace": t.whitespace,
-                  "nrows": t.nrows, "ncols": t.ncols,
-                  "x0": t.bbox[0], "y0": t.bbox[1], "x1": t.bbox[2], "y1": t.bbox[3]}
-                 for t in res["tables"]]
-            )
-            out["lineage"].append(
-                {"partition_id": partition_id, "kernel_version": KERNEL_VERSION,
-                 "flavor": flavor, "attempt": attempt,
-                 "n_input_spans": len(spans), "elapsed_us": elapsed, "error": err}
-            )
-        yield pd.DataFrame(out)
 
 
 def synthesize_documents(source_df, key_col: str = "doc_id", families: list[str] | None = None):
@@ -126,6 +58,151 @@ def synthesize_documents(source_df, key_col: str = "doc_id", families: list[str]
     return source_df.select(key_col).mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
 
 
+def _results_to_arrow(results: list[tuple], flavor: str, partition_id: int, attempt: int):
+    """Build the output RecordBatch columnar-ly: flat value arrays +
+    offsets → ListArray(StructArray), skipping the pandas object path
+    (which re-boxes every span dict — measured ~2x per-doc overhead)."""
+    import pyarrow as pa
+
+    doc_ids, n_tables, accs, wss = [], [], [], []
+    sp_kind, sp_text, sp_media, sp_order = [], [], [], []
+    sp_offsets = [0]
+    tb_order, tb_acc, tb_ws, tb_nr, tb_nc = [], [], [], [], []
+    tb_x0, tb_y0, tb_x1, tb_y1 = [], [], [], []
+    tb_offsets = [0]
+    ln_elapsed, ln_nspans, ln_err = [], [], []
+
+    for doc_id, res, n_in, elapsed, err in results:
+        doc_ids.append(doc_id)
+        n_tables.append(res["n_tables"])
+        accs.append(res["accuracy"])
+        wss.append(res["whitespace"])
+        for k, t, m, o in res["spans"]:
+            sp_kind.append(k)
+            sp_text.append(t)
+            sp_media.append(m)
+            sp_order.append(o)
+        sp_offsets.append(len(sp_kind))
+        for t in res["tables"]:
+            tb_order.append(t.order)
+            tb_acc.append(t.accuracy)
+            tb_ws.append(t.whitespace)
+            tb_nr.append(t.nrows)
+            tb_nc.append(t.ncols)
+            tb_x0.append(t.bbox[0])
+            tb_y0.append(t.bbox[1])
+            tb_x1.append(t.bbox[2])
+            tb_y1.append(t.bbox[3])
+        tb_offsets.append(len(tb_order))
+        ln_elapsed.append(elapsed)
+        ln_nspans.append(n_in)
+        ln_err.append(err)
+
+    n = len(doc_ids)
+    spans = pa.ListArray.from_arrays(
+        pa.array(sp_offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(sp_kind, pa.string()),
+                pa.array(sp_text, pa.string()),
+                pa.array(sp_media, pa.string()),
+                pa.array(sp_order, pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "order"],
+        ),
+    )
+    tables = pa.ListArray.from_arrays(
+        pa.array(tb_offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(tb_order, pa.int32()),
+                pa.array(tb_acc, pa.float64()),
+                pa.array(tb_ws, pa.float64()),
+                pa.array(tb_nr, pa.int32()),
+                pa.array(tb_nc, pa.int32()),
+                pa.array(tb_x0, pa.float64()),
+                pa.array(tb_y0, pa.float64()),
+                pa.array(tb_x1, pa.float64()),
+                pa.array(tb_y1, pa.float64()),
+            ],
+            names=["order", "accuracy", "whitespace", "nrows", "ncols",
+                   "x0", "y0", "x1", "y1"],
+        ),
+    )
+    lineage = pa.StructArray.from_arrays(
+        [
+            pa.array([partition_id] * n, pa.int32()),
+            pa.array([KERNEL_VERSION] * n, pa.string()),
+            pa.array([flavor] * n, pa.string()),
+            pa.array([attempt] * n, pa.int32()),
+            pa.array(ln_nspans, pa.int32()),
+            pa.array(ln_elapsed, pa.int64()),
+            pa.array(ln_err, pa.string()),
+        ],
+        names=["partition_id", "kernel_version", "flavor", "attempt",
+               "n_input_spans", "elapsed_us", "error"],
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids, pa.string()),
+            spans,
+            pa.array(n_tables, pa.int32()),
+            pa.array(accs, pa.float64()),
+            pa.array(wss, pa.float64()),
+            tables,
+            lineage,
+        ],
+        names=["doc_id", "spans", "n_tables", "accuracy", "whitespace",
+               "tables", "lineage"],
+    )
+
+
+def _run_docs(docs_iter, cfg, fail_fast) -> list[tuple]:
+    """Execute the kernel over (doc_id, span-list) pairs, capturing
+    per-doc errors unless fail_fast (poison docs must not kill the job)."""
+    import warnings
+
+    out = []
+    for doc_id, spans in docs_iter:
+        t0 = time.monotonic_ns()
+        err = None
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                res = extract_document(spans, cfg)
+        except Exception:
+            if fail_fast:
+                raise
+            err = traceback.format_exc(limit=3)
+            res = {"spans": [], "tables": [], "n_tables": 0,
+                   "accuracy": None, "whitespace": None}
+        elapsed = (time.monotonic_ns() - t0) // 1000
+        out.append((doc_id, res, len(spans), elapsed, err))
+    return out
+
+
+def _extract_arrow_iter(batches, cfg, fail_fast, docs_of=None):
+    """mapInArrow kernel: RecordBatch in → RecordBatch out, columnar on
+    both sides. ``docs_of(batch)`` yields (doc_id, span-list); default
+    reads (doc_id, spans) columns."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    partition_id = ctx.partitionId() if ctx else -1
+    attempt = ctx.attemptNumber() if ctx else 0
+    flavor = "stream" if isinstance(cfg, StreamConfig) else "lattice"
+
+    def default_docs(batch):
+        ids = batch.column("doc_id").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        return zip(ids, spans)
+
+    docs_of = docs_of or default_docs
+    for batch in batches:
+        results = _run_docs(docs_of(batch), cfg, fail_fast)
+        yield _results_to_arrow(results, flavor, partition_id, attempt)
+
+
 def synthesize_and_extract(
     keys_df,
     flavor: str,
@@ -147,17 +224,17 @@ def synthesize_and_extract(
     ensure_shipped(keys_df.sparkSession)
     cfg = make_config(flavor, **kwargs)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         from camelot_spark import fixtures as fx
 
-        def docs(pdf):
-            for k in pdf[key_col].astype(str):
-                b = fx.builder_for(k, families=families)
+        def docs(batch):
+            for k in batch.column(0).to_pylist():
+                b = fx.builder_for(str(k), families=families)
                 yield b.doc_id, b.spans
 
-        yield from _extract_doc_iter(batches, docs, cfg, fail_fast)
+        yield from _extract_arrow_iter(batches, cfg, fail_fast, docs_of=docs)
 
-    return keys_df.select(key_col).mapInPandas(gen, schema=EXTRACTED_SCHEMA)
+    return keys_df.select(key_col).mapInArrow(gen, schema=EXTRACTED_SCHEMA)
 
 
 _SHIPPED_SESSIONS: set[int] = set()
@@ -212,8 +289,8 @@ def extract(
         df = df.repartition(
             salt_partitions, F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(salt_partitions))
         )
-    return df.mapInPandas(
-        lambda it: _extract_batch_iter(it, cfg, fail_fast), schema=EXTRACTED_SCHEMA
+    return df.mapInArrow(
+        lambda it: _extract_arrow_iter(it, cfg, fail_fast), schema=EXTRACTED_SCHEMA
     )
 
 
