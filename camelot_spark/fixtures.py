@@ -157,12 +157,24 @@ def _rasterize_segments(segments: list[tuple], width: float, height: float,
     return encode_bitmap(mask)
 
 
+def make_vline(text: str, x0: float, y0: float, y1: float, w: float = 10.0) -> dict:
+    """Vertical textline payload (text_v kind): chars stacked top→down."""
+    chars = []
+    ch_h = (y1 - y0) / max(len(text), 1)
+    for i, c in enumerate(text):
+        cy1 = y1 - i * ch_h
+        chars.append({"c": c, "x0": x0, "y0": cy1 - ch_h, "x1": x0 + w, "y1": cy1})
+    chars.append({"c": "\n"})
+    return {"t": text + "\n", "x0": x0, "y0": y0, "x1": x0 + w, "y1": y1, "chars": chars}
+
+
 def add_lattice_table(b: DocBuilder, cells: list[list[str]], xs: list[float],
                       ys: list[float], media_ref: str,
                       drop_v: list[tuple] | None = None,
                       drop_h: list[tuple] | None = None,
                       emit_media_golden: bool = True,
-                      raster_scale: int | None = None) -> dict:
+                      raster_scale: int | None = None,
+                      raster_levels: tuple[int, int] | None = None) -> dict:
     """Fully/partially ruled lattice table.
 
     ``xs``: column boundary x coords (asc, len C+1); ``ys``: row boundary
@@ -202,12 +214,10 @@ def add_lattice_table(b: DocBuilder, cells: list[list[str]], xs: list[float],
 
     bbox = (xs[0], ys[-1], xs[-1], ys[0])
     if raster_scale:
-        payload = {
-            "bitmap": _rasterize_segments(
-                segs_v + segs_h, b.width, b.height, raster_scale
-            ),
-            "bbox": bbox,
-        }
+        bitmap = _rasterize_segments(segs_v + segs_h, b.width, b.height, raster_scale)
+        if raster_levels:
+            bitmap["fg"], bitmap["bg"] = raster_levels
+        payload = {"bitmap": bitmap, "bbox": bbox}
     else:
         payload = {"segments_v": segs_v, "segments_h": segs_h, "bbox": bbox}
     off = b.add_span("media", payload, media_ref=media_ref)
@@ -466,10 +476,51 @@ def doc_rasterfoo(doc_id: str = "rasterfoo-0", dx: float = 0.0, dy: float = 0.0)
     return b
 
 
+def doc_vheaders(doc_id: str = "vheaders-0", dx: float = 0.0, dy: float = 0.0):
+    """Lattice grid whose header row holds rotated (vertical) text —
+    models `tests/files/tabula/vertical_header.pdf`; exercises the
+    vertical-direction assignment pass (`stream.py:396` direction loop,
+    `utils.py:617-628` vertical branch)."""
+    b = DocBuilder(doc_id)
+    b.flavor = "lattice"
+    xs = [140.0 + dx + 60.0 * j for j in range(5)]
+    # tall header row, regular body rows
+    ys = [640.0 + dy, 580.0 + dy] + [580.0 + dy - 22.0 * i for i in range(1, 4)]
+    cells = [["", "", "", ""]] + _grid_texts(3, 4, "b")
+    t = add_lattice_table(b, cells, xs, ys, media_ref=f"mem://{doc_id}/page-1")
+    golden = [row[:] for row in cells]
+    for j in range(4):
+        text = f"rot{j}"
+        b.add_span("text_v", make_vline(text, xs[j] + 20.0, ys[1] + 6.0, ys[0] - 6.0))
+        golden[0][j] = text
+    b.add_table_golden(t["bbox"][1], t["bbox"][0], 1, golden)
+    b.add_prose("Quarterly rotated-header table", xs[0], ys[0] + 30.0)
+    return b
+
+
+def doc_rasterbg(doc_id: str = "rasterbg-0", dx: float = 0.0, dy: float = 0.0):
+    """Bright table rulings on a mid-gray page — only detectable with
+    process_background=True (models `tests/files/background_lines_1.pdf`,
+    `image_processing.py:28-35` no-invert branch)."""
+    b = DocBuilder(doc_id)
+    b.flavor = "lattice"
+    xs = [120.0 + 48.0 * j for j in range(6)]
+    ys = [620.0 - 22.0 * i for i in range(6)]
+    cells = _grid_texts(5, 5, "g")
+    t = add_lattice_table(b, cells, xs, ys, media_ref=f"mem://{doc_id}/raster-bg",
+                          raster_scale=2, raster_levels=(255, 128))
+    b.add_table_golden(t["bbox"][1] - 1.0, t["bbox"][0] - 0.5, 1, cells)
+    b.add_prose("Background-ruled grid", xs[0], ys[0] + 30.0)
+    b.extract_kwargs = {"process_background": True}
+    return b
+
+
 FAMILIES = {
     "health": doc_health,
     "foo": doc_foo,
     "rasterfoo": doc_rasterfoo,
+    "vheaders": doc_vheaders,
+    "rasterbg": doc_rasterbg,
     "twotables": doc_twotables,
     "rowspan": doc_rowspan,
     "copytext": doc_copytext,

@@ -298,12 +298,16 @@ def encode_bitmap(black_mask: np.ndarray) -> dict:
 
 
 def decode_bitmap(payload: dict) -> np.ndarray:
-    """Payload dict → (H, W) uint8 grayscale (black=0, white=255)."""
+    """Payload dict → (H, W) uint8 grayscale. Default black lines on a
+    white page; ``fg``/``bg`` override the two levels (e.g. bright
+    background rulings for the process_background path)."""
     import base64
 
     w, h = int(payload["w"]), int(payload["h"])
+    fg = int(payload.get("fg", 0))
+    bg = int(payload.get("bg", 255))
     bits = np.frombuffer(base64.b64decode(payload["bits"]), dtype=np.uint8)
     mask = np.unpackbits(bits, count=w * h).reshape(h, w).astype(bool)
-    img = np.full((h, w), 255, dtype=np.uint8)
-    img[mask] = 0
+    img = np.full((h, w), bg, dtype=np.uint8)
+    img[mask] = fg
     return img
