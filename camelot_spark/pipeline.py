@@ -314,10 +314,17 @@ def run_extraction(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    # output is a catalog table (Iceberg when the catalog is configured;
+    # the session catalog otherwise) when it has no path separator
+    is_table = "/" not in output_path
+
     docs = documents
     if resume:
         try:
-            done = spark.read.parquet(output_path).select("doc_id")
+            done = (
+                spark.read.table(output_path) if is_table
+                else spark.read.parquet(output_path)
+            ).select("doc_id")
             # plain left_anti: AQE picks broadcast when `done` is small;
             # at 10^12 docs a forced broadcast would be wrong.
             docs = documents.join(done, "doc_id", "left_anti")
@@ -334,5 +341,24 @@ def run_extraction(
         F.avg("accuracy").alias("avg_accuracy"),
         F.sum(F.when(F.col("lineage.error").isNotNull(), 1).otherwise(0)).alias("errors"),
     )
-    observed.write.mode("append").parquet(output_path)
+    if is_table:
+        # DataSource V2: each append commits one snapshot (the Iceberg
+        # checkpoint unit of the north_rule). The plain session catalog
+        # registers v1 tables, which DSv2 refuses at analysis time —
+        # fall back to the v1 writer there (local tests; a real
+        # deployment configures an Iceberg catalog).
+        from pyspark.errors import AnalysisException
+
+        if spark.catalog.tableExists(output_path):
+            try:
+                observed.writeTo(output_path).append()
+            except AnalysisException:
+                observed.write.mode("append").saveAsTable(output_path)
+        else:
+            try:
+                observed.writeTo(output_path).create()
+            except AnalysisException:
+                observed.write.saveAsTable(output_path)
+    else:
+        observed.write.mode("append").parquet(output_path)
     return obs.get

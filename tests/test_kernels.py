@@ -383,3 +383,40 @@ class TestRasterKernels:
         assert k == (5.0, 5.0, 145.0, 95.0)      # y flipped about img_h
         assert joints == [(25.0, 50.0)]
         assert v2[0].tolist() == [25.0, 20.0, 25.0, 80.0]
+
+
+# ---------------------------------------------------------------------------
+# debug geometry (plotting data path, `camelot/plotting.py` parity)
+# ---------------------------------------------------------------------------
+
+class TestDebugGeometry:
+    def test_stream_geometry(self):
+        from camelot_spark import fixtures as fx
+        from camelot_spark.plotting import debug_geometry
+        b = fx.doc_health()
+        g = debug_geometry(b.spans, flavor="stream")
+        assert g["width"] == 612.0 and len(g["text"]) == 34
+        valid = [te for te in g["textedges"] if te["is_valid"]]
+        assert len(valid) >= 4  # one valid left-edge per table column
+        assert len(g["table_areas"]) == 1
+
+    def test_lattice_geometry(self):
+        from camelot_spark import fixtures as fx
+        from camelot_spark.plotting import debug_geometry
+        b = fx.doc_foo()
+        g = debug_geometry(b.spans, flavor="lattice")
+        assert len(g["tables"]) == 1
+        t = g["tables"][0]
+        assert len(t["joints"]) == 64  # 8x8 grid crossings
+        assert len(g["segments"]["vertical"]) == 8
+
+    def test_plot_raises_without_matplotlib(self):
+        from camelot_spark import fixtures as fx
+        from camelot_spark.plotting import debug_geometry, plot_geometry
+        import pytest as _pytest
+        g = debug_geometry(fx.doc_health().spans, flavor="stream")
+        try:
+            import matplotlib  # noqa: F401
+        except ImportError:
+            with _pytest.raises(ImportError):
+                plot_geometry(g, kind="text")

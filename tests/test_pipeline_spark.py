@@ -116,3 +116,20 @@ def test_fused_synthesize_and_extract_matches_two_stage(spark):
         }
 
     assert norm(one) == norm(two)
+
+
+def test_checkpoint_resume_catalog_table(spark):
+    """Table-identifier output: writeTo create/append (one snapshot per
+    run — the Iceberg commit shape) + resume via read.table."""
+    import shutil
+    tbl = "default.extracted_cp_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/extracted_cp_test", ignore_errors=True)
+    b1, b2 = fx.doc_health("tcp-1"), fx.doc_health("tcp-2")
+    run_extraction(spark, docs_df(spark, [b1]), tbl, flavor="stream")
+    assert spark.read.table(tbl).count() == 1
+    metrics = run_extraction(spark, docs_df(spark, [b1, b2]), tbl, flavor="stream")
+    assert metrics["docs"] == 1
+    assert spark.read.table(tbl).count() == 2
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
