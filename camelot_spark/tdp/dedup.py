@@ -112,25 +112,47 @@ def minhash_lsh_pairs(
 
 def simhash64(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of Σ ±1 across
-    token hashes; vectorized via bit arithmetic on xxhash64 tokens."""
+    token hashes.
+
+    Scale shape: a per-row array fold (token hashes → 64-wide counter
+    accumulator via aggregate/zip_with) — no explode, no groupBy, ZERO
+    shuffle. The previous explode + 64-column aggregation form shuffles
+    one row per token at 100 TB; this stays in whole-stage codegen on
+    the scan."""
     from . import spread
 
-    toks = spread(documents).select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = toks.select("doc_id", F.xxhash64("w").alias("h"))
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = h.groupBy("doc_id").agg(*bit_cols)
-    sim = None
-    for b in range(64):
-        # bit 63 is the sign bit of the signed 64-bit result
-        weight = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
-        term = F.when(F.col(f"b{b}") > 0, weight).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+    hashes = F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+
+    def bits_of(h):  # ±1 per bit of one 64-bit hash (unrolled: the
+        # shift amount must be a Python int, not a lambda variable)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != F.lit(0), F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(64)
+            ]
+        )
+
+    counters = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y),
+    )
+    # majority bit b set → add its place value (bit 63 = sign bit)
+    weights = [(-(1 << 63) if b == 63 else 1 << b) for b in range(64)]
+    sim = F.aggregate(
+        F.zip_with(
+            counters,
+            F.array(*[F.lit(w).cast("long") for w in weights]),
+            lambda cnt, w: F.when(cnt > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return spread(documents).select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
