@@ -167,6 +167,10 @@ def run_scaling() -> None:
     """
     levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")]
     ncores = os.cpu_count() or max(levels)
+    # enough work that fixed per-job overhead (~4s: session, scan task,
+    # scheduler) is noise at the large level too — a 10^12-doc job
+    # amortizes it to zero, a 40 s sandbox run must as well
+    repl = os.environ.get("SPARK_GRAFT_SCALING_REPL", "32")
     results = []
     for cpus in levels:
         # Emulate an N-executor cluster node faithfully on one box:
@@ -185,7 +189,8 @@ def run_scaling() -> None:
         try:
             cmd = ["taskset", "-c", f"0-{cpus - 1}",
                    sys.executable, os.path.abspath(__file__), "--headline-only", "--cpus", str(cpus)]
-            out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+            env = dict(os.environ, SPARK_GRAFT_BENCH_REPL=repl)
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO, env=env)
         finally:
             for p in spinners:
                 p.kill()
