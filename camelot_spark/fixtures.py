@@ -515,12 +515,51 @@ def doc_rasterbg(doc_id: str = "rasterbg-0", dx: float = 0.0, dy: float = 0.0):
     return b
 
 
+def doc_manytables(doc_id: str = "manytables-0", dx: float = 0.0, dy: float = 0.0):
+    """Pathological doc: 12 small lattice grids — the 10-largest-area
+    contour cap (`image_processing.py:168`) must drop the two smallest;
+    also the worst-case skew unit for partition balancing."""
+    b = DocBuilder(doc_id)
+    b.flavor = "lattice"
+    kept = []
+    for t_i in range(12):
+        r, c = divmod(t_i, 3)
+        x0 = 60.0 + dx + c * 180.0
+        y_top = 720.0 + dy - r * 180.0
+        # tables 10/11 are smaller → dropped by the area cap
+        ncols = 2 if t_i >= 10 else 3
+        xs = [x0 + 40.0 * j for j in range(ncols + 1)]
+        ys = [y_top - 20.0 * i for i in range(4)]
+        cells = _grid_texts(3, ncols, f"t{t_i}_")
+        add_lattice_table(b, cells, xs, ys, media_ref=f"mem://{doc_id}/t{t_i}",
+                          emit_media_golden=False)
+        if t_i < 10:
+            kept.append(((xs[0], ys[-1], xs[-1], ys[0]), cells))
+        else:
+            # dropped by the cap → their text is emitted as prose spans
+            for i, row in enumerate(cells):
+                for j, text in enumerate(row):
+                    ty = ys[i + 1] + (ys[i] - ys[i + 1] - H) / 2.0
+                    b.golden_units.append((ty, xs[j] + 4.0, 1, 10_000 + t_i, text))
+    # golden: only the 10 largest tables emit cells (order by -y, x)
+    for order, (bbox, cells) in enumerate(kept):
+        b.add_table_golden(bbox[1], bbox[0], order, cells)
+    # media spans for ALL 12 grids still appear in the output sequence
+    for s in b.spans:
+        if s["kind"] == "media":
+            payload = json.loads(s["text"])
+            bb = payload["bbox"]
+            b.add_media_golden(bb[1], bb[0], s["offset"], s["media_ref"])
+    return b
+
+
 FAMILIES = {
     "health": doc_health,
     "foo": doc_foo,
     "rasterfoo": doc_rasterfoo,
     "vheaders": doc_vheaders,
     "rasterbg": doc_rasterbg,
+    "manytables": doc_manytables,
     "twotables": doc_twotables,
     "rowspan": doc_rowspan,
     "copytext": doc_copytext,

@@ -1,0 +1,126 @@
+"""Property-based equivalence tests (hypothesis): the optimized kernel
+paths must match their naive reference formulations on arbitrary input,
+not just fixture geometry."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from camelot_spark.kernels import textedges as tek
+from camelot_spark.kernels.textlines import TL, isclose
+
+
+def _naive_generate(tl, edge_tol):
+    """Direct transcription of the reference fold (`camelot/core.py:98-135`):
+    linear first-match scan over the registry, no buckets."""
+    states = {a: {"x": [], "y0": [], "y1": [], "n": []} for a in tek.ALIGNS}
+    for i in range(len(tl)):
+        t = tl.text[i]
+        if not (t and len(t.strip()) > 1):
+            continue
+        xl, xr = tl.x0[i], tl.x1[i]
+        for align, x in (("left", xl), ("right", xr), ("middle", xl + (xr - xl) / 2.0)):
+            s = states[align]
+            hit = -1
+            for j in range(len(s["x"])):
+                if isclose(s["x"][j], x, atol=0.5):
+                    hit = j
+                    break
+            if hit < 0:
+                s["x"].append(float(x))
+                s["y0"].append(float(tl.y0[i]))
+                s["y1"].append(float(tl.y1[i]))
+                s["n"].append(0)
+            elif isclose(s["y0"][hit], tl.y0[i], atol=edge_tol):
+                n = s["n"][hit]
+                s["x"][hit] = (n * s["x"][hit] + x) / float(n + 1)
+                s["y0"][hit] = float(tl.y0[i])
+                s["n"][hit] = n + 1
+    return states
+
+
+lines_strategy = st.lists(
+    st.tuples(
+        st.floats(min_value=0, max_value=600, allow_nan=False),   # x0
+        st.floats(min_value=0, max_value=780, allow_nan=False),   # y0
+        st.floats(min_value=0.1, max_value=80, allow_nan=False),  # width
+        st.floats(min_value=5, max_value=14, allow_nan=False),    # height
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _tl_from(rows):
+    n = len(rows)
+    x0 = np.array([r[0] for r in rows])
+    y0 = np.array([r[1] for r in rows])
+    x1 = x0 + np.array([r[2] for r in rows])
+    y1 = y0 + np.array([r[3] for r in rows])
+    text = ["word%d" % i for i in range(n)]
+    return TL(x0, y0, x1, y1, text, [None] * n, np.arange(n))
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=lines_strategy, edge_tol=st.sampled_from([5.0, 50.0, 500.0]))
+def test_bucketed_textedges_match_naive_scan(rows, edge_tol):
+    tl = _tl_from(rows)
+    fast = tek.generate_textedges(tl, edge_tol=edge_tol)
+    naive = _naive_generate(tl, edge_tol)
+    for a in tek.ALIGNS:
+        assert fast[a].x == naive[a]["x"], a
+        assert fast[a].y0 == naive[a]["y0"], a
+        assert fast[a].y1 == naive[a]["y1"], a
+        assert fast[a].intersections == naive[a]["n"], a
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-20, max_value=620, allow_nan=False),
+            st.floats(min_value=-20, max_value=800, allow_nan=False),
+            st.floats(min_value=0.1, max_value=120, allow_nan=False),
+            st.floats(min_value=0.1, max_value=30, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    nr=st.integers(min_value=1, max_value=6),
+    nc=st.integers(min_value=1, max_value=6),
+)
+def test_batch_assignment_matches_scalar(rows, nr, nc):
+    """assign_indices_batch == get_table_index per line (fast path)."""
+    from camelot_spark.kernels import assign as asg
+    from camelot_spark.kernels.grid import Grid
+
+    cols = [(60.0 + 90 * j, 60.0 + 90 * (j + 1)) for j in range(nc)]
+    rws = [(700.0 - 40 * i, 700.0 - 40 * (i + 1)) for i in range(nr)]
+    grid = Grid(cols, rws)
+    tl = _tl_from(rows)
+    r_b, c_b, err_b = asg.assign_indices_batch(grid, tl)
+    import warnings
+
+    for i in range(len(tl)):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            indices, err = asg.get_table_index(grid, tl.line_dict(i), "horizontal")
+        (r, c, _), = indices
+        assert (r, c) == (int(r_b[i]), int(c_b[i])), i
+        assert err == err_b[i] or abs(err - err_b[i]) < 1e-12, i
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(st.floats(min_value=0, max_value=1000, allow_nan=False), max_size=30),
+    tol=st.sampled_from([0.5, 2.0, 10.0]),
+)
+def test_merge_close_lines_properties(vals, tol):
+    from camelot_spark.kernels.lines import merge_close_lines
+
+    out = merge_close_lines(sorted(vals), line_tol=tol)
+    # every output is a mean of a run of inputs → inside the input hull
+    if vals:
+        assert min(out) >= min(vals) - 1e-9 and max(out) <= max(vals) + 1e-9
+    # output count never exceeds input count
+    assert len(out) <= len(vals) or (not vals and out == [])
