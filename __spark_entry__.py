@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: tdp_text.fingerprint(_load(s, d, "documents")),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
+        "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_adjacent(_load(s, d, "documents")),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_load(s, d, "documents")),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": lambda s, d: similarity.embedding_neardup_adjacent(_load(s, d, "embeddings")),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_load(s, d, "embeddings")),
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
+        "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
         # --- multimodal plumbing ---
         "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),
         "frame_sample_counts": lambda s, d: (
@@ -136,13 +138,16 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": tdp_text.TOKEN_STATS_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
+        "ivf_topk": similarity.IVF_TOPK_SQL,
+        "ivf_assign": similarity.IVF_ASSIGN_SQL,
+        "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "embedding_neardup": similarity.NEARDUP_SQL,
         "media_meta": multimodal.MEDIA_META_SQL,
         "frame_sample_counts": multimodal.FRAME_COUNTS_SQL,
-        # minhash_lsh_pairs / simhash_near_dups / ann_lsh_topk /
-        # ivf_assign: xxhash64-dependent or plan-shape ops — rows-only.
+        # minhash_lsh_pairs / simhash_near_dups: xxhash64-dependent — rows-only.
         # extract_stream_corpus / extract_lattice_corpus: the extraction
         # pipeline itself — not SQL-expressible, rows-only.
     }

@@ -203,3 +203,22 @@ SELECT a.id AS a_id, a.id + 1 AS b_id,
          AS jaccard_x10k
 FROM sh a JOIN sh b ON b.id = a.id + 1
 """
+
+
+def dedup_keep_first(documents: DataFrame) -> DataFrame:
+    """Canonical-doc selection: per exact content group keep the lowest
+    doc_id (the standard keep-first exact-dedup output). Shuffles the
+    64-bit hash + id only — never the document bodies."""
+    return (
+        documents.select(F.xxhash64("text").alias("h"), F.col("doc_id").cast("bigint").alias("id"))
+        .groupBy("h")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .select("keep_id", "group_size")
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents GROUP BY text
+"""

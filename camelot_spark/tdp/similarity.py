@@ -179,3 +179,85 @@ SELECT a.id AS a_id, a.id + 1 AS b_id,
          * 10000) AS BIGINT) AS cos_x10k
 FROM e a JOIN e b ON b.id = a.id + 1
 """
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+             n_cells: int = 8) -> DataFrame:
+    """IVF probe: coarse-assign every vector to a cell, then brute-force
+    rank ONLY the query's cell — the inverted-file ANN plan shape
+    (candidate set ≈ corpus / n_cells; the cell filter prunes before
+    any expensive scoring)."""
+    assigned = ivf_assign(embeddings, n_cells=n_cells)
+    q_cell = assigned.where(F.col("vec_id") == query_vec_id).select(
+        F.col("ivf_cell").alias("q_cell")
+    )
+    cand_ids = (
+        assigned.crossJoin(F.broadcast(q_cell))
+        .where(F.col("ivf_cell") == F.col("q_cell"))
+        .select("vec_id")
+    )
+    return cosine_topk(embeddings.join(cand_ids, "vec_id"), query_vec_id=query_vec_id, k=k)
+
+
+IVF_TOPK_SQL = """
+WITH proj AS (
+  SELECT vec_id, embedding,
+         [list_sum(list_transform(embedding,
+             (x, i) -> CASE WHEN ((i - 1) * 31 + c) % 8 = 0
+                       THEN CAST(x AS DOUBLE) ELSE 0.0 END))
+          FOR c IN range(0, 8)] AS ps
+  FROM embeddings),
+assigned AS (
+  SELECT vec_id, embedding, list_position(ps, list_max(ps)) - 1 AS cell
+  FROM proj),
+q AS (SELECT embedding AS q_emb, cell AS q_cell FROM assigned WHERE vec_id = 0),
+cand AS (
+  SELECT a.vec_id, a.embedding FROM assigned a, q
+  WHERE a.cell = q.q_cell AND a.vec_id <> 0),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(cand.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(cand.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ) AS cos
+  FROM cand, q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+IVF_ASSIGN_SQL = """
+WITH proj AS (
+  SELECT vec_id,
+         [list_sum(list_transform(embedding,
+             (x, i) -> CASE WHEN ((i - 1) * 31 + c) % 8 = 0
+                       THEN CAST(x AS DOUBLE) ELSE 0.0 END))
+          FOR c IN range(0, 8)] AS ps
+  FROM embeddings)
+SELECT vec_id, CAST(list_position(ps, list_max(ps)) - 1 AS INTEGER) AS ivf_cell
+FROM proj
+"""
+
+ANN_LSH_TOPK_SQL = """
+WITH sig AS (
+  SELECT vec_id, embedding,
+         list_sum([CASE WHEN list_sum(list_transform(embedding,
+               (x, i) -> CAST(x AS DOUBLE)
+                         * CAST((((i - 1) * 2654435761 + b * 40503 + 12345) % 7) - 3 AS DOUBLE))) > 0
+               THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+           FOR b IN range(0, 16)]) AS s
+  FROM embeddings),
+q AS (SELECT s AS q_s, embedding AS q_emb FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT sig.vec_id, sig.embedding FROM sig, q
+  WHERE bit_count(xor(sig.s, q.q_s)) <= 6 AND sig.vec_id <> 0),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(cand.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(cand.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ) AS cos
+  FROM cand, q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
