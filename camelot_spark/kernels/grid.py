@@ -52,12 +52,22 @@ class Grid:
         """
         col_lefts = self.col_l
         row_tops = self.row_t
+        # np.isclose semantics (|a-b| <= atol + rtol*|b|, rtol=1e-5)
+        # inlined: isclose's seterr/all machinery dominates this loop
+        col_tol = joint_tol + 1.0e-5 * np.abs(col_lefts)
+        row_tol = joint_tol + 1.0e-5 * np.abs(row_tops)
+
+        def close_cols(val: float) -> np.ndarray:
+            return np.flatnonzero(np.abs(val - col_lefts) <= col_tol)
+
+        def close_rows(val: float) -> np.ndarray:
+            return np.flatnonzero(np.abs(val - row_tops) <= row_tol)
 
         for v in np.asarray(vertical, dtype=np.float64).reshape(-1, 4):
             # v = (x, y_bottom, x, y_top) in PDF space
-            i = np.flatnonzero(np.isclose(v[0], col_lefts, atol=joint_tol))
-            j = np.flatnonzero(np.isclose(v[3], row_tops, atol=joint_tol))
-            k = np.flatnonzero(np.isclose(v[1], row_tops, atol=joint_tol))
+            i = close_cols(v[0])
+            j = close_rows(v[3])
+            k = close_rows(v[1])
             if j.size == 0:
                 continue
             J = int(j[0])
@@ -73,9 +83,9 @@ class Grid:
 
         for h in np.asarray(horizontal, dtype=np.float64).reshape(-1, 4):
             # h = (x_left, y, x_right, y)
-            i = np.flatnonzero(np.isclose(h[1], row_tops, atol=joint_tol))
-            j = np.flatnonzero(np.isclose(h[0], col_lefts, atol=joint_tol))
-            k = np.flatnonzero(np.isclose(h[2], col_lefts, atol=joint_tol))
+            i = close_rows(h[1])
+            j = close_cols(h[0])
+            k = close_cols(h[2])
             if j.size == 0:
                 continue
             J = int(j[0])
