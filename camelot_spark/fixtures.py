@@ -476,6 +476,35 @@ def doc_rasterfoo(doc_id: str = "rasterfoo-0", dx: float = 0.0, dy: float = 0.0)
     return b
 
 
+def doc_colspan(doc_id: str = "colspan-0", dx: float = 0.0, dy: float = 0.0):
+    """Lattice grid with a missing interior vertical edge → hspan; text
+    placed in the right half of the merged cell shifts LEFT under the
+    default shift_text=['l','t'] (models column_span_1.pdf,
+    `lattice.py:148-155` 'l' walk)."""
+    b = DocBuilder(doc_id)
+    b.flavor = "lattice"
+    xs = [100.0 + dx + 60.0 * j for j in range(5)]
+    ys = [500.0 + dy - 24.0 * i for i in range(6)]
+    cells = _grid_texts(5, 4, "c")
+    # drop the v-edge between cols 1 and 2 on row 1 → cells (1,1)+(1,2)
+    # merge; put the text in the right half: it must land in (1,1)
+    merged_text = cells[1][2]
+    cells[1][2] = ""
+    drop_v = [(2, 1)]
+    t = add_lattice_table(b, cells, xs, ys, media_ref=f"mem://{doc_id}/page-1",
+                          drop_v=drop_v)
+    # place the merged cell's text inside the (1,2) half
+    tx = xs[2] + 4.0
+    ty = ys[2] + (ys[1] - ys[2] - H) / 2.0
+    b.add_span("text_h", make_line(merged_text, tx, ty))
+    golden = [row[:] for row in cells]
+    # shifted left and appended after (1,1)'s own line; the first
+    # line's trailing newline survives the outer strip (`core.py:302-304`)
+    golden[1][1] = golden[1][1] + "\n" + merged_text
+    b.add_table_golden(t["bbox"][1], t["bbox"][0], 1, golden)
+    return b
+
+
 def doc_vheaders(doc_id: str = "vheaders-0", dx: float = 0.0, dy: float = 0.0):
     """Lattice grid whose header row holds rotated (vertical) text —
     models `tests/files/tabula/vertical_header.pdf`; exercises the
@@ -562,6 +591,7 @@ FAMILIES = {
     "manytables": doc_manytables,
     "twotables": doc_twotables,
     "rowspan": doc_rowspan,
+    "colspan": doc_colspan,
     "copytext": doc_copytext,
     "superscript": doc_superscript,
     "splittext": doc_splittext,
