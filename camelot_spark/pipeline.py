@@ -22,7 +22,6 @@ from __future__ import annotations
 import time
 import traceback
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 

@@ -133,3 +133,22 @@ def test_checkpoint_resume_catalog_table(spark):
     assert metrics["docs"] == 1
     assert spark.read.table(tbl).count() == 2
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_degenerate_inputs(spark):
+    """Empty span arrays, meta-only docs, and null text fields must not
+    kill the job — they extract to empty/blank outputs."""
+    from pyspark.sql import Row
+
+    rows = [
+        ("empty-1", []),
+        ("metaonly-1", [("meta", '{"width": 612, "height": 792}', "", 0)]),
+        ("nulltext-1", [("media", None, "mem://x", 0),
+                        ("meta", '{"width": 612, "height": 792}', "", 1)]),
+    ]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    out = {r["doc_id"]: r for r in extract(df, flavor="stream").collect()}
+    assert len(out) == 3
+    for doc_id, r in out.items():
+        assert r["n_tables"] == 0, doc_id
+        assert r["spans"] == [] or all(s["kind"] != "cell" for s in r["spans"]), doc_id
