@@ -385,12 +385,15 @@ def doc_striptext(doc_id: str = "striptext-0", dx: float = 0.0, dy: float = 0.0)
     return b
 
 
-def doc_rotated(rotation: str, doc_id: str | None = None, dx: float = 0.0, dy: float = 0.0):
-    """health-geometry doc with all coordinates rotated 90° —
-    clockwise or anticlockwise (models clockwise_table_1.pdf etc.).
-    Golden = the upright golden (kernel unrotates)."""
+def doc_rotated(rotation: str, doc_id: str | None = None, dx: float = 0.0, dy: float = 0.0,
+                base=None):
+    """Doc with all coordinates rotated 90° — clockwise or anticlockwise
+    (models clockwise_table_1.pdf etc.). ``base`` picks the upright
+    builder (default health/stream; doc_foo gives the rotated-lattice
+    case where ruling segments swap roles). Golden = the upright golden
+    (kernel unrotates)."""
     doc_id = doc_id or f"rotated_{'cw' if rotation == 'clockwise' else 'acw'}-0"
-    upright = doc_health(doc_id, dx, dy)
+    upright = (base or doc_health)(doc_id, dx, dy)
     W, Hh = upright.width, upright.height
     m = [-1.0, 1.0] if rotation == "clockwise" else [1.0, -1.0]
 
@@ -421,10 +424,21 @@ def doc_rotated(rotation: str, doc_id: str | None = None, dx: float = 0.0, dy: f
             rotated.spans.append(span("text_v", {"t": payload["t"], "x0": x0, "y0": y0,
                                                  "x1": x1, "y1": y1, "chars": chars},
                                       s["offset"]))
+        elif s["kind"] == "media" and "segments_v" in payload:
+            # a vertical ruling becomes horizontal on the rotated page
+            # (and vice versa); the kernel's unrotate swaps them back
+            new_h = [rot_bbox(*seg) for seg in payload["segments_v"]]
+            new_v = [rot_bbox(*seg) for seg in payload["segments_h"]]
+            new_payload = {"segments_v": new_v, "segments_h": new_h,
+                           "bbox": rot_bbox(*payload["bbox"])}
+            rotated.spans.append(span("media", new_payload, s["offset"],
+                                      media_ref=s["media_ref"]))
         else:
             rotated.spans.append(dict(s))
     rotated._off = upright._off
     rotated.golden_units = upright.golden_units
+    rotated.flavor = upright.flavor
+    rotated.extract_kwargs = upright.extract_kwargs
     return rotated
 
 
@@ -598,6 +612,7 @@ FAMILIES = {
     "striptext": doc_striptext,
     "rotated_cw": lambda doc_id="rotated_cw-0", dx=0.0, dy=0.0: doc_rotated("clockwise", doc_id, dx, dy),
     "rotated_acw": lambda doc_id="rotated_acw-0", dx=0.0, dy=0.0: doc_rotated("anticlockwise", doc_id, dx, dy),
+    "rotated_lattice": lambda doc_id="rotated_lattice-0", dx=0.0, dy=0.0: doc_rotated("clockwise", doc_id, dx, dy, base=doc_foo),
     "prose": doc_prose_interleave,
     "blank": lambda doc_id="blank-0", dx=0.0, dy=0.0: doc_blank(doc_id),
     "imageonly": lambda doc_id="imageonly-0", dx=0.0, dy=0.0: doc_imageonly(doc_id),
