@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "ann_topk": lambda s, d: similarity.cosine_topk(_load(s, d, "embeddings")),
         "embedding_neardup": lambda s, d: similarity.embedding_neardup_adjacent(_load(s, d, "embeddings")),
+        "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(_load(s, d, "embeddings")),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_load(s, d, "embeddings")),
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": similarity.IVF_ASSIGN_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "embedding_neardup": similarity.NEARDUP_SQL,
+        "embedding_neardup_pairs": similarity.NEARDUP_PAIRS_SQL,
         "media_meta": multimodal.MEDIA_META_SQL,
         "frame_sample_counts": multimodal.FRAME_COUNTS_SQL,
         # minhash_lsh_pairs / simhash_near_dups: xxhash64-dependent — rows-only.

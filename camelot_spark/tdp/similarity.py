@@ -261,3 +261,73 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= 10
 """
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, n_planes: int = 16, threshold_x10k: int = 3000
+) -> DataFrame:
+    """All-pairs embedding near-dup: LSH chunk buckets propose
+    candidates (pairs sharing ≥1 of four 4-bit signature chunks), exact
+    cosine verifies. The candidate join shuffles only (chunk, 4-bit
+    sig) keys — never the vectors of non-candidates — which is the
+    100 TB shape; the adjacent-id variant is just a smoke check."""
+    sigs = lsh_signatures(embeddings, n_planes)
+    e = embeddings.join(sigs, "vec_id").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding", "lsh_sig"
+    )
+    chunks = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("lsh_sig", 4 * c).bitwiseAND(F.lit(0xF))
+                for c in range(4)
+            ])
+        ).alias("chunk_id", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    scored = cand.join(ea, "a_id").join(eb, "b_id")
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        scored.select(
+            "a_id", "b_id", F.floor(cos * 10000).cast("bigint").alias("cos_x10k")
+        )
+        .where(F.col("cos_x10k") >= threshold_x10k)
+    )
+
+
+NEARDUP_PAIRS_SQL = """
+WITH sig AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         list_sum([CASE WHEN list_sum(list_transform(embedding,
+               (x, i) -> CAST(x AS DOUBLE)
+                         * CAST((((i - 1) * 2654435761 + b * 40503 + 12345) % 7) - 3 AS DOUBLE))) > 0
+               THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+           FOR b IN range(0, 16)]) AS s
+  FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS emb_a, b.embedding AS emb_b
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+  WHERE ((a.s >> 0) & 15) = ((b.s >> 0) & 15)
+     OR ((a.s >> 4) & 15) = ((b.s >> 4) & 15)
+     OR ((a.s >> 8) & 15) = ((b.s >> 8) & 15)
+     OR ((a.s >> 12) & 15) = ((b.s >> 12) & 15)),
+scored AS (
+  SELECT a_id, b_id,
+         CAST(FLOOR(
+           list_sum(list_transform(emb_a, (x, i) -> CAST(x AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)))
+           / ( sqrt(list_sum(list_transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+           * 10000) AS BIGINT) AS cos_x10k
+  FROM cand)
+SELECT a_id, b_id, cos_x10k FROM scored WHERE cos_x10k >= 3000
+"""
