@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_adjacent(_load(s, d, "documents")),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_load(s, d, "documents")),
+        "minhash_neardup_verified": lambda s, d: dedup.minhash_neardup_verified(_load(s, d, "documents")),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
         # --- similarity search ---
         "ann_topk": lambda s, d: similarity.cosine_topk(_load(s, d, "embeddings")),

@@ -222,3 +222,37 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS group_size
 FROM documents GROUP BY text
 """
+
+
+def minhash_neardup_verified(
+    documents: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
+    threshold_x10k: int = 3000,
+) -> DataFrame:
+    """Complete MinHash dedup pipeline: LSH candidates → exact n-gram
+    Jaccard verification → thresholded near-dup pairs.
+
+    The verify join ships shingle sets only for CANDIDATE pairs (the
+    LSH output), so at 100 TB the expensive exact comparison runs on a
+    vanishing fraction of the n² pair space."""
+    from . import spread
+
+    cand = minhash_lsh_pairs(documents, num_hashes=num_hashes, bands=bands, n=n)
+    d = spread(documents).select(
+        F.col("doc_id").cast("bigint").alias("id"), _shingles(F.col("text"), n).alias("sh")
+    )
+    a = d.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.select(F.col("a_id").cast("bigint").alias("a_id"),
+                    F.col("b_id").cast("bigint").alias("b_id"))
+        .join(a, "a_id").join(b, "b_id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.select(
+            "a_id", "b_id",
+            F.floor(inter / union * 10000).cast("bigint").alias("jaccard_x10k"),
+        )
+        .where(F.col("jaccard_x10k") >= threshold_x10k)
+    )
