@@ -34,7 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Replication factor for the headline corpus: each documents.parquet key
 # spawns REPL span-documents so the kernel time dominates fixed overheads.
-REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "4"))
+REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "8"))
 
 
 def build_spark(cpus: int):
