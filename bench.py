@@ -93,8 +93,10 @@ def run_headline(spark, sf_dir: str, cpus: int, repl: int):
     n_docs = keys.count()
 
     t0 = time.monotonic()
-    _force(synthesize_and_extract(keys, "stream", families=fx.STREAM_FAMILIES, fail_fast=True))
-    _force(synthesize_and_extract(keys, "lattice", families=fx.LATTICE_FAMILIES, fail_fast=True))
+    stream = synthesize_and_extract(keys, "stream", families=fx.STREAM_FAMILIES, fail_fast=True)
+    lattice = synthesize_and_extract(keys, "lattice", families=fx.LATTICE_FAMILIES, fail_fast=True)
+    # one union job: a single task wave + one straggler tail instead of two
+    _force(stream.unionByName(lattice))
     elapsed = time.monotonic() - t0
     # Each key is extracted under both flavors → 2 documents processed.
     return 2 * n_docs, elapsed

@@ -152,3 +152,24 @@ def test_degenerate_inputs(spark):
     for doc_id, r in out.items():
         assert r["n_tables"] == 0, doc_id
         assert r["spans"] == [] or all(s["kind"] != "cell" for s in r["spans"]), doc_id
+
+
+def test_output_invariant_under_partitioning(spark):
+    """Span sequences must be byte-identical no matter how docs are
+    partitioned — extraction is doc-local, so partitioning is pure
+    physics. Guards against any accidental cross-doc state."""
+    docs = fx.replicate(40)
+    rows = [(d, [tuple(s.values()) for s in spans]) for d, spans, _ in docs]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+    def norm(out):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+            for r in out.collect()
+        }
+
+    base = norm(extract(df.coalesce(1), flavor="stream"))
+    for variant in (df.repartition(16), df.repartition(3, "doc_id")):
+        assert norm(extract(variant, flavor="stream")) == base
+    salted = extract(df, flavor="stream", salt_partitions=8, salt=7)
+    assert norm(salted) == base
