@@ -53,8 +53,22 @@ def make_line(text: str, x0: float, y0: float, h: float = H, char_w: float = CW,
     }
 
 
+# When True (builder_for(..., raw=True) inside the fused pipeline),
+# builders skip JSON-serializing payloads — raw_spans() is the only
+# consumer and it reads the payload dicts directly.
+_RAW_BUILD = False
+
+
 def span(kind: str, payload: dict, offset: int, media_ref: str = "") -> dict:
-    return {"kind": kind, "text": json.dumps(payload), "media_ref": media_ref, "offset": offset}
+    text = None if _RAW_BUILD else json.dumps(payload)
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def _payload_of(builder: "DocBuilder", s: dict) -> dict:
+    """Payload dict of one of ``builder``'s spans, whether or not the
+    JSON string was materialized."""
+    p = builder._raw.get(s["offset"])
+    return p if p is not None else (json.loads(s["text"]) if s["text"] else {})
 
 
 def meta_span(width: float, height: float, offset: int = 0) -> dict:
@@ -70,6 +84,8 @@ class DocBuilder:
         self.height = height
         self.spans = [meta_span(width, height, 0)]
         self._off = 1
+        # payload dicts keyed by offset (raw_spans fast path)
+        self._raw: dict[int, dict] = {0: {"width": width, "height": height}}
         # golden units: (anchor_y, x_anchor, rank, seq, payload)
         self.golden_units: list[tuple] = []
         self.flavor = "stream"
@@ -78,8 +94,23 @@ class DocBuilder:
     def add_span(self, kind: str, payload: dict, media_ref: str = "") -> int:
         off = self._off
         self.spans.append(span(kind, payload, off, media_ref))
+        self._raw[off] = payload
         self._off += 1
         return off
+
+    def raw_spans(self) -> list[dict]:
+        """Spans with payload DICTS in ``text`` — skips the fixture
+        JSON round-trip (dumps here + loads in parse_page ≈ 22% of the
+        fused corpus-pipeline cost). Falls back to parsing the JSON for
+        builders that assembled ``spans`` directly (rotated families)."""
+        out = []
+        for s in self.spans:
+            p = self._raw.get(s["offset"])
+            if p is None:
+                p = json.loads(s["text"]) if s["text"] else {}
+            out.append({"kind": s["kind"], "text": p,
+                        "media_ref": s["media_ref"], "offset": s["offset"]})
+        return out
 
     def add_prose(self, text: str, x0: float, y0: float, kind: str = "prose") -> None:
         line = make_line(text, x0, y0)
@@ -409,8 +440,13 @@ def doc_rotated(rotation: str, doc_id: str | None = None, dx: float = 0.0, dy: f
 
     rotated = DocBuilder(doc_id, width=Hh, height=W)
     rotated.spans = [meta_span(Hh, W, 0)]
+
+    def emit(kind, payload, off, media_ref=""):
+        rotated.spans.append(span(kind, payload, off, media_ref))
+        rotated._raw[off] = payload
+
     for s in upright.spans[1:]:
-        payload = json.loads(s["text"])
+        payload = _payload_of(upright, s)
         if s["kind"] in ("text_h", "prose"):
             x0, y0, x1, y1 = rot_bbox(payload["x0"], payload["y0"], payload["x1"], payload["y1"])
             chars = []
@@ -421,9 +457,8 @@ def doc_rotated(rotation: str, doc_id: str | None = None, dx: float = 0.0, dy: f
                 cb = rot_bbox(ch["x0"], ch["y0"], ch["x1"], ch["y1"])
                 chars.append({"c": ch["c"], "x0": cb[0], "y0": cb[1], "x1": cb[2], "y1": cb[3],
                               "m": m})
-            rotated.spans.append(span("text_v", {"t": payload["t"], "x0": x0, "y0": y0,
-                                                 "x1": x1, "y1": y1, "chars": chars},
-                                      s["offset"]))
+            emit("text_v", {"t": payload["t"], "x0": x0, "y0": y0,
+                            "x1": x1, "y1": y1, "chars": chars}, s["offset"])
         elif s["kind"] == "media" and "segments_v" in payload:
             # a vertical ruling becomes horizontal on the rotated page
             # (and vice versa); the kernel's unrotate swaps them back
@@ -431,10 +466,10 @@ def doc_rotated(rotation: str, doc_id: str | None = None, dx: float = 0.0, dy: f
             new_v = [rot_bbox(*seg) for seg in payload["segments_h"]]
             new_payload = {"segments_v": new_v, "segments_h": new_h,
                            "bbox": rot_bbox(*payload["bbox"])}
-            rotated.spans.append(span("media", new_payload, s["offset"],
-                                      media_ref=s["media_ref"]))
+            emit("media", new_payload, s["offset"], media_ref=s["media_ref"])
         else:
             rotated.spans.append(dict(s))
+            rotated._raw[s["offset"]] = payload
     rotated._off = upright._off
     rotated.golden_units = upright.golden_units
     rotated.flavor = upright.flavor
@@ -590,7 +625,7 @@ def doc_manytables(doc_id: str = "manytables-0", dx: float = 0.0, dy: float = 0.
     # media spans for ALL 12 grids still appear in the output sequence
     for s in b.spans:
         if s["kind"] == "media":
-            payload = json.loads(s["text"])
+            payload = _payload_of(b, s)
             bb = payload["bbox"]
             b.add_media_golden(bb[1], bb[0], s["offset"], s["media_ref"])
     return b
@@ -631,9 +666,14 @@ LATTICE_FAMILIES = ["foo", "rowspan"]
 
 
 def builder_for(doc_key: str, families: list[str] | None = None,
-                skew_family: str = "twotables", skew_frac: float = 0.05) -> DocBuilder:
+                skew_family: str = "twotables", skew_frac: float = 0.05,
+                raw: bool = False) -> DocBuilder:
     """Deterministic builder for an arbitrary key (corpus synthesis from
-    driver tables): family + jitter seeded by crc32(doc_key)."""
+    driver tables): family + jitter seeded by crc32(doc_key).
+
+    ``raw=True`` skips JSON-serializing span payloads; only
+    ``raw_spans()`` is valid on the result (the fused pipeline path)."""
+    global _RAW_BUILD
     fams = families or BENCH_FAMILIES
     seed = zlib.crc32(doc_key.encode())
     if (seed % 1000) / 1000.0 < skew_frac:
@@ -642,7 +682,13 @@ def builder_for(doc_key: str, families: list[str] | None = None,
         fam = fams[(seed >> 4) % len(fams)]
     dx = float((seed >> 8) % 40)
     dy = float((seed >> 16) % 60)
-    return FAMILIES[fam](f"{fam}-{doc_key}", dx, dy)
+    if not raw:
+        return FAMILIES[fam](f"{fam}-{doc_key}", dx, dy)
+    _RAW_BUILD = True
+    try:
+        return FAMILIES[fam](f"{fam}-{doc_key}", dx, dy)
+    finally:
+        _RAW_BUILD = False
 
 
 def replicate(n_docs: int, families: list[str] | None = None, skew_family: str = "twotables",

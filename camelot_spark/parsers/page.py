@@ -51,11 +51,16 @@ def parse_page(spans: list[dict]) -> Page:
     """
     width = height = 0.0
     h_rec, v_rec, media = [], [], []
-    # one C-level parse for the whole doc instead of one loads() per
-    # span — the per-call setup dominates at ~40 small payloads/doc
-    payloads = json.loads(
-        "[" + ",".join((s["text"] or "{}") for s in spans) + "]"
-    )
+    if spans and isinstance(spans[0]["text"], dict):
+        # raw fixture path (fused corpus pipeline): payloads arrive as
+        # dicts — no JSON transport at all
+        payloads = [s["text"] or {} for s in spans]
+    else:
+        # one C-level parse for the whole doc instead of one loads()
+        # per span — per-call setup dominates at ~40 small payloads/doc
+        payloads = json.loads(
+            "[" + ",".join((s["text"] or "{}") for s in spans) + "]"
+        )
     for s, p in zip(spans, payloads):
         kind = s["kind"]
         if kind == "meta":

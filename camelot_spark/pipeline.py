@@ -228,8 +228,8 @@ def synthesize_and_extract(
 
         def docs(batch):
             for k in batch.column(0).to_pylist():
-                b = fx.builder_for(str(k), families=families)
-                yield b.doc_id, b.spans
+                b = fx.builder_for(str(k), families=families, raw=True)
+                yield b.doc_id, b.raw_spans()
 
         yield from _extract_arrow_iter(batches, cfg, fail_fast, docs_of=docs)
 
