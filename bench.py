@@ -172,7 +172,7 @@ def run_scaling() -> None:
     # enough work that fixed per-job overhead (~4s: session, scan task,
     # scheduler) is noise at the large level too — a 10^12-doc job
     # amortizes it to zero, a 40 s sandbox run must as well
-    repl = os.environ.get("SPARK_GRAFT_SCALING_REPL", "32")
+    repl = os.environ.get("SPARK_GRAFT_SCALING_REPL", "64")
     results = []
     for cpus in levels:
         # Emulate an N-executor cluster node faithfully on one box:
