@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="raise on first poison doc instead of recording lineage.error")
     ap.add_argument("--kw", action="append", default=[], metavar="NAME=VALUE",
                     help="flavor kwarg, repeatable (reference read_pdf kwargs)")
+    ap.add_argument("--export-path", default=None,
+                    help="also render per-table exports here (the CLI's "
+                         "-o/--output analogue, `camelot/cli.py`)")
+    ap.add_argument("--export-format", choices=("csv", "json", "html"), default="csv")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -100,6 +104,13 @@ def main(argv: list[str] | None = None) -> int:
         fail_fast=args.fail_fast,
         **parse_kw(args.kw),
     )
+    if args.export_path:
+        from camelot_spark import sinks
+
+        extracted = (spark.read.table(args.output) if "/" not in args.output
+                     else spark.read.parquet(args.output))
+        sinks.export(extracted, args.export_path, fmt=args.export_format)
+
     print(json.dumps({"status": "ok", "metrics": {k: (float(v) if v is not None else None)
                                                   for k, v in dict(metrics).items()}}))
     return 0
