@@ -45,6 +45,76 @@ class EdgeState:
         return [n > TEXTEDGE_REQUIRED_ELEMENTS for n in self.intersections]
 
 
+def _try_fast_alignment(st: EdgeState, xarr, keep, y0l, y1l, edge_tol: float) -> bool:
+    """Exact vectorized fold for the separable case; False → caller
+    runs the sequential fold.
+
+    When the alignment's x-coords form clusters of diameter ≤ 0.49
+    whose hulls are > (0.52 + rtol·max|x|) apart, every line matches
+    exactly its own cluster's (drifting-mean) edge and no other — the
+    first-match scan, the bucket index, and cross-cluster drift all
+    become irrelevant, so the fold reduces to: one edge per cluster,
+    per-cluster sequential y0 gate, and the reference's running mean
+    replayed over the accepted members (bit-identical left-fold).
+    Real documents are column-aligned, so this path covers virtually
+    every doc; adversarial x-distributions fall back.
+    """
+    n = len(keep)
+    if n == 0:
+        return True
+    xs = np.fromiter((xarr[i] for i in keep), dtype=np.float64, count=n)
+    if not np.isfinite(xs).all():
+        return False
+    order = np.argsort(xs, kind="stable")
+    sx = xs[order]
+    max_abs = max(abs(float(sx[0])), abs(float(sx[-1])))
+    gap_min = 0.52 + 1.0e-5 * max_abs
+    boundaries = np.flatnonzero(np.diff(sx) > gap_min)
+    starts = np.concatenate(([0], boundaries + 1))
+    ends = np.concatenate((boundaries + 1, [n]))
+    if (sx[ends - 1] - sx[starts] > 0.49).any():
+        return False
+
+    ncl = len(starts)
+    cid_sorted = np.repeat(np.arange(ncl), ends - starts)
+    cid = np.empty(n, dtype=np.int64)
+    cid[order] = cid_sorted
+    cid_l = cid.tolist()
+    xs_l = xs.tolist()
+
+    ex, ey0, ey1, eint = st.x, st.y0, st.y1, st.intersections
+    edge_of: dict[int, int] = {}
+    accepted: list[list[float]] = []
+    for pos in range(n):
+        i = keep[pos]
+        c = cid_l[pos]
+        j = edge_of.get(c)
+        if j is None:
+            edge_of[c] = len(ex)
+            ex.append(xs_l[pos])
+            ey0.append(y0l[i])
+            ey1.append(y1l[i])
+            eint.append(0)
+            accepted.append([])
+        else:
+            y0i = y0l[i]
+            if abs(ey0[j] - y0i) <= edge_tol + 1.0e-5 * abs(y0i):  # isclose
+                ey0[j] = y0i
+                eint[j] += 1
+                accepted[j].append(xs_l[pos])
+    # replay the reference's sequential running mean over accepted
+    # members — bit-identical to the fold (`core.py:63-74`)
+    for j, acc in enumerate(accepted):
+        if acc:
+            x = ex[j]
+            k = 0
+            for a in acc:
+                x = (k * x + a) / (k + 1.0)
+                k += 1
+            ex[j] = x
+    return True
+
+
 def generate_textedges(tl: TL, edge_tol: float = 50) -> dict[str, EdgeState]:
     """Accumulate left/right/middle edges over reading-ordered textlines.
 
@@ -72,6 +142,8 @@ def generate_textedges(tl: TL, edge_tol: float = 50) -> dict[str, EdgeState]:
     for align in ALIGNS:
         st = states[align]
         xarr = coords[align]
+        if _try_fast_alignment(st, xarr, keep, y0l, y1l, edge_tol):
+            continue
         xs = st.x
         sy0 = st.y0
         sy1 = st.y1

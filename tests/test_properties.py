@@ -124,3 +124,31 @@ def test_merge_close_lines_properties(vals, tol):
         assert min(out) >= min(vals) - 1e-9 and max(out) <= max(vals) + 1e-9
     # output count never exceeds input count
     assert len(out) <= len(vals) or (not vals and out == [])
+
+
+# separable layouts (column-aligned, like real documents) take the
+# vectorized fast path in generate_textedges — must still equal the
+# naive reference fold bit-for-bit
+separable_lines = st.lists(
+    st.tuples(
+        st.sampled_from([60.0, 65.0, 180.0, 185.2, 300.0, 420.0]),  # clustered x0
+        st.floats(min_value=0, max_value=780, allow_nan=False),
+        st.sampled_from([20.0, 40.0, 60.0]),                         # clustered width
+        st.floats(min_value=5, max_value=14, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=separable_lines, edge_tol=st.sampled_from([5.0, 50.0, 500.0]))
+def test_fast_path_textedges_match_naive_scan(rows, edge_tol):
+    tl = _tl_from(rows)
+    fast = tek.generate_textedges(tl, edge_tol=edge_tol)
+    naive = _naive_generate(tl, edge_tol)
+    for a in tek.ALIGNS:
+        assert fast[a].x == naive[a]["x"], a
+        assert fast[a].y0 == naive[a]["y0"], a
+        assert fast[a].y1 == naive[a]["y1"], a
+        assert fast[a].intersections == naive[a]["n"], a
