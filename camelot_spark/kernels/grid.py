@@ -50,54 +50,55 @@ class Grid:
         edge of the last column, etc.) and the skip when the segment's
         leading coordinate aligns with no row/col.
         """
-        col_lefts = self.col_l
-        row_tops = self.row_t
-        # np.isclose semantics (|a-b| <= atol + rtol*|b|, rtol=1e-5)
-        # inlined: isclose's seterr/all machinery dominates this loop
-        col_tol = joint_tol + 1.0e-5 * np.abs(col_lefts)
-        row_tol = joint_tol + 1.0e-5 * np.abs(row_tops)
+        # np.isclose semantics (|a-b| <= atol + rtol*|b|, rtol=1e-5),
+        # batched: one broadcast per coordinate column for ALL segments
+        # (first-match index + match count are all the loop needs)
+        col_tol = joint_tol + 1.0e-5 * np.abs(self.col_l)
+        row_tol = joint_tol + 1.0e-5 * np.abs(self.row_t)
 
-        def close_cols(val: float) -> np.ndarray:
-            return np.flatnonzero(np.abs(val - col_lefts) <= col_tol)
+        def matches(vals: np.ndarray, coords: np.ndarray, tol: np.ndarray):
+            m = np.abs(vals[:, None] - coords[None, :]) <= tol[None, :]
+            return m.sum(axis=1), m.argmax(axis=1)  # (count, first index)
 
-        def close_rows(val: float) -> np.ndarray:
-            return np.flatnonzero(np.abs(val - row_tops) <= row_tol)
-
-        for v in np.asarray(vertical, dtype=np.float64).reshape(-1, 4):
+        v = np.asarray(vertical, dtype=np.float64).reshape(-1, 4)
+        if len(v):
             # v = (x, y_bottom, x, y_top) in PDF space
-            i = close_cols(v[0])
-            j = close_rows(v[3])
-            k = close_rows(v[1])
-            if j.size == 0:
-                continue
-            J = int(j[0])
-            K = int(k[0]) if k.size else self.nrows
-            if i.size == 1 and i[0] == 0:     # exactly [0] → only left edge of col 0
-                self.left[J:K, 0] = True
-            elif i.size == 0:                 # right edge of last col
-                self.right[J:K, self.ncols - 1] = True
-            else:                             # interior: left of col i, right of col i-1
-                L = int(i[0])
-                self.left[J:K, L] = True
-                self.right[J:K, L - 1] = True  # L==0 wraps to last col, as in reference
+            i_n, i_0 = matches(v[:, 0], self.col_l, col_tol)
+            j_n, j_0 = matches(v[:, 3], self.row_t, row_tol)
+            k_n, k_0 = matches(v[:, 1], self.row_t, row_tol)
+            for s in range(len(v)):
+                if j_n[s] == 0:
+                    continue
+                J = int(j_0[s])
+                K = int(k_0[s]) if k_n[s] else self.nrows
+                if i_n[s] == 1 and i_0[s] == 0:   # exactly [0] → left edge of col 0
+                    self.left[J:K, 0] = True
+                elif i_n[s] == 0:                 # right edge of last col
+                    self.right[J:K, self.ncols - 1] = True
+                else:                             # interior: left of col i, right of i-1
+                    L = int(i_0[s])
+                    self.left[J:K, L] = True
+                    self.right[J:K, L - 1] = True  # L==0 wraps to last col, as in reference
 
-        for h in np.asarray(horizontal, dtype=np.float64).reshape(-1, 4):
+        h = np.asarray(horizontal, dtype=np.float64).reshape(-1, 4)
+        if len(h):
             # h = (x_left, y, x_right, y)
-            i = close_rows(h[1])
-            j = close_cols(h[0])
-            k = close_cols(h[2])
-            if j.size == 0:
-                continue
-            J = int(j[0])
-            K = int(k[0]) if k.size else self.ncols
-            if i.size == 1 and i[0] == 0:     # exactly [0] → only top edge of row 0
-                self.top[0, J:K] = True
-            elif i.size == 0:                 # bottom edge of last row
-                self.bottom[self.nrows - 1, J:K] = True
-            else:
-                L = int(i[0])
-                self.top[L, J:K] = True
-                self.bottom[L - 1, J:K] = True  # L==0 wraps to last row, as in reference
+            i_n, i_0 = matches(h[:, 1], self.row_t, row_tol)
+            j_n, j_0 = matches(h[:, 0], self.col_l, col_tol)
+            k_n, k_0 = matches(h[:, 2], self.col_l, col_tol)
+            for s in range(len(h)):
+                if j_n[s] == 0:
+                    continue
+                J = int(j_0[s])
+                K = int(k_0[s]) if k_n[s] else self.ncols
+                if i_n[s] == 1 and i_0[s] == 0:   # exactly [0] → top edge of row 0
+                    self.top[0, J:K] = True
+                elif i_n[s] == 0:                 # bottom edge of last row
+                    self.bottom[self.nrows - 1, J:K] = True
+                else:
+                    L = int(i_0[s])
+                    self.top[L, J:K] = True
+                    self.bottom[L - 1, J:K] = True  # L==0 wraps to last row
         return self
 
     def set_border(self) -> "Grid":
