@@ -96,4 +96,4 @@ EXTRACTED_SCHEMA = StructType(
     ]
 )
 
-KERNEL_VERSION = "0.1.0"
+KERNEL_VERSION = "0.2.0"  # round-1 final: arrow-native, raw fixtures, fast folds
