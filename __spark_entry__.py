@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: tdp_text.quality_score(_load(s, d, "documents")),
         "token_stats": lambda s, d: tdp_text.token_stats(_load(s, d, "documents")),
         "doc_fingerprint": lambda s, d: tdp_text.fingerprint(_load(s, d, "documents")),
+        "winnow_fingerprints": lambda s, d: tdp_text.winnow_fingerprints(_load(s, d, "documents")),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": tdp_text.QUALITY_SQL,
         "token_stats": tdp_text.TOKEN_STATS_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
+        "winnow_fingerprints": tdp_text.WINNOW_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,

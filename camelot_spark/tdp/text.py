@@ -138,3 +138,57 @@ SELECT doc_id,
        CAST(SUM((length(w)*31 + ord(w[1:1])) * ((pos % 97) + 1)) AS BIGINT) AS fp
 FROM tok GROUP BY doc_id
 """
+
+
+def winnow_fingerprints(documents: DataFrame, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.: min token-hash
+    per sliding window, deduplicated) — the standard local-fingerprint
+    scheme for plagiarism/near-dup detection.
+
+    Token hashes use a portable polynomial hash (fold over chars,
+    mod 1e9+7) so the DuckDB oracle reproduces them exactly; everything
+    is per-row array algebra — zero shuffle at any scale."""
+    M = 1_000_000_007
+    tok_hash = lambda t: F.aggregate(  # noqa: E731
+        F.split(t, ""), F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % M,
+    )
+    hashes = F.transform(_tokens(F.col("text")), tok_hash)
+    n = F.size(hashes)
+    wins = F.when(
+        n >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return documents.select(
+        "doc_id",
+        F.size(wins).cast("bigint").alias("n_fingerprints"),
+        F.coalesce(F.array_min(wins), F.lit(-1)).cast("bigint").alias("min_fp"),
+        F.coalesce(F.array_max(wins), F.lit(-1)).cast("bigint").alias("max_fp"),
+    )
+
+
+WINNOW_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+  FROM documents),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+           list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)])
+         ELSE [] END AS fps
+  FROM h)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CAST(COALESCE(list_min(fps), -1) AS BIGINT) AS min_fp,
+       CAST(COALESCE(list_max(fps), -1) AS BIGINT) AS max_fp
+FROM wins
+"""
