@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
-from camelot_spark.tdp import dedup, multimodal, relational, similarity
+from camelot_spark.tdp import cleaning, dedup, multimodal, relational, similarity
 from camelot_spark.tdp import text as tdp_text
 
 
@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": lambda s, d: tdp_text.winnow_fingerprints(_load(s, d, "documents")),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
+        "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_adjacent(_load(s, d, "documents")),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_load(s, d, "documents")),
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
         "winnow_fingerprints": tdp_text.WINNOW_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
