@@ -175,3 +175,15 @@ def test_no_per_row_python_in_package():
             if bad in src:
                 offenders.append((str(p), bad))
     assert not offenders, offenders
+
+
+def test_raw_spans_equal_serialized_all_families():
+    """The fused pipeline's raw-payload path must extract identically
+    to the JSON-serialized contract path for every family."""
+    for name in fx.FAMILIES:
+        br = fx.builder_for("zz", families=[name], raw=True)
+        bs = fx.builder_for("zz", families=[name])
+        cfg = make_config(bs.flavor, **bs.extract_kwargs)
+        got_raw = extract_document(br.raw_spans(), cfg)["spans"]
+        got_ser = extract_document(bs.spans, cfg)["spans"]
+        assert got_raw == got_ser, name
