@@ -20,8 +20,17 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     already split by ``spark.sql.files.maxPartitionBytes``, so this is
     a no-op there — the guard keeps us from paying a gratuitous
     full-width shuffle at 100 TB.
+
+    The under-partitioned check counts scan input files (a FileIndex
+    listing, no job/RDD materialization) rather than
+    ``df.rdd.getNumPartitions()``, which forced a plan-to-RDD
+    conversion on every query.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans: nothing to spread
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df

@@ -155,9 +155,19 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return spread(documents).select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    documents: DataFrame, max_hamming: int = 3, bucket_cap: int | None = 10000
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k, bucketed by
-    16-bit chunks (a pair within distance 3 shares ≥1 exact chunk)."""
+    16-bit chunks (a pair within distance 3 shares ≥1 exact chunk).
+
+    ``bucket_cap`` drops (chunk_id, chunk) buckets bigger than the cap
+    before the self-join: simhash values cluster on near-dup-heavy
+    corpora, and one hot bucket would otherwise go quadratic on a
+    single key (unbounded straggler at 100 TB). The count pass shuffles
+    only 16-bit chunk keys; dropping a hot bucket costs recall only for
+    pairs whose OTHER three chunks all differ — pairs within the
+    hamming budget almost always share a second, colder chunk."""
     s = simhash64(documents)
     chunks = s.select(
         "doc_id",
@@ -166,6 +176,14 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(*[F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
         ).alias("chunk_id", "chunk"),
     )
+    if bucket_cap is not None:
+        small = (
+            chunks.groupBy("chunk_id", "chunk")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") <= bucket_cap)
+            .select("chunk_id", "chunk")
+        )
+        chunks = chunks.join(small, ["chunk_id", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, ["chunk_id", "chunk"])

@@ -263,33 +263,72 @@ FROM scored QUALIFY rank <= 10
 """
 
 
-def embedding_neardup_pairs(
-    embeddings: DataFrame, n_planes: int = 16, threshold_x10k: int = 3000
+def neardup_candidates(
+    embeddings: DataFrame, n_planes: int = 32, bands: int = 4,
+    bucket_cap: int | None = 10000,
 ) -> DataFrame:
-    """All-pairs embedding near-dup: LSH chunk buckets propose
-    candidates (pairs sharing ≥1 of four 4-bit signature chunks), exact
-    cosine verifies. The candidate join shuffles only (chunk, 4-bit
-    sig) keys — never the vectors of non-candidates — which is the
-    100 TB shape; the adjacent-id variant is just a smoke check."""
+    """LSH candidate pairs for all-pairs embedding near-dup: banded
+    random-hyperplane signatures (``bands`` bands of ``n_planes/bands``
+    planes each), equi-joined on (band, band_signature) — the same
+    banded shape as ``minhash_lsh_pairs``.
+
+    Scale notes (why this survives 100×, unlike 4-bit chunks):
+    - an 8-bit band signature has 256 buckets/band, so unrelated pairs
+      collide with p ≈ 4/256 instead of the near-certain collision of
+      4-bit chunks (expected candidates ~n²/64 → ~n²·0.016, and the
+      constant improves exponentially with planes-per-band);
+    - ``bucket_cap`` drops (band, sig) buckets bigger than the cap
+      before the self-join: a degenerate hot bucket (all-identical
+      signatures on a clustered corpus) would otherwise go quadratic on
+      one key. Hot buckets are non-discriminative by construction, so
+      dropping them trades bounded recall for a hard runtime bound —
+      the standard LSH skew guard. The count pass shuffles only
+      (band, sig) keys.
+    Output: distinct (a_id, b_id) with a_id < b_id.
+    """
+    ppb = n_planes // bands
+    mask = (1 << ppb) - 1
     sigs = lsh_signatures(embeddings, n_planes)
-    e = embeddings.join(sigs, "vec_id").select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding", "lsh_sig"
-    )
-    chunks = e.select(
-        "vec_id",
+    banded = sigs.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned("lsh_sig", 4 * c).bitwiseAND(F.lit(0xF))
-                for c in range(4)
+                F.shiftrightunsigned("lsh_sig", ppb * b).bitwiseAND(F.lit(mask))
+                for b in range(bands)
             ])
-        ).alias("chunk_id", "chunk"),
+        ).alias("band", "band_sig"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(b, ["chunk_id", "chunk"])
+    if bucket_cap is not None:
+        small = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .where(F.col("bucket_n") <= bucket_cap)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(small, ["band", "band_sig"], "left_semi")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, n_planes: int = 32, bands: int = 4,
+    threshold_x10k: int = 3000, bucket_cap: int | None = 10000,
+) -> DataFrame:
+    """All-pairs embedding near-dup: banded LSH buckets propose
+    candidates (``neardup_candidates``), exact cosine verifies. The
+    candidate join shuffles only (band, 8-bit sig) keys and the verify
+    join ships vectors for CANDIDATE pairs only — never the n² pair
+    space — which is the 100 TB shape; the adjacent-id variant is just
+    a smoke check."""
+    cand = neardup_candidates(embeddings, n_planes=n_planes, bands=bands,
+                              bucket_cap=bucket_cap)
+    e = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
@@ -312,22 +351,26 @@ WITH sig AS (
                (x, i) -> CAST(x AS DOUBLE)
                          * CAST((((i - 1) * 2654435761 + b * 40503 + 12345) % 7) - 3 AS DOUBLE))) > 0
                THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
-           FOR b IN range(0, 16)]) AS s
+           FOR b IN range(0, 32)]) AS s
   FROM embeddings),
+banded AS (
+  SELECT vec_id, (s >> (8 * CAST(t.b AS INTEGER))) & 255 AS band_sig, t.b AS band
+  FROM sig, range(0, 4) t(b)),
+kept AS (
+  SELECT vec_id, band, band_sig FROM banded
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_sig) <= 10000),
 cand AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS emb_a, b.embedding AS emb_b
-  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
-  WHERE ((a.s >> 0) & 15) = ((b.s >> 0) & 15)
-     OR ((a.s >> 4) & 15) = ((b.s >> 4) & 15)
-     OR ((a.s >> 8) & 15) = ((b.s >> 8) & 15)
-     OR ((a.s >> 12) & 15) = ((b.s >> 12) & 15)),
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM kept a JOIN kept b USING (band, band_sig)
+  WHERE a.vec_id < b.vec_id),
 scored AS (
   SELECT a_id, b_id,
          CAST(FLOOR(
-           list_sum(list_transform(emb_a, (x, i) -> CAST(x AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)))
-           / ( sqrt(list_sum(list_transform(emb_a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+           list_sum(list_transform(ea.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+           / ( sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
            * 10000) AS BIGINT) AS cos_x10k
-  FROM cand)
+  FROM cand JOIN sig ea ON ea.vec_id = cand.a_id
+            JOIN sig eb ON eb.vec_id = cand.b_id)
 SELECT a_id, b_id, cos_x10k FROM scored WHERE cos_x10k >= 3000
 """

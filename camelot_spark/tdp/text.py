@@ -81,15 +81,22 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     """Position-weighted integer document fingerprint (rolling-hash
     analog, exact integer arithmetic → portable across engines):
     fp = Σ_i (len(w_i)*31 + ascii(w_i[0])) * ((i mod 97) + 1), i 1-based.
+
+    Scale shape: a per-row indexed array fold (transform-with-index →
+    aggregate) — no explode, no groupBy, ZERO shuffle. The previous
+    posexplode + groupBy(doc_id) form shipped one shuffle row per token
+    (the tokenized corpus) at 100 TB; this stays in whole-stage codegen
+    on the scan.
     """
-    exploded = documents.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w"))
-    term = (F.length("w") * 31 + F.ascii(F.substring("w", 1, 1))) * (
-        ((F.col("pos") + 1) % 97) + 1
+    terms = F.transform(
+        _tokens(F.col("text")),
+        lambda w, i: (
+            (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1)))
+            * (((i + 1) % 97) + 1)
+        ).cast("long"),
     )
-    return (
-        exploded.groupBy("doc_id")
-        .agg(F.sum(term).cast("bigint").alias("fp"))
-    )
+    fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return documents.select("doc_id", fp.cast("bigint").alias("fp"))
 
 
 LANGID_SQL = """

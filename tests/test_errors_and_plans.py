@@ -86,3 +86,80 @@ class TestPlanShapes:
         plan = simhash64(docs)._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" not in plan
         assert "Generate" not in plan  # no explode
+
+    def test_fingerprint_is_shuffle_free(self, spark):
+        """fingerprint must be a per-row array fold: no explode
+        (Generate), no groupBy (HashAggregate), no Exchange at all —
+        the posexplode+groupBy form would ship one shuffle row per
+        token (the tokenized corpus) at 100 TB."""
+        from camelot_spark.tdp.text import fingerprint
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = fingerprint(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan
+        assert "HashAggregate" not in plan
+        assert "Exchange" not in plan
+
+
+def _cluster_embeddings(spark, n_clusters=15, per_cluster=20, dim=16, seed=7):
+    """Clustered corpus: every member of a cluster is a tiny jitter off
+    the cluster base direction, so all real near-dup pairs are
+    within-cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.normal(size=dim)
+        for _ in range(per_cluster):
+            v = base + rng.normal(scale=1e-3, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+class TestLshCandidateBounds:
+    """The scale contract of the bucketed near-dup paths: candidate
+    counts stay far below n² on clustered corpora, and the bucket cap
+    bounds the degenerate hot-bucket case."""
+
+    def test_embedding_candidates_far_below_all_pairs(self, spark):
+        from camelot_spark.tdp.similarity import neardup_candidates
+
+        emb = _cluster_embeddings(spark)
+        n = emb.count()
+        all_pairs = n * (n - 1) // 2
+        within = 15 * (20 * 19 // 2)  # real near-dup pairs
+        cands = neardup_candidates(emb).count()
+        # recall: coherent clusters share whole signatures, so nearly all
+        # within-cluster pairs must surface as candidates
+        assert cands >= within * 0.9
+        # precision/scale: nowhere near all-pairs (4-bit chunks gave ~n²/16)
+        assert cands < 0.2 * all_pairs
+
+    def test_embedding_bucket_cap_bounds_hot_buckets(self, spark):
+        from camelot_spark.tdp.similarity import neardup_candidates
+
+        emb = _cluster_embeddings(spark)
+        uncapped = neardup_candidates(emb, bucket_cap=None).count()
+        capped = neardup_candidates(emb, bucket_cap=10).count()
+        # clusters of 20 exceed the cap of 10 on every coherent band, so
+        # their quadratic buckets are dropped entirely
+        assert capped < uncapped
+        assert capped < emb.count()
+
+    def test_simhash_cap_bounds_duplicate_heavy_corpus(self, spark):
+        from camelot_spark.tdp.dedup import simhash_near_dups
+
+        # 30% exact duplicates: 60 of 200 docs share one text => one
+        # simhash => hot buckets of 60 on all four chunks
+        dup = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, dup if i < 60 else f"unique document number {i} with words {i * 7} {i * 13}")
+                for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        uncapped = simhash_near_dups(docs, bucket_cap=None).count()
+        capped = simhash_near_dups(docs, bucket_cap=20).count()
+        assert uncapped >= 60 * 59 // 2  # the duplicate block is all-pairs
+        assert capped < uncapped
+        assert capped <= 200  # hot buckets dropped => bounded output
