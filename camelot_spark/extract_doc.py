@@ -37,6 +37,13 @@ def extract_document(spans: list[dict], cfg: StreamConfig | LatticeConfig) -> di
     else:
         tables = extract_lattice(page, cfg)
     out_spans = assemble_spans(page, tables)
+    # Reconstruction invariant for the sinks: the ``tables`` array must
+    # list tables in the SAME order their cell blocks appear in
+    # ``spans``. assemble_spans breaks bottom-y ties by x0 (then parser
+    # order), while the parsers sort by -y with insertion-order
+    # tie-break — two side-by-side tables sharing a baseline would
+    # otherwise map block i to tables[j].
+    tables = tables_in_span_order(tables)
     n = len(tables)
     return {
         "spans": out_spans,
@@ -45,6 +52,13 @@ def extract_document(spans: list[dict], cfg: StreamConfig | LatticeConfig) -> di
         "accuracy": (sum(t.accuracy for t in tables) / n) if n else None,
         "whitespace": (sum(t.whitespace for t in tables) / n) if n else None,
     }
+
+
+def tables_in_span_order(tables: list[TableResult]) -> list[TableResult]:
+    """Tables in the exact order assemble_spans emits their cell blocks:
+    the unit sort key (-anchor_y, x_anchor, rank, seq) restricted to
+    table units — (-bbox.bottom, bbox.left, order)."""
+    return sorted(tables, key=lambda t: (-t.bbox[1], t.bbox[0], t.order))
 
 
 def assemble_spans(page: Page, tables: list[TableResult]) -> list[tuple]:

@@ -14,6 +14,7 @@ with a geometry-less anno dict modeling the trailing LTAnno.
 
 from __future__ import annotations
 
+import contextvars
 import json
 import zlib
 
@@ -53,14 +54,16 @@ def make_line(text: str, x0: float, y0: float, h: float = H, char_w: float = CW,
     }
 
 
-# When True (builder_for(..., raw=True) inside the fused pipeline),
+# When set (builder_for(..., raw=True) inside the fused pipeline),
 # builders skip JSON-serializing payloads — raw_spans() is the only
-# consumer and it reads the payload dicts directly.
-_RAW_BUILD = False
+# consumer and it reads the payload dicts directly. A ContextVar (not a
+# module global) so a concurrent non-raw build in another thread of the
+# same interpreter can never observe the raw flag.
+_RAW_BUILD = contextvars.ContextVar("camelot_spark_raw_build", default=False)
 
 
 def span(kind: str, payload: dict, offset: int, media_ref: str = "") -> dict:
-    text = None if _RAW_BUILD else json.dumps(payload)
+    text = None if _RAW_BUILD.get() else json.dumps(payload)
     return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
 
 
@@ -673,7 +676,6 @@ def builder_for(doc_key: str, families: list[str] | None = None,
 
     ``raw=True`` skips JSON-serializing span payloads; only
     ``raw_spans()`` is valid on the result (the fused pipeline path)."""
-    global _RAW_BUILD
     fams = families or BENCH_FAMILIES
     seed = zlib.crc32(doc_key.encode())
     if (seed % 1000) / 1000.0 < skew_frac:
@@ -684,11 +686,11 @@ def builder_for(doc_key: str, families: list[str] | None = None,
     dy = float((seed >> 16) % 60)
     if not raw:
         return FAMILIES[fam](f"{fam}-{doc_key}", dx, dy)
-    _RAW_BUILD = True
+    token = _RAW_BUILD.set(True)
     try:
         return FAMILIES[fam](f"{fam}-{doc_key}", dx, dy)
     finally:
-        _RAW_BUILD = False
+        _RAW_BUILD.reset(token)
 
 
 def replicate(n_docs: int, families: list[str] | None = None, skew_family: str = "twotables",

@@ -211,7 +211,7 @@ def synthesize_and_extract(
     **kwargs,
 ):
     """Fused corpus path: fixture synthesis + extraction in ONE
-    mapInPandas stage.
+    mapInArrow stage.
 
     The two-stage form (synthesize_documents → extract) pays a full
     Arrow round-trip of the span structs through the JVM between the
@@ -293,6 +293,15 @@ def extract(
     )
 
 
+def is_table_identifier(target: str) -> bool:
+    """One rule for the table-vs-path decision, shared by every reader
+    and writer: a target with no path separator is a catalog table
+    identifier (Iceberg when the catalog is configured, the session
+    catalog otherwise); anything containing '/' is a filesystem path.
+    Use './name' for a relative parquet directory."""
+    return "/" not in target
+
+
 def run_extraction(
     spark,
     documents,
@@ -313,9 +322,7 @@ def run_extraction(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    # output is a catalog table (Iceberg when the catalog is configured;
-    # the session catalog otherwise) when it has no path separator
-    is_table = "/" not in output_path
+    is_table = is_table_identifier(output_path)
 
     docs = documents
     if resume:

@@ -12,10 +12,12 @@ inside whole-stage codegen with NO shuffle and no Python; the write is
 ``partitionBy(doc_id)``, the distributed analogue of one-file-per-table.
 
 Reconstruction invariant: cell spans are emitted as contiguous
-row-major blocks, one block per entry of ``tables`` in array order
-(parsers emit tables sorted by -y, the same order ``tables`` is
-built — `camelot/parsers/stream.py:455-456` semantics), so block i
-covers cells [Σ sizes[:i], Σ sizes[:i+1]).
+row-major blocks, one block per entry of ``tables`` in array order, so
+block i covers cells [Σ sizes[:i], Σ sizes[:i+1]). extract_document
+guarantees the match by ordering ``tables`` with the same composite
+key assemble_spans uses — (-bbox.bottom, bbox.left, parser order) —
+which also covers bottom-y ties between side-by-side tables
+(`extract_doc.tables_in_span_order`).
 
 Deviation: ``to_json`` emits an array-of-rows-of-strings rather than
 pandas' records orient (`core.py:589-607`) — the reference's record

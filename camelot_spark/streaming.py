@@ -3,7 +3,7 @@
 The reference has no streaming surface (SURVEY.md §2.9); this is the
 Spark-native continuous-ingest shape for the same kernel: new document
 files landing in a directory (or an Iceberg/Kafka source in
-production) flow through the identical ``mapInPandas`` extraction and
+production) flow through the identical ``mapInArrow`` extraction and
 append to the output sink, with the streaming checkpoint providing
 exactly-once resumability — a stronger form of the batch path's
 anti-join resume (`pipeline.run_extraction`).

@@ -32,19 +32,25 @@ def clean_corpus(documents: DataFrame, min_quality_x100: int = 50) -> DataFrame:
     len_term = F.least(n_tok, F.lit(100.0)) / F.lit(100.0)
     quality = F.floor((stop_ratio * 40 + long_ratio * 30 + len_term * 30) * 100).cast("bigint")
 
+    # group key carries two independent hashes + length as collision
+    # discriminators (see dedup_keep_first) — still never ships bodies
     scored = documents.select(
         F.col("doc_id").cast("bigint").alias("id"),
         F.xxhash64("text").alias("h"),
+        F.length("text").alias("n_len"),
+        F.crc32("text").alias("h2"),
         quality.alias("quality_x100"),
         "text",
     ).where(F.col("quality_x100") >= min_quality_x100)
 
     survivors = (
-        scored.groupBy("h")
+        scored.groupBy("h", "n_len", "h2")
         .agg(F.min("id").alias("keep_id"),
              F.count(F.lit(1)).cast("bigint").alias("group_size"))
     )
-    kept = survivors.join(scored.withColumnRenamed("id", "keep_id"), ["h", "keep_id"])
+    kept = survivors.join(
+        scored.withColumnRenamed("id", "keep_id"), ["h", "n_len", "h2", "keep_id"]
+    )
 
     def profile_pred(words):
         # close over the word list: Spark's HOF wrapper substitutes a

@@ -48,16 +48,20 @@ def parse_kw(pairs: list[str]) -> dict:
 
 
 def load_documents(spark, path: str):
-    """Iceberg table name (catalog.db.table) or parquet path."""
-    if "/" not in path and path.count(".") >= 1:
+    """Iceberg/catalog table name or parquet path — same rule as the
+    writer (`pipeline.is_table_identifier`): no '/' means table; use
+    './dir' for a relative parquet directory."""
+    from camelot_spark.pipeline import is_table_identifier
+
+    if is_table_identifier(path):
         return spark.read.table(path)
     return spark.read.parquet(path)
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--input", required=True, help="documents: parquet dir or Iceberg table")
-    ap.add_argument("--output", required=True, help="extracted: parquet dir or Iceberg table")
+    ap.add_argument("--input", required=True, help="documents: parquet path or catalog table (no '/' = table; use ./dir for relative paths)")
+    ap.add_argument("--output", required=True, help="extracted: parquet path or catalog table (no '/' = table; use ./dir for relative paths)")
     ap.add_argument("--flavor", choices=("stream", "lattice"), default="lattice")
     ap.add_argument("--doc-ids", default=None,
                     help="comma-separated doc_id allowlist (page-spec analogue, "
@@ -107,7 +111,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.export_path:
         from camelot_spark import sinks
 
-        extracted = (spark.read.table(args.output) if "/" not in args.output
+        from camelot_spark.pipeline import is_table_identifier
+
+        extracted = (spark.read.table(args.output) if is_table_identifier(args.output)
                      else spark.read.parquet(args.output))
         sinks.export(extracted, args.export_path, fmt=args.export_format)
 

@@ -76,6 +76,33 @@ def test_parsing_report(extracted):
     assert rep[("h1", 1)]["accuracy"] == 100.0
 
 
+def test_y_tied_tables_block_order_matches_tables_array():
+    """Two side-by-side tables sharing a bottom baseline: cell blocks
+    are emitted left-to-right by assemble_spans, so the tables list
+    must be reordered by the same (-bottom, left, order) key even when
+    the parser produced them right-first (insertion-order y-tie)."""
+    from camelot_spark.extract_doc import assemble_spans, tables_in_span_order
+    from camelot_spark.kernels.textlines import empty_textlines
+    from camelot_spark.parsers.common import TableResult
+    from camelot_spark.parsers.page import Page
+
+    def table(order, x0, x1, label):
+        return TableResult(order=order, bbox=(x0, 100.0, x1, 300.0),
+                           data=[[label]], accuracy=100.0, whitespace=0.0,
+                           nrows=1, ncols=1, flavor="stream")
+
+    right = table(1, 300.0, 500.0, "R")   # parser saw the right table first
+    left = table(2, 10.0, 200.0, "L")
+    page = Page(width=600.0, height=800.0,
+                horizontal_text=empty_textlines(),
+                vertical_text=empty_textlines())
+    spans = assemble_spans(page, [right, left])
+    ordered = tables_in_span_order([right, left])
+    # block i of the span sequence belongs to ordered[i]
+    assert [s[1] for s in spans if s[0] == "cell"] == ["L", "R"]
+    assert [t.order for t in ordered] == [2, 1]
+
+
 def test_no_shuffle_in_sink_plans(extracted):
     for fn in (sinks.to_csv, sinks.to_json, sinks.to_html, sinks.parsing_report):
         plan = fn(extracted)._jdf.queryExecution().executedPlan().toString()
