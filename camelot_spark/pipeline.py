@@ -302,6 +302,19 @@ def is_table_identifier(target: str) -> bool:
     return "/" not in target
 
 
+def read_extracted(spark, target: str):
+    """Read an extraction output written by ``run_extraction``: catalog
+    table, snapshot-log dir, or plain parquet dir (legacy outputs)."""
+    if is_table_identifier(target):
+        return spark.read.table(target)
+    from .snapshots import SnapshotLog
+
+    log = SnapshotLog(target)
+    if log.latest() is not None:
+        return log.read(spark)
+    return spark.read.parquet(target)
+
+
 def run_extraction(
     spark,
     documents,
@@ -312,12 +325,16 @@ def run_extraction(
     fail_fast: bool = False,
     **kwargs,
 ):
-    """Checkpointed job: extract → append to ``output_path`` (parquet
-    snapshot dir; Iceberg ``writeTo(...).append()`` when a catalog is
-    configured), with anti-join resume and observed per-run metrics.
+    """Checkpointed job: extract → append ONE snapshot to
+    ``output_path`` — an Iceberg/DSv2 ``writeTo(...).append()`` commit
+    for catalog tables, a ``SnapshotLog`` commit (atomic versioned
+    manifest over parquet, same semantics — see ``snapshots.py``) for
+    filesystem paths — with anti-join resume against the last committed
+    snapshot and observed per-run metrics.
 
     Returns the observation metrics dict for the run (doc/table counts,
-    error count) — the per-partition lineage rides on every row.
+    error count) — the per-partition lineage rides on every row, and
+    the path branch also records the metrics in the snapshot manifest.
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -327,10 +344,7 @@ def run_extraction(
     docs = documents
     if resume:
         try:
-            done = (
-                spark.read.table(output_path) if is_table
-                else spark.read.parquet(output_path)
-            ).select("doc_id")
+            done = read_extracted(spark, output_path).select("doc_id")
             # plain left_anti: AQE picks broadcast when `done` is small;
             # at 10^12 docs a forced broadcast would be wrong.
             docs = documents.join(done, "doc_id", "left_anti")
@@ -365,6 +379,12 @@ def run_extraction(
                 observed.writeTo(output_path).create()
             except AnalysisException:
                 observed.write.saveAsTable(output_path)
-    else:
-        observed.write.mode("append").parquet(output_path)
+        return obs.get
+    from .snapshots import SnapshotLog
+
+    log = SnapshotLog(output_path)
+    data_dir = log.new_data_dir()
+    observed.write.mode("error").parquet(data_dir)
+    metrics = {k: (float(v) if v is not None else None) for k, v in dict(obs.get).items()}
+    log.commit(data_dir, metrics=metrics)
     return obs.get

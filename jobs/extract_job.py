@@ -110,12 +110,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.export_path:
         from camelot_spark import sinks
+        from camelot_spark.pipeline import read_extracted
 
-        from camelot_spark.pipeline import is_table_identifier
-
-        extracted = (spark.read.table(args.output) if is_table_identifier(args.output)
-                     else spark.read.parquet(args.output))
-        sinks.export(extracted, args.export_path, fmt=args.export_format)
+        sinks.export(read_extracted(spark, args.output), args.export_path,
+                     fmt=args.export_format)
 
     print(json.dumps({"status": "ok", "metrics": {k: (float(v) if v is not None else None)
                                                   for k, v in dict(metrics).items()}}))

@@ -62,20 +62,63 @@ def test_poison_doc_captured_in_lineage(spark):
 
 
 def test_checkpoint_resume(spark, tmp_path):
+    from camelot_spark.pipeline import read_extracted
+    from camelot_spark.snapshots import SnapshotLog
+
     out_path = str(tmp_path / "extracted")
     b1, b2 = fx.doc_health("cp-1"), fx.doc_health("cp-2")
     df1 = docs_df(spark, [b1])
     run_extraction(spark, df1, out_path, flavor="stream")
-    first = spark.read.parquet(out_path)
+    first = read_extracted(spark, out_path)
     assert first.count() == 1
 
     # second run over both docs resumes: only cp-2 is processed
     df_both = docs_df(spark, [b1, b2])
     metrics = run_extraction(spark, df_both, out_path, flavor="stream")
     assert metrics["docs"] == 1
-    allrows = spark.read.parquet(out_path)
+    allrows = read_extracted(spark, out_path)
     assert allrows.count() == 2
     assert set(r["doc_id"] for r in allrows.select("doc_id").collect()) == {"cp-1", "cp-2"}
+
+    # snapshot-per-append: exactly one committed manifest per run, with
+    # a correct parent chain and the run's observed metrics recorded
+    hist = SnapshotLog(out_path).history()
+    assert [m["version"] for m in hist] == [1, 2]
+    assert hist[0]["parent_id"] is None
+    assert hist[1]["parent_id"] == hist[0]["snapshot_id"]
+    assert hist[0]["metrics"]["docs"] == 1.0 and hist[1]["metrics"]["docs"] == 1.0
+
+
+def test_snapshot_isolation_and_atomic_commit(spark, tmp_path):
+    """Uncommitted data files are invisible to readers; a commit is an
+    atomic manifest publish; version conflicts are detected, not
+    clobbered."""
+    import pytest
+
+    from camelot_spark.snapshots import CommitConflict, SnapshotLog
+
+    out_path = str(tmp_path / "snap_tbl")
+    b1 = fx.doc_health("iso-1")
+    run_extraction(spark, docs_df(spark, [b1]), out_path, flavor="stream")
+    log = SnapshotLog(out_path)
+    assert log.read(spark).count() == 1
+
+    # write data files WITHOUT committing a manifest: reader must not
+    # see them (this is the property a plain append-parquet dir lacks)
+    dangling = log.new_data_dir()
+    docs_df(spark, [fx.doc_health("iso-2")]).write.parquet(dangling)
+    assert log.read(spark).count() == 1
+    assert [m["version"] for m in log.history()] == [1]
+
+    # committing the same version twice must fail loudly (atomicity of
+    # the link-based publish), and commit() retries onto the next
+    # version instead
+    m1 = log.latest()
+    with pytest.raises(CommitConflict):
+        log._publish(m1["version"], m1)
+    m2 = log.commit(dangling)
+    assert m2["version"] == 2 and m2["parent_id"] == m1["snapshot_id"]
+    assert log.read(spark).count() == 2
 
 
 def test_no_shuffle_without_salt(spark, stream_builders):
