@@ -59,6 +59,13 @@ def _extract_corpus(flavor: str, families: list[str]):
     return q
 
 
+# The sink queries persist their (deterministic) extracted corpus here
+# so the DuckDB oracle can verify the RESHAPING — CSV assembly, report
+# flattening — on byte-identical input. The Spark query runs before its
+# oracle in the driver harness, so the parquet is always fresh.
+ORACLE_EXTRACT_PATH = "/tmp/camelot_spark_extracted_oracle"
+
+
 def _sink_query(kind: str):
     from camelot_spark import sinks
 
@@ -66,16 +73,61 @@ def _sink_query(kind: str):
         src = _load(spark, sf_dir, "documents")
         src = src.select("doc_id").repartition(spark.sparkContext.defaultParallelism * 4)
         ext = synthesize_and_extract(src, "stream", families=fx.STREAM_FAMILIES, fail_fast=True)
+        ext.select("doc_id", "spans", "tables").write.mode("overwrite").parquet(ORACLE_EXTRACT_PATH)
+        persisted = spark.read.parquet(ORACLE_EXTRACT_PATH)
         if kind == "report":
-            return sinks.parsing_report(ext).select(
-                "doc_id", "table_order", "nrows", "ncols",
+            return sinks.parsing_report(persisted).select(
+                "doc_id",
+                F.col("table_order").cast("bigint").alias("table_order"),
+                F.col("nrows").cast("bigint").alias("nrows"),
+                F.col("ncols").cast("bigint").alias("ncols"),
                 F.floor(F.col("accuracy")).cast("bigint").alias("acc_floor"),
             )
-        return sinks.to_csv(ext).select(
-            "doc_id", "table_order", F.length("payload").alias("n_chars")
+        return sinks.to_csv(persisted).select(
+            "doc_id", F.col("table_order").cast("bigint").alias("table_order"), "payload"
         )
 
     return q
+
+
+PARSING_REPORT_SQL = f"""
+WITH ext AS (SELECT * FROM read_parquet('{ORACLE_EXTRACT_PATH}/*.parquet')),
+t AS (SELECT doc_id, unnest(tables) AS tb FROM ext)
+SELECT doc_id,
+       CAST(tb."order" AS BIGINT) AS table_order,
+       CAST(tb.nrows AS BIGINT) AS nrows,
+       CAST(tb.ncols AS BIGINT) AS ncols,
+       CAST(FLOOR(ROUND(tb.accuracy, 2)) AS BIGINT) AS acc_floor
+FROM t
+"""
+
+TABLE_EXPORT_CSV_SQL = f"""
+WITH ext AS (SELECT * FROM read_parquet('{ORACLE_EXTRACT_PATH}/*.parquet')),
+tb AS (
+  SELECT doc_id,
+         unnest(tables) AS t,
+         generate_subscripts(tables, 1) AS ti,
+         tables,
+         [coalesce(s.text, '') FOR s IN spans IF s.kind = 'cell'] AS cells
+  FROM ext),
+off AS (
+  SELECT doc_id,
+         CAST(t."order" AS BIGINT) AS table_order,
+         t.nrows AS nrows, t.ncols AS ncols, cells,
+         CAST(COALESCE(list_sum([x.nrows * x.ncols FOR x IN tables[1:ti-1]]), 0) AS BIGINT) AS strt
+  FROM tb)
+SELECT doc_id, table_order,
+       array_to_string(
+         list_transform(range(0, nrows),
+           r -> array_to_string(
+                  list_transform(
+                    cells[CAST(strt + r * ncols + 1 AS INTEGER):CAST(strt + r * ncols + ncols AS INTEGER)],
+                    c -> CASE WHEN regexp_matches(c, '[",' || chr(10) || chr(13) || ']')
+                              THEN '"' || replace(c, '"', '""') || '"' ELSE c END),
+                  ',')),
+         chr(10)) AS payload
+FROM off
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -117,7 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "media_resize": lambda s, d: (
             multimodal.resize_media(_load(s, d, "documents"))
-            .select("doc_id", "width", "height", F.crc32("pixels").alias("pixels_crc"))
+            .select("doc_id", "width", "height", "pixels_sum", "pixels_poly")
         ),
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
@@ -154,7 +206,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": similarity.NEARDUP_PAIRS_SQL,
         "media_meta": multimodal.MEDIA_META_SQL,
         "frame_sample_counts": multimodal.FRAME_COUNTS_SQL,
-        # minhash_lsh_pairs / simhash_near_dups: xxhash64-dependent — rows-only.
+        "media_resize": multimodal.MEDIA_RESIZE_SQL,
+        "table_export_csv": TABLE_EXPORT_CSV_SQL,
+        "parsing_report": PARSING_REPORT_SQL,
+        # minhash_lsh_pairs / minhash_neardup_verified / simhash_near_dups:
+        # xxhash64-dependent — no DuckDB twin, rows-only (deterministic).
         # extract_stream_corpus / extract_lattice_corpus: the extraction
         # pipeline itself — not SQL-expressible, rows-only.
     }

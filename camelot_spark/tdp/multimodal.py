@@ -105,8 +105,12 @@ RESIZED_SCHEMA = StructType(
         StructField("width", IntegerType(), False),
         StructField("height", IntegerType(), False),
         StructField("pixels", BinaryType(), False),
+        StructField("pixels_sum", LongType(), False),
+        StructField("pixels_poly", LongType(), False),
     ]
 )
+
+_POLY_M = 1_000_000_007
 
 
 def resize_media(documents: DataFrame, width: int = 32, height: int = 24) -> DataFrame:
@@ -115,26 +119,58 @@ def resize_media(documents: DataFrame, width: int = 32, height: int = 24) -> Dat
     Decode is the deterministic fake (bytes as a 1×N grayscale strip);
     the resize itself is real vectorized numpy (stride-index gather),
     which is exactly what a PIL-backed version would feed it.
+
+    ``pixels_sum``/``pixels_poly`` are per-image checksums (byte sum and
+    the left-fold polynomial hash a*31+b mod 1e9+7 over the gathered
+    bytes) so a DuckDB oracle can verify the gather exactly without
+    binary-column support.
     """
+    n_px = width * height
+    # 31^(n-1-i) mod M per position: the vectorized form of the fold
+    pows = np.empty(n_px, dtype=np.int64)
+    p = 1
+    for k in range(n_px - 1, -1, -1):
+        pows[k] = p
+        p = (p * 31) % _POLY_M
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"doc_id": [], "width": [], "height": [], "pixels": []}
+            out = {"doc_id": [], "width": [], "height": [], "pixels": [],
+                   "pixels_sum": [], "pixels_poly": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 src = np.frombuffer(payload, dtype=np.uint8)
                 if src.size == 0:
                     src = np.zeros(1, dtype=np.uint8)
                 # fake decode: 1×N strip → resample to height×width by
                 # nearest-neighbor index gather (the real kernel body)
-                idx = (np.arange(width * height) * src.size) // (width * height)
-                img = src[idx].reshape(height, width)
+                idx = (np.arange(n_px) * src.size) // n_px
+                flat = src[idx].astype(np.int64)
                 out["doc_id"].append(doc_id)
                 out["width"].append(width)
                 out["height"].append(height)
-                out["pixels"].append(img.tobytes())
+                out["pixels"].append(flat.astype(np.uint8).reshape(height, width).tobytes())
+                out["pixels_sum"].append(int(flat.sum()))
+                out["pixels_poly"].append(int((flat * pows % _POLY_M).sum() % _POLY_M))
             yield pd.DataFrame(out)
 
     return attach_fake_payload(documents).mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+MEDIA_RESIZE_SQL = """
+WITH g AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, length(text) AS n
+  FROM documents),
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, 32 * 24),
+           k -> CAST(ord(substr(text, CAST((k * n) // (32 * 24) AS INTEGER) + 1, 1)) AS BIGINT)) AS pix
+  FROM g)
+SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+       CAST(list_sum(pix) AS BIGINT) AS pixels_sum,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), pix),
+                        (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS pixels_poly
+FROM px
+"""
 
 
 FRAME_SCHEMA = StructType(
