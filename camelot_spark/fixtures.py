@@ -208,7 +208,8 @@ def add_lattice_table(b: DocBuilder, cells: list[list[str]], xs: list[float],
                       drop_h: list[tuple] | None = None,
                       emit_media_golden: bool = True,
                       raster_scale: int | None = None,
-                      raster_levels: tuple[int, int] | None = None) -> dict:
+                      raster_levels: tuple[int, int] | None = None,
+                      raster_noise: tuple[int, int] | None = None) -> dict:
     """Fully/partially ruled lattice table.
 
     ``xs``: column boundary x coords (asc, len C+1); ``ys``: row boundary
@@ -251,6 +252,8 @@ def add_lattice_table(b: DocBuilder, cells: list[list[str]], xs: list[float],
         bitmap = _rasterize_segments(segs_v + segs_h, b.width, b.height, raster_scale)
         if raster_levels:
             bitmap["fg"], bitmap["bg"] = raster_levels
+        if raster_noise:
+            bitmap["noise_seed"], bitmap["noise_amp"] = raster_noise
         payload = {"bitmap": bitmap, "bbox": bbox}
     else:
         payload = {"segments_v": segs_v, "segments_h": segs_h, "bbox": bbox}
@@ -528,6 +531,26 @@ def doc_rasterfoo(doc_id: str = "rasterfoo-0", dx: float = 0.0, dy: float = 0.0)
     return b
 
 
+def doc_rasternoise(doc_id: str = "rasternoise-0", dx: float = 0.0, dy: float = 0.0):
+    """Noisy-scan lattice raster: the rasterfoo grid under deterministic
+    paper-grain noise (non-two-level input — models an anti-aliased /
+    scanned page). The Gaussian-weighted adaptive threshold
+    (`camelot/image_processing.py:39-51` ADAPTIVE_THRESH_GAUSSIAN_C
+    behavior) plus run-length opening must recover the identical grid,
+    so the golden equals the clean family's layout."""
+    b = DocBuilder(doc_id)
+    b.flavor = "lattice"
+    xs = [120.0 + 48.0 * j for j in range(8)]
+    ys = [620.0 - 22.0 * i for i in range(8)]
+    cells = _grid_texts(7, 7, "n")
+    cells[0] = [f"nh{j}" for j in range(7)]
+    t = add_lattice_table(b, cells, xs, ys, media_ref=f"mem://{doc_id}/raster-noise",
+                          raster_scale=2, raster_noise=(zlib.crc32(doc_id.encode()), 50))
+    b.add_table_golden(t["bbox"][1] - 1.0, t["bbox"][0] - 0.5, 1, cells)
+    b.add_prose("Noisy scanned ruling grid", xs[0], ys[0] + 30.0)
+    return b
+
+
 def doc_colspan(doc_id: str = "colspan-0", dx: float = 0.0, dy: float = 0.0):
     """Lattice grid with a missing interior vertical edge → hspan; text
     placed in the right half of the merged cell shifts LEFT under the
@@ -640,6 +663,7 @@ FAMILIES = {
     "rasterfoo": doc_rasterfoo,
     "vheaders": doc_vheaders,
     "rasterbg": doc_rasterbg,
+    "rasternoise": doc_rasternoise,
     "manytables": doc_manytables,
     "twotables": doc_twotables,
     "rowspan": doc_rowspan,

@@ -19,11 +19,14 @@ Image convention matches the reference raster: row 0 = top of the
 page, x right / y down; PDF space is bottom-left-origin. All segment /
 table outputs are integer pixel coords until ``scale_image_to_pdf``.
 
-Deviation noted: the reference's adaptive threshold uses a Gaussian-
-weighted window (`cv2.ADAPTIVE_THRESH_GAUSSIAN_C`); we use a box mean
-over the same ``blocksize`` window. For ruling-line detection the two
-are interchangeable (binary decision, high-contrast line art); a
-Gaussian window is a separable convolution away if ever needed.
+The local window is Gaussian-weighted by default, matching the
+reference's `cv2.ADAPTIVE_THRESH_GAUSSIAN_C` (`image_processing.py:43`):
+weights come from cv2's published sigma formula for large kernels
+(sigma = 0.3·((k−1)·0.5 − 1) + 0.8, getGaussianKernel docs) as a
+separable convolution with edge replication (cv2's BORDER_REPLICATE).
+The round-1 box-mean window remains available via ``window="box"``
+(identical decisions on clean two-level line art; diverges on
+noisy/anti-aliased rasters, where Gaussian is the reference behavior).
 """
 
 from __future__ import annotations
@@ -45,19 +48,50 @@ def _box_mean(g: np.ndarray, k: int) -> np.ndarray:
     return (a - b - c + d) / float(k * k)
 
 
+def _gaussian_kernel(k: int) -> np.ndarray:
+    """1-D normalized Gaussian, cv2.getGaussianKernel semantics for
+    ksize > 7: sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8."""
+    sigma = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8
+    x = np.arange(k, dtype=np.float64) - (k - 1) / 2.0
+    w = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return w / w.sum()
+
+
+def _gaussian_mean(g: np.ndarray, k: int) -> np.ndarray:
+    """k×k Gaussian-weighted local mean: separable 1-D convolutions
+    (k vectorized adds per axis — O(k·H·W), no scipy) with
+    edge-replicated borders."""
+    w = _gaussian_kernel(k)
+    pad = k // 2
+    p = np.pad(g, pad, mode="edge").astype(np.float64)
+    H = g.shape[0]
+    Wd = g.shape[1]
+    rows = np.zeros((H, p.shape[1]), dtype=np.float64)
+    for t in range(k):
+        rows += w[t] * p[t:t + H, :]
+    out = np.zeros((H, Wd), dtype=np.float64)
+    for t in range(k):
+        out += w[t] * rows[:, t:t + Wd]
+    return out
+
+
 def adaptive_threshold(
-    img: np.ndarray, process_background: bool = False, blocksize: int = 15, c: int = -2
+    img: np.ndarray, process_background: bool = False, blocksize: int = 15,
+    c: int = -2, window: str = "gaussian"
 ) -> np.ndarray:
     """Grayscale (H, W) uint8 → binary ruling mask — `image_processing.py:9-53`.
 
     Foreground lines (dark on light) are inverted first unless
     ``process_background``; a pixel passes when it exceeds its local
-    window mean minus ``c`` (cv2 THRESH_BINARY semantics).
+    window mean minus ``c`` (cv2 THRESH_BINARY semantics). ``window``
+    picks the local-mean weighting: "gaussian" (reference
+    ADAPTIVE_THRESH_GAUSSIAN_C behavior, default) or "box".
     """
     g = np.asarray(img, dtype=np.float64)
     if not process_background:
         g = 255.0 - g
-    return g > (_box_mean(g, blocksize) - float(c))
+    mean = _gaussian_mean(g, blocksize) if window == "gaussian" else _box_mean(g, blocksize)
+    return g > (mean - float(c))
 
 
 def _runs_along_rows(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -300,7 +334,16 @@ def encode_bitmap(black_mask: np.ndarray) -> dict:
 def decode_bitmap(payload: dict) -> np.ndarray:
     """Payload dict → (H, W) uint8 grayscale. Default black lines on a
     white page; ``fg``/``bg`` override the two levels (e.g. bright
-    background rulings for the process_background path)."""
+    background rulings for the process_background path).
+
+    ``noise_amp``/``noise_seed`` add deterministic paper-grain noise:
+    background pixels shift up to ``noise_amp`` levels toward the
+    foreground (seeded generator — byte-stable across runs). A small
+    clean halo is kept around strokes so grain models paper texture,
+    not ink bleed — grain adjacent to a ruling would otherwise extend
+    its pixel run and perturb detected segment endpoints. This is the
+    noisy-scan stand-in that exercises the Gaussian threshold window on
+    non-two-level input."""
     import base64
 
     w, h = int(payload["w"]), int(payload["h"])
@@ -310,4 +353,18 @@ def decode_bitmap(payload: dict) -> np.ndarray:
     mask = np.unpackbits(bits, count=w * h).reshape(h, w).astype(bool)
     img = np.full((h, w), bg, dtype=np.uint8)
     img[mask] = fg
+    amp = int(payload.get("noise_amp", 0))
+    if amp:
+        rng = np.random.default_rng(int(payload.get("noise_seed", 0)))
+        noise = rng.integers(0, amp + 1, size=(h, w)).astype(np.int16)
+        pad = 3
+        pm = np.pad(mask, pad)
+        halo = np.zeros_like(mask)
+        for dr in range(-pad, pad + 1):
+            for dc in range(-pad, pad + 1):
+                halo |= pm[pad + dr:pad + dr + h, pad + dc:pad + dc + w]
+        sign = 1 if fg > bg else -1
+        out = img.astype(np.int16)
+        out[~halo] += sign * noise[~halo]
+        img = np.clip(out, 0, 255).astype(np.uint8)
     return img

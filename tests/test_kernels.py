@@ -302,6 +302,57 @@ class TestRasterKernels:
         assert thr[50, 150] and thr[100, 50]      # line pixels pass
         assert not thr[10, 10] and not thr[190, 290]  # background drops
 
+    def test_gaussian_kernel_matches_cv2_formula(self):
+        """Weights follow cv2.getGaussianKernel's published large-ksize
+        sigma: 0.3*((k-1)*0.5 - 1) + 0.8 (k=15 → sigma 2.6)."""
+        from camelot_spark.kernels import raster as rk
+        import numpy as np
+        w = rk._gaussian_kernel(15)
+        assert abs(w.sum() - 1.0) < 1e-12
+        sigma = 2.6
+        expect = np.exp(-(np.arange(15) - 7.0) ** 2 / (2 * sigma * sigma))
+        expect /= expect.sum()
+        assert np.allclose(w, expect)
+        # symmetric, peaked at center
+        assert np.allclose(w, w[::-1]) and w.argmax() == 7
+
+    def test_gaussian_window_diverges_from_box_on_antialiased_input(self):
+        """On two-level line art the windows agree (round-1 equivalence
+        claim); on an anti-aliased/noisy raster they must differ — the
+        Gaussian discounts window-edge pixels that a box mean weights
+        fully, which is the reference's ADAPTIVE_THRESH_GAUSSIAN_C
+        behavior."""
+        from camelot_spark.kernels import raster as rk
+        import numpy as np
+        clean = self._page()
+        g = rk.adaptive_threshold(clean, window="gaussian")
+        bx = rk.adaptive_threshold(clean, window="box")
+        assert (g == bx).all()
+        # anti-aliased: a mid-level plateau with a bright ring at the
+        # window edge — box mean (ring fully weighted) suppresses the
+        # center pixel, gaussian mean (ring discounted) passes it
+        img = np.full((31, 31), 95, dtype=np.uint8)
+        img[15, 15] = 104
+        for d in (-7, 7):
+            img[15 + d, 8:23] = 255
+            img[8:23, 15 + d] = 255
+        ga = rk.adaptive_threshold(img, process_background=True, window="gaussian")
+        bo = rk.adaptive_threshold(img, process_background=True, window="box")
+        assert ga[15, 15] and not bo[15, 15]
+
+    def test_noisy_bitmap_decode_deterministic(self):
+        from camelot_spark.kernels import raster as rk
+        import numpy as np
+        mask = np.zeros((60, 80), dtype=bool)
+        mask[30, 10:70] = True
+        payload = rk.encode_bitmap(mask)
+        payload["noise_amp"], payload["noise_seed"] = 50, 7
+        a, b = rk.decode_bitmap(payload), rk.decode_bitmap(payload)
+        assert (a == b).all()
+        # stroke + halo stay clean; background carries grain
+        assert (a[27:34, 7:73] == np.where(mask, 0, 255)[27:34, 7:73]).all()
+        assert (a[0:10] < 255).any()
+
     def test_adaptive_threshold_process_background(self):
         from camelot_spark.kernels import raster as rk
         import numpy as np
