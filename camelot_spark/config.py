@@ -23,6 +23,10 @@ class StreamConfig:
     edge_tol: float = 50
     row_tol: float = 2
     column_tol: float = 0
+    # LAParams analogue (`camelot/utils.py:763-814` get_page_layout):
+    # {"char_margin": 1.0, "word_margin": 0.1} regroup textline chars
+    # in-kernel before parsing; None keeps the encoded grouping.
+    layout_kwargs: dict | None = None
 
     def __post_init__(self):
         if self.table_areas is not None and self.columns is not None:
@@ -47,6 +51,7 @@ class LatticeConfig:
     threshold_constant: int = -2
     iterations: int = 0
     resolution: int = 300
+    layout_kwargs: dict | None = None
 
 
 # kwargs only valid for one flavor — `camelot/utils.py:108-119`
@@ -65,12 +70,25 @@ LATTICE_ONLY = {
 }
 
 
+# implemented get_page_layout knobs (`camelot/utils.py:763-814`);
+# line_margin shapes PDFMiner textboxes, which extraction never reads
+LAYOUT_KEYS = {"char_margin", "word_margin"}
+
+
 def validate_input(kwargs: dict, flavor: str = "lattice") -> None:
-    """Reject kwargs belonging to the other flavor — `utils.py:121-134`."""
+    """Reject kwargs belonging to the other flavor — `utils.py:121-134` —
+    and unknown layout_kwargs keys."""
     bad = LATTICE_ONLY & set(kwargs) if flavor == "stream" else STREAM_ONLY & set(kwargs)
     if bad:
         raise ValueError(
             "{} cannot be used with flavor='{}'".format(",".join(sorted(bad)), flavor)
+        )
+    bad_lk = set(kwargs.get("layout_kwargs") or {}) - LAYOUT_KEYS
+    if bad_lk:
+        raise ValueError(
+            "unsupported layout_kwargs: {} (supported: {})".format(
+                ",".join(sorted(bad_lk)), ",".join(sorted(LAYOUT_KEYS))
+            )
         )
 
 

@@ -31,7 +31,7 @@ def extract_document(spans: list[dict], cfg: StreamConfig | LatticeConfig) -> di
     Returns {spans: [(kind,text,media_ref,order)...], tables:
     [TableResult...], n_tables, accuracy, whitespace}.
     """
-    page = parse_page(spans)
+    page = parse_page(spans, layout_kwargs=cfg.layout_kwargs)
     if isinstance(cfg, StreamConfig):
         tables = extract_stream(page, cfg)
     else:

@@ -531,6 +531,53 @@ def doc_rasterfoo(doc_id: str = "rasterfoo-0", dx: float = 0.0, dy: float = 0.0)
     return b
 
 
+def add_chars_run(b: DocBuilder, text: str, x0: float, y0: float,
+                  gaps: dict[int, float] | None = None) -> dict:
+    """One text_h span encoded as a raw char run: ``gaps[i]`` points of
+    extra space BEFORE char i. The encoded line keeps the run as one
+    textline; extraction-time layout_kwargs decide the real grouping
+    (LAParams analogue, `camelot/utils.py:763-814`)."""
+    chars = []
+    x = x0
+    for i, c in enumerate(text):
+        if gaps and i in gaps:
+            x += gaps[i]
+        chars.append({"c": c, "x0": x, "y0": y0, "x1": x + CW, "y1": y0 + H})
+        x += CW
+    payload = {
+        "t": text + "\n",
+        "x0": x0, "y0": y0, "x1": chars[-1]["x1"], "y1": y0 + H,
+        "chars": chars + [{"c": "\n"}],
+    }
+    b.add_span("text_h", payload)
+    return payload
+
+
+def doc_laparams(doc_id: str = "laparams-0", dx: float = 0.0, dy: float = 0.0):
+    """LAParams knob family (SURVEY S4): one body cell arrives as a raw
+    char run with a 12 pt interior gap. Under the non-default
+    char_margin=4.0 the gap (12 < 4.0·5) stays inside ONE textline and
+    word_margin inserts a space → cell 'q3 totals'. Under the default
+    margins the same run would split into two textlines ('q3'/'totals',
+    12 ≥ 1.0·5) — pinned by a unit test; the golden here is the
+    non-default grouping, derived by hand from the margins."""
+    b = DocBuilder(doc_id)
+    col_x = [72.0 + dx, 180.0 + dx, 300.0 + dx, 420.0 + dx]
+    cells = _grid_texts(8, 4, "l")
+    cells[0] = ["period", "units", "net", "gross"]
+    y_top = 600.0 + dy
+    run_row = 3
+    cells[run_row][0] = ""  # emitted as a char run below instead
+    t = add_stream_table(b, cells, col_x, y_top)
+    add_chars_run(b, "q3totals", col_x[0], y_top - run_row * ROW_H, gaps={2: 12.0})
+    golden = [row[:] for row in cells]
+    golden[run_row][0] = "q3 totals"
+    b.add_table_golden(t["anchor_estimate"] - 10.0, col_x[0] - 10.0, 1, golden)
+    b.add_prose("Quarterly margins summary", 72.0 + dx, y_top + 80.0)
+    b.extract_kwargs = {"layout_kwargs": {"char_margin": 4.0, "word_margin": 0.1}}
+    return b
+
+
 def doc_rasternoise(doc_id: str = "rasternoise-0", dx: float = 0.0, dy: float = 0.0):
     """Noisy-scan lattice raster: the rasterfoo grid under deterministic
     paper-grain noise (non-two-level input — models an anti-aliased /
@@ -664,6 +711,7 @@ FAMILIES = {
     "vheaders": doc_vheaders,
     "rasterbg": doc_rasterbg,
     "rasternoise": doc_rasternoise,
+    "laparams": doc_laparams,
     "manytables": doc_manytables,
     "twotables": doc_twotables,
     "rowspan": doc_rowspan,

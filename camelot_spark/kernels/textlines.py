@@ -94,6 +94,68 @@ def make_textlines(records: list[dict]) -> TL:
     return TL(x0, y0, x1, y1, text, chars, offset)
 
 
+def regroup_horizontal(records: list[dict], char_margin: float = 1.0,
+                       word_margin: float = 0.1) -> list[dict]:
+    """LAParams-analogue textline regrouping — the extractor-side knob
+    for `camelot/utils.py:763-814` (``get_page_layout`` exposes
+    PDFMiner's char/word margins; camelot's default char_margin is 1.0).
+
+    PDFMiner ``LTLayoutContainer`` semantics per encoded char run: a
+    horizontal gap >= char_margin * max(adjacent char widths) starts a
+    NEW textline; a smaller gap > word_margin * max widths inserts a
+    space (the LTAnno word break). Geometry-less annos are re-synthesized
+    per output line. Regrouping is per input record (the encoder pools
+    chars per baseline already); cross-record merging and the
+    paragraph-level ``line_margin`` are not implemented (documented
+    deviation — line_margin shapes LTTextBoxes, which the extraction
+    never consumes).
+    """
+    out = []
+    for rec in records:
+        chars = [c for c in (rec.get("chars") or []) if "x0" in c]
+        if len(chars) < 2:
+            out.append(rec)
+            continue
+        groups: list[list[dict]] = [[chars[0]]]
+        spaces: list[list[bool]] = [[False]]  # insert space before char i?
+        prev = chars[0]
+        for ch in chars[1:]:
+            gap = ch["x0"] - prev["x1"]
+            w = max(prev["x1"] - prev["x0"], ch["x1"] - ch["x0"])
+            if gap >= char_margin * w:
+                groups.append([ch])
+                spaces.append([False])
+            else:
+                spaces[-1].append(gap > word_margin * w)
+                groups[-1].append(ch)
+            prev = ch
+        if len(groups) == 1 and not any(spaces[0]):
+            out.append(rec)
+            continue
+        for cs, sp in zip(groups, spaces):
+            text_parts: list[str] = []
+            new_chars: list[dict] = []
+            for c, s in zip(cs, sp):
+                if s:
+                    text_parts.append(" ")
+                    new_chars.append({"c": " "})
+                text_parts.append(c["c"])
+                new_chars.append(c)
+            new_chars.append({"c": "\n"})
+            out.append(
+                {
+                    "t": "".join(text_parts) + "\n",
+                    "x0": cs[0]["x0"],
+                    "y0": min(c["y0"] for c in cs),
+                    "x1": cs[-1]["x1"],
+                    "y1": max(c["y1"] for c in cs),
+                    "chars": new_chars,
+                    "offset": rec.get("offset", -1),
+                }
+            )
+    return out
+
+
 def empty_textlines() -> TL:
     z = np.empty(0)
     return TL(z, z, z, z, [], [], np.empty(0, dtype=np.int64))

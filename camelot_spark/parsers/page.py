@@ -41,13 +41,17 @@ class Page:
     n_spans: int = 0
 
 
-def parse_page(spans: list[dict]) -> Page:
+def parse_page(spans: list[dict], layout_kwargs: dict | None = None) -> Page:
     """Decode one document's span array into a :class:`Page`.
 
     Rotation is detected from char CTM signs (`camelot/utils.py:286-314`)
     and, when present, all geometry is unrotated and text_h/text_v
     swapped — the in-kernel equivalent of the reference's physical page
     rotation (`camelot/handlers.py:130-133`).
+
+    ``layout_kwargs`` (char_margin/word_margin) regroup horizontal
+    textline chars before parsing — the LAParams analogue
+    (`camelot/utils.py:763-814`); None keeps the encoded grouping.
     """
     width = height = 0.0
     h_rec, v_rec, media = [], [], []
@@ -84,6 +88,12 @@ def parse_page(spans: list[dict]) -> Page:
                 )
             )
 
+    if layout_kwargs:
+        h_rec = tlk.regroup_horizontal(
+            h_rec,
+            char_margin=float(layout_kwargs.get("char_margin", 1.0)),
+            word_margin=float(layout_kwargs.get("word_margin", 0.1)),
+        )
     h_text = tlk.make_textlines(h_rec)
     v_text = tlk.make_textlines(v_rec)
 

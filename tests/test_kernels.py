@@ -302,6 +302,43 @@ class TestRasterKernels:
         assert thr[50, 150] and thr[100, 50]      # line pixels pass
         assert not thr[10, 10] and not thr[190, 290]  # background drops
 
+    def test_layout_kwargs_regrouping(self):
+        """LAParams analogue (`camelot/utils.py:763-814`): char_margin
+        splits a run at wide gaps, word_margin inserts spaces, and the
+        same encoded document extracts differently under different
+        margins (the S4 knob is load-bearing end-to-end)."""
+        from camelot_spark import extract_document, make_config
+        from camelot_spark import fixtures as fx
+        from camelot_spark.kernels.textlines import regroup_horizontal
+
+        b = fx.doc_laparams("lk")
+        run = [s for s in b.spans if s["kind"] == "text_h"]
+        import json
+        recs = [json.loads(s["text"]) for s in run if "q3" in s["text"]]
+        assert len(recs) == 1
+        # default camelot margins: 12pt gap >= 1.0*5 → two lines
+        two = regroup_horizontal(recs, char_margin=1.0, word_margin=0.1)
+        assert [r["t"] for r in two] == ["q3\n", "totals\n"]
+        # char_margin 4.0: 12 < 20 → one line, word break inserts space
+        one = regroup_horizontal(recs, char_margin=4.0, word_margin=0.1)
+        assert [r["t"] for r in one] == ["q3 totals\n"]
+        assert one[0]["x0"] == recs[0]["x0"] and one[0]["x1"] == recs[0]["x1"]
+
+        def cell_of(cfg_kwargs):
+            res = extract_document(b.spans, make_config("stream", **cfg_kwargs))
+            return [s[1] for s in res["spans"] if s[0] == "cell" and "q3" in s[1]]
+
+        assert cell_of({"layout_kwargs": {"char_margin": 4.0}}) == ["q3 totals"]
+        assert cell_of({"layout_kwargs": {"char_margin": 1.0}}) == ["q3\ntotals"]
+        assert cell_of({}) == ["q3totals"]  # None → encoded grouping kept
+
+    def test_layout_kwargs_validation(self):
+        import pytest
+        from camelot_spark.config import make_config
+
+        with pytest.raises(ValueError, match="unsupported layout_kwargs"):
+            make_config("stream", layout_kwargs={"detect_vertical": True})
+
     def test_gaussian_kernel_matches_cv2_formula(self):
         """Weights follow cv2.getGaussianKernel's published large-ksize
         sigma: 0.3*((k-1)*0.5 - 1) + 0.8 (k=15 → sigma 2.6)."""
