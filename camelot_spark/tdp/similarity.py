@@ -125,34 +125,48 @@ def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return cosine_topk(cands, query_vec_id=query_vec_id, k=k)
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
-    """IVF coarse assignment: cell = argmin distance to K deterministic
-    pivot directions (axis-aligned pairs) — a stand-in for trained
-    centroids that keeps the probe-one-cell plan shape."""
-    def _masked(c):
-        return lambda x, i: F.when(
-            (i * 31 + F.lit(c)) % n_cells == 0, x.cast("double")
-        ).otherwise(F.lit(0.0))
+def _pivot_row(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """1-row DataFrame holding the K data-derived pivots as an ordered
+    array<struct<pid, p_emb>> — deterministic sampled centroids: the K
+    vectors with the smallest (vec_id·2654435761 + 40503) mod 1e9+7
+    (a seeded hash shuffle, reproducible in DuckDB; no stored model).
 
-    cell = None
-    best = None
-    for c in range(n_cells):
-        # pivot c: +1 on dims where (dim*31+c) % n_cells == 0
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.transform(F.col("embedding"), lambda x, i: i),
-                _masked(c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if cell is None:
-            cell, best = F.lit(c), proj
-        else:
-            cell = F.when(proj > best, F.lit(c)).otherwise(cell)
-            best = F.greatest(best, proj)
-    return embeddings.select("vec_id", cell.cast("int").alias("ivf_cell"))
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-K then a K-row merge, never a global sort — and
+    the result broadcasts as ONE row, so assignment stays a broadcast
+    join + per-row array fold."""
+    h = (F.col("vec_id").cast("bigint") * F.lit(2654435761) + F.lit(40503)) % F.lit(
+        1000000007
+    )
+    pivots = (
+        embeddings.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+        .select("h", "vec_id", F.col("embedding").alias("p_emb"))
+    )
+    # pid = hash rank (1-based); array_sort on the leading (h, vec_id)
+    # fields recovers the rank order after collect_list
+    return pivots.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "vec_id", "p_emb"))),
+            lambda s, i: F.struct((i + 1).alias("pid"), s["p_emb"].alias("p_emb")),
+        ).alias("pivots")
+    )
+
+
+def _cos_to(p_emb):
+    return _dot(F.col("embedding"), p_emb) / (_norm(F.col("embedding")) * _norm(p_emb))
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF coarse assignment: cell = argmax cosine against K data-derived
+    pivots (first max wins ties). One broadcast of the K-pivot row +
+    a per-row JVM array fold — zero shuffle on the vectors."""
+    prow = _pivot_row(embeddings, n_cells)
+    scored = embeddings.crossJoin(F.broadcast(prow))
+    scores = F.transform(F.col("pivots"), lambda p: _cos_to(p["p_emb"]))
+    cell = F.array_position(scores, F.array_max(scores)) - 1
+    return scored.select("vec_id", cell.cast("int").alias("ivf_cell"))
 
 
 ANN_TOPK_SQL = """
@@ -182,39 +196,69 @@ FROM e a JOIN e b ON b.id = a.id + 1
 
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
-             n_cells: int = 8) -> DataFrame:
-    """IVF probe: coarse-assign every vector to a cell, then brute-force
-    rank ONLY the query's cell — the inverted-file ANN plan shape
-    (candidate set ≈ corpus / n_cells; the cell filter prunes before
-    any expensive scoring)."""
+             n_cells: int = 8, probes: int = 2) -> DataFrame:
+    """Multi-probe IVF: coarse-assign every vector to its nearest data-
+    derived pivot, then brute-force rank only the vectors in the query's
+    ``probes`` nearest cells — the inverted-file ANN plan shape
+    (candidate set ≈ probes·corpus/n_cells; the cell filter prunes
+    before any expensive scoring, and probing >1 cell recovers the
+    neighbors that straddle a cell boundary)."""
+    prow = _pivot_row(embeddings, n_cells)
     assigned = ivf_assign(embeddings, n_cells=n_cells)
-    q_cell = assigned.where(F.col("vec_id") == query_vec_id).select(
-        F.col("ivf_cell").alias("q_cell")
+    # query's top-P cells by pivot cosine (desc, pivot index tie-break)
+    q = embeddings.where(F.col("vec_id") == query_vec_id).crossJoin(F.broadcast(prow))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("pivots"),
+            lambda p, i: F.struct((-_cos_to(p["p_emb"])).alias("neg"), i.alias("idx")),
+        )
     )
-    cand_ids = (
-        assigned.crossJoin(F.broadcast(q_cell))
-        .where(F.col("ivf_cell") == F.col("q_cell"))
-        .select("vec_id")
+    q_cells = q.select(
+        F.explode(
+            F.transform(F.slice(ranked, 1, probes), lambda s: s["idx"].cast("int"))
+        ).alias("q_cell")
     )
+    cand_ids = assigned.join(
+        F.broadcast(q_cells), assigned.ivf_cell == q_cells.q_cell, "left_semi"
+    ).select("vec_id")
     return cosine_topk(embeddings.join(cand_ids, "vec_id"), query_vec_id=query_vec_id, k=k)
 
 
-IVF_TOPK_SQL = """
-WITH proj AS (
-  SELECT vec_id, embedding,
-         [list_sum(list_transform(embedding,
-             (x, i) -> CASE WHEN ((i - 1) * 31 + c) % 8 = 0
-                       THEN CAST(x AS DOUBLE) ELSE 0.0 END))
-          FOR c IN range(0, 8)] AS ps
-  FROM embeddings),
-assigned AS (
-  SELECT vec_id, embedding, list_position(ps, list_max(ps)) - 1 AS cell
-  FROM proj),
-q AS (SELECT embedding AS q_emb, cell AS q_cell FROM assigned WHERE vec_id = 0),
-cand AS (
-  SELECT a.vec_id, a.embedding FROM assigned a, q
-  WHERE a.cell = q.q_cell AND a.vec_id <> 0),
+# shared CTE text: data-derived pivots + cosine scores per vector
+_IVF_SCORES_CTE = """
+piv AS (
+  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761 + 40503) % 1000000007, vec_id) AS pid,
+         embedding AS p_emb
+  FROM embeddings QUALIFY pid <= 8),
+plist AS (SELECT list(p_emb ORDER BY pid) AS pivots FROM piv),
 scored AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(pivots, p ->
+           list_sum(list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(p[i] AS DOUBLE)))
+           / ( sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )) AS ss
+  FROM embeddings e, plist)
+"""
+
+IVF_ASSIGN_SQL = f"""
+WITH {_IVF_SCORES_CTE}
+SELECT vec_id, CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS ivf_cell
+FROM scored
+"""
+
+IVF_TOPK_SQL = f"""
+WITH {_IVF_SCORES_CTE},
+assigned AS (
+  SELECT vec_id, embedding, list_position(ss, list_max(ss)) - 1 AS cell FROM scored),
+qcells AS (
+  SELECT u.gs.i - 1 AS q_cell
+  FROM (SELECT unnest(list_sort([{{'neg': -ss[i], 'i': i}} FOR i IN range(1, len(ss) + 1)])[1:2]) AS gs
+        FROM scored WHERE vec_id = 0) u),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT a.vec_id, a.embedding FROM assigned a
+  WHERE a.cell IN (SELECT q_cell FROM qcells) AND a.vec_id <> 0),
+topk AS (
   SELECT vec_id,
          list_sum(list_transform(cand.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)))
          / ( sqrt(list_sum(list_transform(cand.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -222,20 +266,7 @@ scored AS (
   FROM cand, q)
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-FROM scored QUALIFY rank <= 10
-"""
-
-
-IVF_ASSIGN_SQL = """
-WITH proj AS (
-  SELECT vec_id,
-         [list_sum(list_transform(embedding,
-             (x, i) -> CASE WHEN ((i - 1) * 31 + c) % 8 = 0
-                       THEN CAST(x AS DOUBLE) ELSE 0.0 END))
-          FOR c IN range(0, 8)] AS ps
-  FROM embeddings)
-SELECT vec_id, CAST(list_position(ps, list_max(ps)) - 1 AS INTEGER) AS ivf_cell
-FROM proj
+FROM topk QUALIFY rank <= 10
 """
 
 ANN_LSH_TOPK_SQL = """

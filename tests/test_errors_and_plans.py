@@ -149,6 +149,24 @@ class TestLshCandidateBounds:
         assert capped < uncapped
         assert capped < emb.count()
 
+    def test_ivf_data_pivots_recall_and_pruning(self, spark):
+        """Data-derived pivots + multi-probe: on a clustered corpus the
+        query's cluster lands in the probed cells, so IVF top-10 equals
+        brute-force top-10 (recall@10 = 1.0) while scoring only a
+        fraction of the corpus (the axis-mask pivots this replaced gave
+        skewed 8-way cells that could split true neighbors away)."""
+        from camelot_spark.tdp.similarity import cosine_topk, ivf_assign, ivf_topk
+
+        emb = _cluster_embeddings(spark, n_clusters=10, per_cluster=20, dim=16)
+        truth = {r["vec_id"] for r in cosine_topk(emb, query_vec_id=0, k=10).collect()}
+        got = {r["vec_id"] for r in ivf_topk(emb, query_vec_id=0, k=10).collect()}
+        assert got == truth  # recall@10 = 1.0 vs brute force
+        # pruning is real: no probed pair of cells holds the whole corpus
+        sizes = sorted(
+            r["count"] for r in ivf_assign(emb).groupBy("ivf_cell").count().collect()
+        )
+        assert sum(sizes[-2:]) < emb.count()
+
     def test_simhash_cap_bounds_duplicate_heavy_corpus(self, spark):
         from camelot_spark.tdp.dedup import simhash_near_dups
 
