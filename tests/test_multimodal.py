@@ -1,6 +1,7 @@
-"""Multimodal plumbing: fake-decode metadata, resize, frame sampling,
-feature extraction — Spark-side schemas/batch shapes are real, codec
-bodies stubbed (no PIL/ffmpeg in this environment)."""
+"""Multimodal plumbing: decode-seam routing, resize, frame sampling,
+feature extraction — Spark-side schemas/batch shapes are real; the
+codec seam wires PIL when installed and falls back to the
+deterministic fake here (no PIL/ffmpeg in this environment)."""
 
 import numpy as np
 import pytest
@@ -14,9 +15,38 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG...")
+def test_decode_image_routing():
+    # non-image payloads never reach a codec: ValueError routes them to
+    # the deterministic fake in the kernels
+    with pytest.raises(ValueError):
+        mm.decode_image(b"plain text payload")
+    png_header_only = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    if mm._PILImage is None:
+        # real container, no codec installed: loud, not silently faked
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(png_header_only)
+
+
+@pytest.mark.skipif(mm._PILImage is None, reason="PIL not installed (sandbox)")
+def test_decode_image_real_roundtrip():
+    import io
+
+    img = mm._PILImage.new("L", (5, 3), color=7)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = mm.decode_image(buf.getvalue())
+    assert arr.shape == (3, 5) and (arr == 7).all()
+
+
+def test_fake_route_runs_regardless_of_codec(docs):
+    """Synthetic payloads are not PNG/JPEG containers, so the fake-decode
+    metadata is produced whether or not a codec library is installed —
+    installing PIL must not change these values."""
+    r = {x["doc_id"]: x for x in mm.media_metadata(docs).collect()}
+    n = len("word0 " * 10)
+    assert r["0"]["n_bytes"] == n
+    assert r["0"]["fake_width"] == (n % 640) + 1
+    assert r["0"]["fake_height"] == ((n * 7) % 480) + 1
 
 
 def test_resize_media_shapes(docs):
