@@ -131,9 +131,17 @@ def main() -> None:
         n_warm, _ = run_headline(spark, SF_DIR.replace("sf0.1", "sf0.001")
                                  if "sf0.1" in SF_DIR else SF_DIR, args.cpus, 1)
 
+        # headline throughput: median of 3 full runs, with dispersion —
+        # the quoted number is the median, never the best run (the
+        # sandbox vCPUs throttle under sustained load, so single runs
+        # read up to ±20% apart; BASELINE.md quotes this median).
+        # Run 1 here, runs 2-3 AFTER the query loop: three back-to-back
+        # 80k-doc runs deepen the vCPU throttle and would tax every
+        # query timed downstream.
+        runs = []
         n_docs, sec = run_headline(spark, SF_DIR, args.cpus, REPL)
+        runs.append((sec, n_docs))
         timings["extract_corpus_headline"] = round(sec, 3)
-        docs_per_sec = n_docs / sec
 
         for name, q in entrymod.queries().items():
             # steady-state timing: first run pays one-off plan compile +
@@ -145,6 +153,15 @@ def main() -> None:
                 best = min(best, time.monotonic() - t0)
             timings[name] = round(best, 3)
 
+        for _ in range(2):  # headline median runs 2-3 (see above)
+            n, s = run_headline(spark, SF_DIR, args.cpus, REPL)
+            runs.append((s, n))
+        runs.sort()
+        sec, n_docs = runs[1]
+        docs_per_sec = n_docs / sec
+        tp_runs = sorted(round(n / s, 2) for s, n in runs)
+        dispersion = round((tp_runs[-1] - tp_runs[0]) / docs_per_sec, 3)
+
         total = round(sum(timings.values()), 3)
         print(json.dumps({
             "metric": "documents/sec table-extraction throughput (synthetic camelot-corpus replica, both flavors) + per-query wall seconds",
@@ -153,6 +170,8 @@ def main() -> None:
             "queries": timings,
             "sf": SF_DIR,
             "docs_per_sec": round(docs_per_sec, 2),
+            "docs_per_sec_runs": tp_runs,
+            "docs_per_sec_dispersion": dispersion,
             "headline_docs": n_docs,
             "cpus": args.cpus,
         }))
