@@ -38,9 +38,14 @@ def _tl_boxes(tl) -> list[tuple[float, float, float, float]]:
 
 def debug_geometry(spans: list[dict], flavor: str = "stream", **kwargs) -> dict:
     """Overlay data for one document: text boxes always; flavor-specific
-    textedges/areas (stream) or segments/joints/tables (lattice)."""
+    textedges/areas (stream) or segments/joints/tables (lattice); plus
+    per-table cell rectangles (the reference's ``grid`` plot,
+    `camelot/plotting.py:81-111`, draws ``table.cells`` — here the
+    cols×rows interval product of each extracted table)."""
+    from .extract_doc import extract_document
+
     cfg = make_config(flavor, **kwargs)
-    page = parse_page(spans)
+    page = parse_page(spans, layout_kwargs=cfg.layout_kwargs)
     geom: dict = {
         "width": page.width,
         "height": page.height,
@@ -78,12 +83,37 @@ def debug_geometry(spans: list[dict], flavor: str = "stream", **kwargs) -> dict:
             {"bbox": tuple(map(float, tk)), "joints": [tuple(map(float, j)) for j in js]}
             for tk, js in table_bbox.items()
         ]
+    # grid overlay: cell rectangles of every extracted table
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = extract_document(spans, cfg)
+    geom["cells"] = [
+        {
+            "table_order": t.order,
+            "rects": [
+                (float(cl), float(rb), float(cr), float(rt))
+                for (rt, rb) in (t.rows or [])
+                for (cl, cr) in (t.cols or [])
+            ],
+        }
+        for t in res["tables"]
+    ]
     return geom
 
 
 def plot_geometry(geom: dict, kind: str = "text", ax=None):
-    """Render one overlay kind ('text' | 'textedge' | 'contour' |
-    'joint' | 'line') — mirrors `camelot/plotting.py` dispatch."""
+    """Render one overlay kind ('text' | 'grid' | 'contour' |
+    'textedge' | 'joint' | 'line') — mirrors `camelot/plotting.py`
+    dispatch, including the flavor validation of `PlotMethods.__call__`
+    (`plotting.py:36-43`): textedge is stream-only, joint/line are
+    lattice-only."""
+    flavor = geom.get("flavor")
+    if flavor == "lattice" and kind == "textedge":
+        raise NotImplementedError(f"Lattice flavor does not support kind='{kind}'")
+    if flavor == "stream" and kind in ("joint", "line"):
+        raise NotImplementedError(f"Stream flavor does not support kind='{kind}'")
     try:
         import matplotlib.patches as patches
         import matplotlib.pyplot as plt
@@ -101,6 +131,10 @@ def plot_geometry(geom: dict, kind: str = "text", ax=None):
     if kind == "text":
         for (x0, y0, x1, y1) in geom["text"]:
             ax.add_patch(patches.Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False, color="blue"))
+    elif kind == "grid":
+        for t in geom.get("cells", []):
+            for (x0, y0, x1, y1) in t["rects"]:
+                ax.add_patch(patches.Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False, color="purple"))
     elif kind == "textedge":
         for te in geom.get("textedges", []):
             if te["is_valid"]:

@@ -498,6 +498,34 @@ class TestDebugGeometry:
         assert len(t["joints"]) == 64  # 8x8 grid crossings
         assert len(g["segments"]["vertical"]) == 8
 
+    def test_grid_cells_geometry(self):
+        """`PlotMethods.grid` parity: per-table cell rectangles = the
+        cols x rows interval product of the extracted grid."""
+        from camelot_spark import fixtures as fx
+        from camelot_spark.plotting import debug_geometry
+        g = debug_geometry(fx.doc_health().spans, flavor="stream")
+        assert len(g["cells"]) == 1
+        rects = g["cells"][0]["rects"]
+        assert len(rects) == 8 * 4
+        # rectangles tile: row-major, x asc within a row, y desc across
+        assert rects[0][0] < rects[1][0] and rects[0][3] > rects[4 * 4][3]
+        gl = debug_geometry(fx.doc_foo().spans, flavor="lattice")
+        assert len(gl["cells"][0]["rects"]) == 7 * 7
+
+    def test_plot_kind_flavor_validation(self):
+        """`PlotMethods.__call__` (`camelot/plotting.py:36-43`):
+        textedge is stream-only; joint/line are lattice-only."""
+        from camelot_spark import fixtures as fx
+        from camelot_spark.plotting import debug_geometry, plot_geometry
+        import pytest as _pytest
+        gs = debug_geometry(fx.doc_health().spans, flavor="stream")
+        gl = debug_geometry(fx.doc_foo().spans, flavor="lattice")
+        with _pytest.raises(NotImplementedError, match="textedge"):
+            plot_geometry(gl, kind="textedge")
+        for kind in ("joint", "line"):
+            with _pytest.raises(NotImplementedError, match=kind):
+                plot_geometry(gs, kind=kind)
+
     def test_plot_raises_without_matplotlib(self):
         from camelot_spark import fixtures as fx
         from camelot_spark.plotting import debug_geometry, plot_geometry
