@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
-from camelot_spark.tdp import cleaning, dedup, multimodal, relational, similarity
+from camelot_spark.tdp import cleaning, contamination, dedup, multimodal, relational, similarity
 from camelot_spark.tdp import text as tdp_text
 
 
@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": lambda s, d: tdp_text.token_stats(_load(s, d, "documents")),
         "doc_fingerprint": lambda s, d: tdp_text.fingerprint(_load(s, d, "documents")),
         "winnow_fingerprints": lambda s, d: tdp_text.winnow_fingerprints(_load(s, d, "documents")),
+        "normalize_text": lambda s, d: tdp_text.normalize_text(_load(s, d, "documents")),
+        "scrub_pii": lambda s, d: tdp_text.scrub_pii(_load(s, d, "documents")),
+        "top_ngrams": lambda s, d: tdp_text.top_ngrams(_load(s, d, "documents")),
+        "decontaminate": lambda s, d: contamination.decontaminate(_load(s, d, "documents")),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
         "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),
@@ -194,6 +198,10 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": tdp_text.TOKEN_STATS_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
         "winnow_fingerprints": tdp_text.WINNOW_SQL,
+        "normalize_text": tdp_text.NORMALIZE_SQL,
+        "scrub_pii": tdp_text.SCRUB_PII_SQL,
+        "top_ngrams": tdp_text.TOP_NGRAMS_SQL,
+        "decontaminate": contamination.DECONTAMINATE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,

@@ -1,0 +1,74 @@
+"""Benchmark decontamination: flag corpus documents whose word-n-gram
+overlap with a benchmark/eval set exceeds a threshold — the standard
+train/test-leak guard in large-scale training-data pipelines.
+
+Scale shape (why this survives 100 TB): the benchmark side is small by
+definition, so its distinct n-grams are aggregated into ONE array row
+and broadcast; every corpus document then computes
+``size(array_intersect(doc_ngrams, bench_ngrams))`` inside whole-stage
+codegen on the scan — ZERO shuffle on the corpus, no explode of corpus
+n-grams, no join. The only shuffle is the benchmark-side distinct
+(bounded by the benchmark's vocabulary).
+
+The synthetic "benchmark" is a deterministic slice of the corpus itself
+(doc_id % 50 == 0) so the DuckDB oracle reproduces it exactly; a real
+deployment passes an actual eval-set DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingles
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 3,
+    threshold: int = 5,
+) -> DataFrame:
+    """(doc_id, overlap, contaminated) per corpus doc.
+
+    ``overlap`` = number of distinct word-``n``-grams shared with the
+    benchmark set; ``contaminated`` = 1 when overlap ≥ threshold.
+    Benchmark docs themselves are excluded from the output (they would
+    trivially self-match).
+    """
+    if benchmark is None:
+        benchmark = documents.where(F.col("doc_id") % 50 == 0)
+    bench_row = (
+        benchmark.select(F.explode(_shingles(F.col("text"), n)).alias("g"))
+        .agg(F.collect_set("g").alias("bench_grams"))
+    )
+    corpus = documents.where(F.col("doc_id") % 50 != 0) if benchmark is not documents else documents
+    overlap = F.size(
+        F.array_intersect(_shingles(F.col("text"), n), F.col("bench_grams"))
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bench_row))
+        .select(
+            "doc_id",
+            overlap.cast("bigint").alias("overlap"),
+            F.when(overlap >= threshold, 1).otherwise(0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+         ELSE [] END AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+bench AS (
+  SELECT list(DISTINCT g) AS barr
+  FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0))
+SELECT doc_id,
+       CAST(len(list_intersect(s, barr)) AS BIGINT) AS overlap,
+       CAST(CASE WHEN len(list_intersect(s, barr)) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM sh, bench
+WHERE doc_id % 50 <> 0
+"""

@@ -99,6 +99,121 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", fp.cast("bigint").alias("fp"))
 
 
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Canonical text normalization (the pre-dedup cleanup step of a
+    training-data pipeline): lowercase → non-alphanumerics to spaces →
+    whitespace collapse → trim. Pure codegen expressions, zero shuffle;
+    the DuckDB oracle applies the identical regex chain."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_norm_tokens"),
+    )
+
+
+NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+       CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_norm_tokens
+FROM documents
+"""
+
+
+# RE2-safe patterns (no lookaround/backrefs) so the Java-regex Spark
+# side and the RE2 DuckDB side match byte-for-byte
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def scrub_pii(documents: DataFrame) -> DataFrame:
+    """PII scrub for training data: mask emails/phones/IPs with typed
+    tokens, report per-kind hit counts + the scrubbed text. The corpus
+    is synthetic, so deterministic PII-bearing suffixes are appended
+    first (keyed on doc_id) to exercise real replacements; a production
+    run drops that stage. Zero shuffle — regexp codegen on the scan."""
+    decorated = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" contact bob@example.com now"))
+        .when(F.col("doc_id") % 7 == 1, F.lit(" call 555-867-5309 today"))
+        .when(F.col("doc_id") % 7 == 2, F.lit(" server at 10.0.42.7 responded"))
+        .otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(decorated, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(decorated, F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(decorated, F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(decorated, F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+SCRUB_PII_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN ' contact bob@example.com now'
+           WHEN doc_id % 7 = 1 THEN ' call 555-867-5309 today'
+           WHEN doc_id % 7 = 2 THEN ' server at 10.0.42.7 responded'
+           ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_IP}', '<IP>', 'g') AS scrubbed
+FROM d
+"""
+
+
+def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the vocabulary/
+    contamination-audit aggregation. The explode→count shuffle is
+    inherent to a global aggregate; Spark plans it as map-side partial
+    HashAggregate + exchange on the n-gram key + TakeOrdered for the
+    top-k (no global sort)."""
+    toks = _tokens(F.col("text"))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+TOP_NGRAMS_SQL = """
+WITH g AS (
+  SELECT unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS ngram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC
+LIMIT 20
+"""
+
+
 LANGID_SQL = """
 WITH scored AS (
   SELECT doc_id,

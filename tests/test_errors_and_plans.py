@@ -87,6 +87,27 @@ class TestPlanShapes:
         assert "HashAggregate" not in plan
         assert "Generate" not in plan  # no explode
 
+    def test_normalize_and_scrub_are_shuffle_free(self, spark):
+        """Normalization and PII scrubbing are pure regexp codegen on
+        the scan — any Exchange/Generate is a plan regression."""
+        from camelot_spark.tdp.text import normalize_text, scrub_pii
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for fn in (normalize_text, scrub_pii):
+            plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan and "Generate" not in plan, fn.__name__
+
+    def test_decontaminate_broadcasts_benchmark(self, spark):
+        """The benchmark n-gram set must broadcast; the corpus side must
+        not explode its n-grams into a join/shuffle (the 100 TB shape:
+        one array_intersect per row on the scan)."""
+        from camelot_spark.tdp.contamination import decontaminate
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
     def test_fingerprint_is_shuffle_free(self, spark):
         """fingerprint must be a per-row array fold: no explode
         (Generate), no groupBy (HashAggregate), no Exchange at all —
