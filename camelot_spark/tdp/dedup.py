@@ -100,6 +100,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_sig"),
     )
+    # one explicit shuffle on the join key so both self-join branches
+    # reuse the same exchange instead of recomputing the signatures
+    banded = banded.repartition("band", "band_sig")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -176,6 +179,9 @@ def simhash_near_dups(
             F.array(*[F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
         ).alias("chunk_id", "chunk"),
     )
+    # one explicit shuffle on the bucket key: self-join + count pass +
+    # semi-join all reuse the same exchange (simhash fold runs once)
+    chunks = chunks.repartition("chunk_id", "chunk")
     if bucket_cap is not None:
         small = (
             chunks.groupBy("chunk_id", "chunk")
