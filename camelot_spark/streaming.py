@@ -28,6 +28,26 @@ def read_document_stream(spark, input_path: str, max_files_per_trigger: int | No
     return reader.parquet(input_path)
 
 
+def dedup_stream(docs, watermark_delay: str = "1 hour"):
+    """Cross-micro-batch exact dedup for continuous ingest: at-least-once
+    sources (file re-delivery, Kafka replays) re-ship documents, and a
+    re-extracted doc_id would double rows in the sink. State is keyed on
+    doc_id and bounded by the watermark (``dropDuplicatesWithinWatermark``):
+    a duplicate arriving within ``watermark_delay`` of first sight is
+    dropped; state older than the watermark is evicted, so the state
+    store never grows with the corpus — the 100 TB-stream shape (an
+    unbounded ``dropDuplicates`` would hold every key forever).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .drop("ingest_ts")
+    )
+
+
 def start_extraction_stream(
     spark,
     input_path: str,
@@ -37,15 +57,20 @@ def start_extraction_stream(
     available_now: bool = True,
     salt_partitions: int | None = None,
     fail_fast: bool = False,
+    dedup_within: str | None = None,
     **kwargs,
 ):
-    """documents files → extract → parquet append, checkpointed.
+    """documents files → (optional cross-batch dedup) → extract →
+    parquet append, checkpointed.
 
     ``available_now=True`` drains the current backlog and stops (batch
     catch-up semantics); ``False`` runs continuously per micro-batch.
-    Returns the StreamingQuery.
+    ``dedup_within``: watermark delay for cross-batch doc_id dedup
+    (None = off). Returns the StreamingQuery.
     """
     docs = read_document_stream(spark, input_path)
+    if dedup_within is not None:
+        docs = dedup_stream(docs, watermark_delay=dedup_within)
     extracted = extract(
         docs, flavor=flavor, salt_partitions=salt_partitions, fail_fast=fail_fast, **kwargs
     )

@@ -38,3 +38,27 @@ def test_streaming_extraction_and_resume(spark, tmp_path):
     q = start_extraction_stream(spark, inp, outp, ckpt, flavor="stream", fail_fast=True)
     q.awaitTermination(120)
     assert spark.read.parquet(outp).count() == 2
+
+
+def test_streaming_cross_batch_dedup(spark, tmp_path):
+    """At-least-once sources re-deliver documents; with dedup_within the
+    stateful dropDuplicatesWithinWatermark keeps one extraction per
+    doc_id across micro-batches AND across checkpointed restarts."""
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    b1, b2 = fx.doc_health("dd-1"), fx.doc_twotables("dd-2")
+    _write_docs(spark, [b1, b2], inp)
+    q = start_extraction_stream(spark, inp, outp, ckpt, flavor="stream",
+                                fail_fast=True, dedup_within="1 hour")
+    q.awaitTermination(120)
+    assert spark.read.parquet(outp).count() == 2
+
+    # re-deliver dd-2 (duplicate) alongside a genuinely new doc: the
+    # duplicate is dropped by state restored from the checkpoint
+    b3 = fx.doc_health("dd-3")
+    _write_docs(spark, [b2, b3], inp)
+    q = start_extraction_stream(spark, inp, outp, ckpt, flavor="stream",
+                                fail_fast=True, dedup_within="1 hour")
+    q.awaitTermination(120)
+    out = spark.read.parquet(outp)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == ["dd-1", "dd-2", "dd-3"]  # dd-2 extracted exactly once
