@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cap": lambda s, d: relational.topk_cap(_load(s, d, "part")),
         "grid_metrics": lambda s, d: relational.grid_metrics(_load(s, d, "lineitem")),
         "range_predicate": lambda s, d: relational.range_predicate(_load(s, d, "events")),
+        "asof_join": lambda s, d: relational.asof_join(_load(s, d, "events")),
         # --- text analysis ---
         "langid_vote": lambda s, d: tdp_text.langid(_load(s, d, "documents")),
         "quality_score": lambda s, d: tdp_text.quality_score(_load(s, d, "documents")),
@@ -147,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: tdp_text.fingerprint(_load(s, d, "documents")),
         "winnow_fingerprints": lambda s, d: tdp_text.winnow_fingerprints(_load(s, d, "documents")),
         "normalize_text": lambda s, d: tdp_text.normalize_text(_load(s, d, "documents")),
+        "repetition_stats": lambda s, d: tdp_text.repetition_stats(_load(s, d, "documents")),
         "scrub_pii": lambda s, d: tdp_text.scrub_pii(_load(s, d, "documents")),
         "top_ngrams": lambda s, d: tdp_text.top_ngrams(_load(s, d, "documents")),
         "decontaminate": lambda s, d: contamination.decontaminate(_load(s, d, "documents")),
@@ -193,12 +195,14 @@ def oracle_sql() -> dict[str, str]:
         "topk_cap": relational.TOPK_SQL,
         "grid_metrics": relational.GRID_METRICS_SQL,
         "range_predicate": relational.RANGE_PREDICATE_SQL,
+        "asof_join": relational.ASOF_JOIN_SQL,
         "langid_vote": tdp_text.LANGID_SQL,
         "quality_score": tdp_text.QUALITY_SQL,
         "token_stats": tdp_text.TOKEN_STATS_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
         "winnow_fingerprints": tdp_text.WINNOW_SQL,
         "normalize_text": tdp_text.NORMALIZE_SQL,
+        "repetition_stats": tdp_text.REPETITION_SQL,
         "scrub_pii": tdp_text.SCRUB_PII_SQL,
         "top_ngrams": tdp_text.TOP_NGRAMS_SQL,
         "decontaminate": contamination.DECONTAMINATE_SQL,

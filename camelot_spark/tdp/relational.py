@@ -180,3 +180,56 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_in_box
 FROM events WHERE value >= 8 AND value <= 22
 GROUP BY event_type
 """
+
+
+def asof_join(events, left_type: str = "purchase", right_type: str = "signup"):
+    """As-of join — each ``left_type`` event matched to the latest
+    ``right_type`` event of the same user at-or-before its timestamp.
+
+    Spark has no ASOF JOIN operator; the standard scalable re-expression
+    is the sort-based union trick: tag both sides, one window pass per
+    user ordered by (ts, event_id) carrying ``last(right_id, ignorenulls)``
+    forward, then keep the left rows. ONE shuffle on user_id, no join,
+    no per-row Python — versus the naive range-join (quadratic per user)
+    or a broadcast that cannot hold the right side at 100 TB. The DuckDB
+    oracle uses its native ASOF LEFT JOIN.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = events.select("event_id", "ts", "user_id", "event_type").where(
+        F.col("event_type").isin([left_type, right_type])
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    right_id = F.when(F.col("event_type") == right_type, F.col("event_id"))
+    right_ts = F.when(F.col("event_type") == right_type, F.col("ts"))
+    joined = (
+        e.withColumn("asof_event_id", F.last(right_id, ignorenulls=True).over(w))
+        .withColumn("asof_ts", F.last(right_ts, ignorenulls=True).over(w))
+        .where(F.col("event_type") == left_type)
+    )
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; unix_timestamp
+    # under the UTC session tz = floor(epoch seconds), matching the
+    # oracle's FLOOR(epoch(ts))
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("asof_ts"))
+    return joined.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("asof_event_id").cast("bigint").alias("asof_event_id"),
+        gap.cast("bigint").alias("gap_seconds"),
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'signup')
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id,
+       CAST(r.event_id AS BIGINT) AS asof_event_id,
+       CAST(FLOOR(epoch(l.ts)) AS BIGINT) - CAST(FLOOR(epoch(r.ts)) AS BIGINT) AS gap_seconds
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""

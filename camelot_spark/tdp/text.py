@@ -99,6 +99,78 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", fp.cast("bigint").alias("fp"))
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher/CCNet-style repetition filters, the standard LLM-corpus
+    quality gates: duplicate-word fraction (1 − distinct/total),
+    top-word dominance (most frequent word / total), and duplicate
+    word-bigram fraction. All per-row array algebra (sort + fold), zero
+    shuffle; ×10⁴ floored to BIGINT for exact oracle comparison."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    dup_word = (n - F.size(F.array_distinct(toks)).cast("double")) / n
+    # most-frequent-word count = longest run in the sorted token array
+    # (left fold with (prev, run, best) accumulator — O(n log n)/row)
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )["best"]
+    top_word = run.cast("double") / n
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams).cast("double")
+    dup_bigram = F.when(
+        ng > 0, (ng - F.size(F.array_distinct(grams)).cast("double")) / ng
+    ).otherwise(F.lit(0.0))
+    return documents.select(
+        "doc_id",
+        F.floor(dup_word * 10000).cast("bigint").alias("dup_word_x10k"),
+        F.floor(top_word * 10000).cast("bigint").alias("top_word_x10k"),
+        F.floor(dup_bigram * 10000).cast("bigint").alias("dup_bigram_x10k"),
+    )
+
+
+REPETITION_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+top AS (
+  SELECT doc_id, MAX(c) AS maxc FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+    GROUP BY doc_id, w)
+  GROUP BY doc_id),
+g AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         CASE WHEN len(toks) >= 2 THEN
+           [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+         ELSE [] END AS grams
+  FROM t)
+SELECT g.doc_id,
+       CAST(FLOOR((n - nd) / n * 10000) AS BIGINT) AS dup_word_x10k,
+       CAST(FLOOR(CAST(top.maxc AS DOUBLE) / n * 10000) AS BIGINT) AS top_word_x10k,
+       CAST(FLOOR(CASE WHEN len(grams) > 0
+            THEN (CAST(len(grams) AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE)) / CAST(len(grams) AS DOUBLE)
+            ELSE 0.0 END * 10000) AS BIGINT) AS dup_bigram_x10k
+FROM g JOIN top ON top.doc_id = g.doc_id
+"""
+
+
 def normalize_text(documents: DataFrame) -> DataFrame:
     """Canonical text normalization (the pre-dedup cleanup step of a
     training-data pipeline): lowercase → non-alphanumerics to spaces →
