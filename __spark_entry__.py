@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
-from camelot_spark.tdp import cleaning, contamination, dedup, multimodal, relational, similarity
+from camelot_spark.tdp import cleaning, contamination, dedup, multimodal, packing, relational, similarity
 from camelot_spark.tdp import text as tdp_text
 
 
@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": lambda s, d: tdp_text.scrub_pii(_load(s, d, "documents")),
         "top_ngrams": lambda s, d: tdp_text.top_ngrams(_load(s, d, "documents")),
         "decontaminate": lambda s, d: contamination.decontaminate(_load(s, d, "documents")),
+        "chunk_documents": lambda s, d: packing.chunk_documents(_load(s, d, "documents")),
+        "pack_sequences": lambda s, d: packing.pack_sequences(_load(s, d, "documents")),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
         "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),
@@ -206,6 +208,8 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": tdp_text.SCRUB_PII_SQL,
         "top_ngrams": tdp_text.TOP_NGRAMS_SQL,
         "decontaminate": contamination.DECONTAMINATE_SQL,
+        "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
+        "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,

@@ -1,0 +1,111 @@
+"""Training-sequence preparation: document chunking and sequence
+packing — the last mile between a cleaned corpus and a pretraining
+dataloader.
+
+- ``chunk_documents``: split each document into fixed-size token
+  windows with overlap (sliding-window chunking for long-context /
+  retrieval training). Pure per-row array algebra + one explode; no
+  shuffle, the fan-out stays on the scan.
+- ``pack_sequences``: concatenate documents in a deterministic order
+  and cut at ``seq_len`` token boundaries (GPT-style packing),
+  assigning every document its (sequence id, offset). The running
+  token count is a window cumsum PARTITIONED BY ``source`` — a global
+  (unpartitioned) cumsum would serialize 100 TB through one task, so
+  packing parallelizes across sources/shards and is documented as
+  per-shard, exactly how production packers shard their input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """One row per (doc, window): sliding token windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between neighbors
+    (stride = chunk_tokens − overlap); the final partial window is kept.
+    Output: (doc_id, chunk_idx, n_chunk_tokens, first_token, last_token).
+    """
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n,
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, s + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    ex = documents.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size("c.toks").cast("bigint").alias("n_chunk_tokens"),
+        F.element_at("c.toks", 1).alias("first_token"),
+        F.element_at("c.toks", -1).alias("last_token"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         unnest([{'idx': CAST((s - 1) // 48 AS BIGINT),
+                  'ck': toks[s:s+63]}
+                 FOR s IN range(1, len(toks) + 1, 48)]) AS w
+  FROM t)
+SELECT doc_id,
+       w.idx AS chunk_idx,
+       CAST(len(w.ck) AS BIGINT) AS n_chunk_tokens,
+       w.ck[1] AS first_token,
+       w.ck[len(w.ck)] AS last_token
+FROM c
+"""
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Concatenate-and-cut packing: documents ordered by doc_id within
+    each ``source`` shard are laid end-to-end; every document gets the
+    training-sequence id and intra-sequence offset where it starts.
+    Output: (source, doc_id, n_tokens, seq_id, seq_offset)."""
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return (
+        documents.select("source", F.col("doc_id").cast("bigint").alias("doc_id"),
+                         n_tok.alias("n_tokens"))
+        .select(
+            "source", "doc_id", "n_tokens",
+            F.floor(cum_prev / seq_len).cast("bigint").alias("seq_id"),
+            (cum_prev % seq_len).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM t)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR(cum_prev / 512.0) AS BIGINT) AS seq_id,
+       CAST(cum_prev % 512 AS BIGINT) AS seq_offset
+FROM c
+"""
