@@ -160,6 +160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_adjacent(_load(s, d, "documents")),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_load(s, d, "documents")),
+        "minhash_lsh_pairs_portable": lambda s, d: (
+            dedup.minhash_lsh_pairs(_load(s, d, "documents"), portable=True)
+            .select(F.col("a_id").cast("bigint").alias("a_id"),
+                    F.col("b_id").cast("bigint").alias("b_id"))
+        ),
         "minhash_neardup_verified": lambda s, d: dedup.minhash_neardup_verified(_load(s, d, "documents")),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
         # --- similarity search ---
@@ -213,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
+        "minhash_lsh_pairs_portable": dedup.MINHASH_PORTABLE_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,

@@ -64,31 +64,58 @@ def ngram_jaccard_adjacent(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 32, n: int = 3) -> DataFrame:
-    """K minhashes per doc: min over shingles of xxhash64(shingle, seed k).
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, n: int = 3, portable: bool = False
+) -> DataFrame:
+    """K minhashes per doc: min over shingles of hash_k(shingle).
 
     Expressed as array ops (transform/aggregate) — no UDF, runs in
     codegen. Seeds are column literals so one pass computes all K.
-    """
+
+    ``portable=False`` (default, the scale path) uses xxhash64(s, k) —
+    the fastest built-in 64-bit hash, but with no DuckDB twin.
+    ``portable=True`` derives hash_k from the polynomial token hash
+    ((ph·(2654435761+k) + 40503·(k+1)) mod 1e9+7), fully reproducible
+    in SQL, so the banded-LSH candidate logic is hash-verified by the
+    DuckDB oracle; slower per shingle (a char fold instead of one JVM
+    hash call), so production keeps the default."""
     from . import spread
+    from .text import _POLY_M, portable_token_hash
 
     d = spread(documents).select("doc_id", _shingles(F.col("text"), n).alias("sh"))
-    sig = F.array(
-        *[
-            F.array_min(F.transform("sh", lambda s, k=k: F.xxhash64(s, F.lit(k))))
-            for k in range(num_hashes)
-        ]
-    )
+
+    # Seeds MUST be closed over via a factory, never a lambda default:
+    # Spark's HOF wrapper substitutes a Column for EVERY lambda
+    # parameter (defaults included), so `lambda s, k=k:` silently binds
+    # k to the array-index column — every "seed" becomes the element
+    # index and all K signature entries collapse to the same hash.
+    def _mix(k):
+        return lambda h: (h * (2654435761 + k) + 40503 * (k + 1)) % _POLY_M
+
+    def _seeded(k):
+        return lambda s: F.xxhash64(s, F.lit(k))
+
+    if portable:
+        ph = F.transform("sh", portable_token_hash)
+        sig = F.array(
+            *[F.array_min(F.transform(ph, _mix(k))) for k in range(num_hashes)]
+        )
+    else:
+        sig = F.array(
+            *[F.array_min(F.transform("sh", _seeded(k))) for k in range(num_hashes)]
+        )
     return d.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3
+    documents: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: split the K-wide signature into bands, join
-    docs sharing any (band_id, band_signature) bucket."""
+    docs sharing any (band_id, band_signature) bucket. ``portable``
+    picks the hash family (see minhash_signatures)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n)
+    sigs = minhash_signatures(documents, num_hashes, n, portable=portable)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -111,6 +138,38 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+
+
+# oracle for minhash_lsh_pairs(portable=True): identical shingling,
+# polynomial token hash, K=32 seeded mixes, 8 bands of 4 — the banded
+# candidate logic is hash-verified end-to-end (the xxhash64 default
+# shares every line of that logic and differs only in the hash call)
+MINHASH_PORTABLE_SQL = """
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+         ELSE [] END AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+ph AS (
+  SELECT doc_id,
+         list_transform(s, x ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(x[1:8], ''), c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(hs, h -> (h * (2654435761 + k) + 40503 * (k + 1)) % 1000000007))
+          FOR k IN range(0, 32)] AS sg
+  FROM ph),
+banded AS (
+  SELECT doc_id, t.b AS band,
+         sg[CAST(t.b * 4 + 1 AS INTEGER):CAST(t.b * 4 + 4 AS INTEGER)] AS bsig
+  FROM sig, range(0, 8) t(b))
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+"""
 
 
 def simhash64(documents: DataFrame) -> DataFrame:

@@ -26,15 +26,34 @@ def _tokens(col):
     return F.split(col, " ")
 
 
+_POLY_M = 1_000_000_007
+
+
+def portable_token_hash(t):
+    """Portable polynomial hash of a token's first 8 chars (fold over
+    chars, mod 1e9+7) — reproducible in DuckDB, unlike xxhash64. Used
+    by winnowing and the ``portable=True`` minhash variant."""
+    return F.aggregate(
+        F.split(F.substring(t, 1, 8), ""), F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _POLY_M,
+    )
+
+
 def langid(documents: DataFrame) -> DataFrame:
     """N-gram/stopword-profile language vote: per doc, count profile-word
     occurrences per profile; predict the argmax (ties → lexicographically
     smallest profile name)."""
     toks = _tokens(F.col("text"))
+
+    def _in_profile(words):
+        # factory, not a lambda default: Spark's HOF wrapper binds every
+        # lambda PARAMETER to a Column (see minhash_signatures)
+        return lambda w: F.array_contains(F.array(*[F.lit(x) for x in words]), w)
+
     scored = documents.select(
         "doc_id",
         *[
-            F.size(F.filter(toks, lambda w, p=p: F.array_contains(F.array(*[F.lit(x) for x in ws]), w))).alias(f"score_{p}")
+            F.size(F.filter(toks, _in_profile(ws))).alias(f"score_{p}")
             for p, ws in LANG_PROFILES.items()
         ],
     )
@@ -342,15 +361,10 @@ def winnow_fingerprints(documents: DataFrame, w: int = 4) -> DataFrame:
     Token hashes use a portable polynomial hash (fold over chars,
     mod 1e9+7) so the DuckDB oracle reproduces them exactly; everything
     is per-row array algebra — zero shuffle at any scale."""
-    M = 1_000_000_007
     # hash the first 8 chars only: bounds the per-token fold (tokens
     # rarely collide in-window on an 8-char prefix, and the window min
     # is what matters) — mirrored exactly in the oracle
-    tok_hash = lambda t: F.aggregate(  # noqa: E731
-        F.split(F.substring(t, 1, 8), ""), F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % M,
-    )
-    hashes = F.transform(_tokens(F.col("text")), tok_hash)
+    hashes = F.transform(_tokens(F.col("text")), portable_token_hash)
     n = F.size(hashes)
     # sliding-window min as an elementwise least over w shifted copies:
     # O(n) arrays instead of O(n*w) per-window slices

@@ -145,6 +145,18 @@ class TestLshCandidateBounds:
     counts stay far below n² on clustered corpora, and the bucket cap
     bounds the degenerate hot-bucket case."""
 
+    def test_minhash_signatures_vary_across_seeds(self, spark):
+        """Regression for the HOF lambda-default trap: Spark binds every
+        lambda parameter to a Column, so a seed passed as `k=k` silently
+        became the array index and all K minhash entries collapsed to
+        one hash. The K entries of a signature must differ."""
+        from camelot_spark.tdp.dedup import minhash_signatures
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+        for portable in (False, True):
+            rows = minhash_signatures(docs, portable=portable).collect()
+            assert all(len(set(r["sig"])) > 8 for r in rows), portable
+
     def test_embedding_candidates_far_below_all_pairs(self, spark):
         from camelot_spark.tdp.similarity import neardup_candidates
 
