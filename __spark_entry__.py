@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "minhash_neardup_verified": lambda s, d: dedup.minhash_neardup_verified(_load(s, d, "documents")),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
+        "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(_load(s, d, "documents")),
         # --- similarity search ---
         "ann_topk": lambda s, d: similarity.cosine_topk(_load(s, d, "embeddings")),
         "embedding_neardup": lambda s, d: similarity.embedding_neardup_adjacent(_load(s, d, "embeddings")),
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
         "minhash_lsh_pairs_portable": dedup.MINHASH_PORTABLE_SQL,
+        "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,

@@ -217,29 +217,30 @@ def simhash64(documents: DataFrame) -> DataFrame:
     return spread(documents).select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def simhash_near_dups(
-    documents: DataFrame, max_hamming: int = 3, bucket_cap: int | None = 10000
+def _chunked_hamming_pairs(
+    sigs: DataFrame, n_chunks: int, chunk_bits: int,
+    max_hamming: int, bucket_cap: int | None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k, bucketed by
-    16-bit chunks (a pair within distance 3 shares ≥1 exact chunk).
+    """Pigeonhole chunk-bucket join over a ``simhash`` column: a pair
+    within ``max_hamming`` < n_chunks shares ≥1 exact chunk.
 
     ``bucket_cap`` drops (chunk_id, chunk) buckets bigger than the cap
     before the self-join: simhash values cluster on near-dup-heavy
     corpora, and one hot bucket would otherwise go quadratic on a
-    single key (unbounded straggler at 100 TB). The count pass shuffles
-    only 16-bit chunk keys; dropping a hot bucket costs recall only for
-    pairs whose OTHER three chunks all differ — pairs within the
-    hamming budget almost always share a second, colder chunk."""
-    s = simhash64(documents)
-    chunks = s.select(
+    single key (unbounded straggler at 100 TB). One explicit shuffle on
+    the bucket key: self-join + count pass + semi-join all reuse the
+    same exchange, so the signature fold runs once."""
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+            F.array(*[
+                F.shiftrightunsigned("simhash", chunk_bits * c).bitwiseAND(F.lit(mask))
+                for c in range(n_chunks)
+            ])
         ).alias("chunk_id", "chunk"),
     )
-    # one explicit shuffle on the bucket key: self-join + count pass +
-    # semi-join all reuse the same exchange (simhash fold runs once)
     chunks = chunks.repartition("chunk_id", "chunk")
     if bucket_cap is not None:
         small = (
@@ -262,7 +263,111 @@ def simhash_near_dups(
         .distinct()
     )
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.where(hamming <= max_hamming).select("a_id", "b_id", hamming.alias("hamming"))
+    return cand.where(hamming <= max_hamming).select(
+        "a_id", "b_id", hamming.cast("int").alias("hamming")
+    )
+
+
+def simhash_near_dups(
+    documents: DataFrame, max_hamming: int = 3, bucket_cap: int | None = 10000
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash hamming distance ≤ k, bucketed
+    by 16-bit chunks (see _chunked_hamming_pairs)."""
+    return _chunked_hamming_pairs(
+        simhash64(documents), n_chunks=4, chunk_bits=16,
+        max_hamming=max_hamming, bucket_cap=bucket_cap,
+    )
+
+
+def simhash_portable32(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash over portable token hashes — the DuckDB-verifiable
+    twin of ``simhash64`` (same fold, same majority rule; two seeded
+    mixes of the polynomial token hash supply 16 reproducible bits
+    each). Production keeps the 64-bit xxhash64 variant; this one
+    exists so the whole simhash pipeline is hash-checked by an oracle."""
+    from .text import _POLY_M, portable_token_hash
+
+    from . import spread
+
+    ph = F.transform(F.split("text", " "), portable_token_hash)
+
+    def h32(p):
+        m1 = (p * 48271 + 11) % _POLY_M
+        m2 = (p * 69621 + 97) % _POLY_M
+        return m1.bitwiseAND(F.lit(0xFFFF)) + m2.bitwiseAND(F.lit(0xFFFF)) * F.lit(65536)
+
+    ws = F.transform(ph, h32)
+
+    def bits_of(h):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != F.lit(0), F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(32)
+            ]
+        )
+
+    counters = F.aggregate(
+        ws,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counters,
+            F.array(*[F.lit(1 << b).cast("long") for b in range(32)]),
+            lambda cnt, w: F.when(cnt > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return spread(documents).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), sim.cast("bigint").alias("simhash")
+    )
+
+
+def simhash_near_dups_portable(
+    documents: DataFrame, max_hamming: int = 3, bucket_cap: int | None = 10000
+) -> DataFrame:
+    """Portable-hash simhash near-dups: 4 × 8-bit chunks over the 32-bit
+    signature; fully reproduced by SIMHASH_PORTABLE_SQL."""
+    return _chunked_hamming_pairs(
+        simhash_portable32(documents), n_chunks=4, chunk_bits=8,
+        max_hamming=max_hamming, bucket_cap=bucket_cap,
+    )
+
+
+SIMHASH_PORTABLE_SQL = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(string_split(text, ' '), t ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t[1:8], ''), c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+  FROM documents),
+h32 AS (
+  SELECT doc_id,
+         list_transform(hs, p -> (((p * 48271 + 11) % 1000000007) & 65535)
+                               + ((((p * 69621 + 97) % 1000000007) & 65535) * 65536)) AS ws
+  FROM h),
+sim AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN list_sum(list_transform(ws,
+                     w -> CASE WHEN (w >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+                   FOR b IN range(0, 32)]) AS s
+  FROM h32),
+chunks AS (
+  SELECT doc_id, s, t.c AS chunk_id, (s >> (8 * CAST(t.c AS INTEGER))) & 255 AS chunk
+  FROM sim, range(0, 4) t(c))
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+FROM chunks a JOIN chunks b USING (chunk_id, chunk)
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 DEDUP_EXACT_SQL = """
