@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(_load(s, d, "embeddings")),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_load(s, d, "embeddings")),
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
+        "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(_load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
         # --- multimodal plumbing ---
         "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,
         "ivf_assign": similarity.IVF_ASSIGN_SQL,
+        "quantize_embeddings": similarity.QUANTIZE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "embedding_neardup": similarity.NEARDUP_SQL,
         "embedding_neardup_pairs": similarity.NEARDUP_PAIRS_SQL,

@@ -294,6 +294,62 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Int8-style scalar quantization (per-vector min-max scale to
+    0..255) with exact reconstruction-error accounting — the storage-
+    compression step of a 100 TB vector pipeline (4× smaller than
+    float32 before similarity search). Pure per-row array expressions,
+    zero shuffle; the DuckDB oracle replays the identical IEEE
+    double arithmetic."""
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    lo, hi = F.array_min(x), F.array_max(x)
+    rng = hi - lo
+    q = F.transform(
+        x,
+        lambda v: F.when(
+            rng > 0, F.least(F.floor((v - lo) / rng * 255), F.lit(255))
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            x, q,
+            lambda v, qq: F.abs(v - (lo + qq.cast("double") / 255.0 * rng)),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.element_at(q, 1).alias("q_first"),
+        F.floor(err * 1000000).cast("bigint").alias("err_x1e6"),
+    )
+
+
+QUANTIZE_SQL = """
+WITH x AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings),
+s AS (SELECT vec_id, xs, list_min(xs) AS lo, list_max(xs) AS hi FROM x),
+q AS (
+  SELECT vec_id, xs, lo, hi,
+         list_transform(xs, v -> CASE WHEN hi - lo > 0
+             THEN LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 255) AS BIGINT), 255)
+             ELSE CAST(0 AS BIGINT) END) AS qs
+  FROM s)
+SELECT vec_id,
+       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+       qs[1] AS q_first,
+       CAST(FLOOR(list_sum(list_transform(range(1, len(xs) + 1),
+              i -> abs(xs[i] - (lo + CAST(qs[i] AS DOUBLE) / 255.0 * (hi - lo)))))
+            * 1000000) AS BIGINT) AS err_x1e6
+FROM q
+"""
+
+
 def neardup_candidates(
     embeddings: DataFrame, n_planes: int = 32, bands: int = 4,
     bucket_cap: int | None = 10000,
