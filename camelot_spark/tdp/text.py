@@ -124,7 +124,11 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     top-word dominance (most frequent word / total), and duplicate
     word-bigram fraction. All per-row array algebra (sort + fold), zero
     shuffle; ×10⁴ floored to BIGINT for exact oracle comparison."""
-    toks = _tokens(F.col("text"))
+    # tokens projected to a column once: every re-reference of a
+    # split() expression re-tokenizes the text (see quantize_embeddings
+    # for the same intermediate-projection rule)
+    base = documents.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks).cast("double")
     dup_word = (n - F.size(F.array_distinct(toks)).cast("double")) / n
     # most-frequent-word count = longest run in the sorted token array
@@ -152,14 +156,17 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ng = F.size(grams).cast("double")
+    staged = base.select("doc_id", "toks", grams.alias("grams"),
+                         F.floor(dup_word * 10000).cast("bigint").alias("dup_word_x10k"),
+                         F.floor(top_word * 10000).cast("bigint").alias("top_word_x10k"))
+    ng = F.size("grams").cast("double")
     dup_bigram = F.when(
-        ng > 0, (ng - F.size(F.array_distinct(grams)).cast("double")) / ng
+        ng > 0, (ng - F.size(F.array_distinct("grams")).cast("double")) / ng
     ).otherwise(F.lit(0.0))
-    return documents.select(
+    return staged.select(
         "doc_id",
-        F.floor(dup_word * 10000).cast("bigint").alias("dup_word_x10k"),
-        F.floor(top_word * 10000).cast("bigint").alias("top_word_x10k"),
+        "dup_word_x10k",
+        "top_word_x10k",
         F.floor(dup_bigram * 10000).cast("bigint").alias("dup_bigram_x10k"),
     )
 
@@ -363,8 +370,14 @@ def winnow_fingerprints(documents: DataFrame, w: int = 4) -> DataFrame:
     is per-row array algebra — zero shuffle at any scale."""
     # hash the first 8 chars only: bounds the per-token fold (tokens
     # rarely collide in-window on an 8-char prefix, and the window min
-    # is what matters) — mirrored exactly in the oracle
-    hashes = F.transform(_tokens(F.col("text")), portable_token_hash)
+    # is what matters) — mirrored exactly in the oracle.
+    # Hashes projected to a column first: each of the w shifted slices
+    # would otherwise re-run the whole per-token hash fold.
+    base = documents.select(
+        "doc_id",
+        F.transform(_tokens(F.col("text")), portable_token_hash).alias("hs"),
+    )
+    hashes = F.col("hs")
     n = F.size(hashes)
     # sliding-window min as an elementwise least over w shifted copies:
     # O(n) arrays instead of O(n*w) per-window slices
@@ -374,7 +387,7 @@ def winnow_fingerprints(documents: DataFrame, w: int = 4) -> DataFrame:
     for sh in shifted[1:]:
         mins = F.zip_with(mins, sh, lambda a, b: F.least(a, b))
     wins = F.when(n >= w, F.array_distinct(mins)).otherwise(F.array().cast("array<long>"))
-    return documents.select(
+    return base.select(
         "doc_id",
         F.size(wins).cast("bigint").alias("n_fingerprints"),
         F.coalesce(F.array_min(wins), F.lit(-1)).cast("bigint").alias("min_fp"),
