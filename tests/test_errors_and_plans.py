@@ -122,6 +122,89 @@ class TestPlanShapes:
         assert "Exchange" not in plan
 
 
+class TestTdpReferenceEquivalence:
+    """New training-data operators vs direct Python references on a
+    seeded random corpus — guards the array-algebra formulations
+    independently of the DuckDB oracles."""
+
+    @staticmethod
+    def _corpus(spark, n=60, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        vocab = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "data", "the"]
+        rows = []
+        for i in range(n):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 140))]
+            rows.append((i, " ".join(toks), "s%d" % (i % 3)))
+        return rows, spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+    def test_chunk_documents_matches_reference(self, spark):
+        from camelot_spark.tdp.packing import chunk_documents
+
+        rows, df = self._corpus(spark)
+        got = {(r["doc_id"], r["chunk_idx"]):
+               (r["n_chunk_tokens"], r["first_token"], r["last_token"])
+               for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()}
+        want = {}
+        for doc_id, text, _ in rows:
+            toks = text.split(" ")
+            for idx, s in enumerate(range(0, len(toks), 48)):
+                ck = toks[s:s + 64]
+                want[(doc_id, idx)] = (len(ck), ck[0], ck[-1])
+        assert got == want
+
+    def test_pack_sequences_matches_reference(self, spark):
+        from camelot_spark.tdp.packing import pack_sequences
+
+        rows, df = self._corpus(spark)
+        got = {r["doc_id"]: (r["seq_id"], r["seq_offset"], r["n_tokens"])
+               for r in pack_sequences(df, seq_len=512).collect()}
+        by_src: dict = {}
+        for doc_id, text, src in sorted(rows):
+            n = len(text.split(" "))
+            cum = by_src.get(src, 0)
+            assert got[doc_id] == (cum // 512, cum % 512, n), doc_id
+            by_src[src] = cum + n
+        # reconstruction invariant: seq_id*512 + offset == tokens before
+        assert all(s * 512 + o >= 0 for s, o, _ in got.values())
+
+    def test_repetition_stats_matches_reference(self, spark):
+        import math
+
+        from camelot_spark.tdp.text import repetition_stats
+
+        rows, df = self._corpus(spark)
+        got = {r["doc_id"]: (r["dup_word_x10k"], r["top_word_x10k"], r["dup_bigram_x10k"])
+               for r in repetition_stats(df).collect()}
+        for doc_id, text, _ in rows:
+            toks = text.split(" ")
+            n = float(len(toks))
+            dup = math.floor((n - len(set(toks))) / n * 10000)
+            top = math.floor(max(toks.count(w) for w in set(toks)) / n * 10000)
+            grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+            dbg = math.floor((len(grams) - len(set(grams))) / len(grams) * 10000) if grams else 0
+            assert got[doc_id] == (dup, top, dbg), doc_id
+
+    def test_quantize_matches_reference(self, spark):
+        import math
+
+        from camelot_spark.tdp.similarity import quantize_embeddings
+
+        emb = _cluster_embeddings(spark, n_clusters=4, per_cluster=5, dim=16)
+        vecs = {r["vec_id"]: [float(v) for v in r["embedding"]] for r in emb.collect()}
+        got = {r["vec_id"]: (r["q_sum"], r["q_first"], r["err_x1e6"])
+               for r in quantize_embeddings(emb).collect()}
+        for vid, xs in vecs.items():
+            lo, hi = min(xs), max(xs)
+            rng = hi - lo
+            qs = [min(math.floor((v - lo) / rng * 255), 255) if rng > 0 else 0 for v in xs]
+            err = 0.0
+            for v, q in zip(xs, qs):  # left fold, matching F.aggregate
+                err += abs(v - (lo + q / 255.0 * rng))
+            assert got[vid] == (sum(qs), qs[0], math.floor(err * 1e6)), vid
+
+
 def _cluster_embeddings(spark, n_clusters=15, per_cluster=20, dim=16, seed=7):
     """Clustered corpus: every member of a cluster is a tiny jitter off
     the cluster base direction, so all real near-dup pairs are
