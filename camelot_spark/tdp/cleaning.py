@@ -22,7 +22,14 @@ def clean_corpus(documents: DataFrame, min_quality_x100: int = 50) -> DataFrame:
 
     Survivors = per exact-content group, the lowest doc_id among docs
     whose quality score ≥ threshold."""
-    toks = F.split("text", " ")
+    # tokens projected once (each reference of a split() expression
+    # re-tokenizes the row — see tdp/text.py intermediate-projection rule)
+    base = documents.select(
+        F.col("doc_id").cast("bigint").alias("id"),
+        "text",
+        F.split("text", " ").alias("toks"),
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks).cast("double")
     stop_ratio = (
         F.size(F.filter(toks, lambda w: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), w))).cast("double")
@@ -34,8 +41,8 @@ def clean_corpus(documents: DataFrame, min_quality_x100: int = 50) -> DataFrame:
 
     # group key carries two independent hashes + length as collision
     # discriminators (see dedup_keep_first) — still never ships bodies
-    scored = documents.select(
-        F.col("doc_id").cast("bigint").alias("id"),
+    scored = base.select(
+        "id",
         F.xxhash64("text").alias("h"),
         F.length("text").alias("n_len"),
         F.crc32("text").alias("h2"),

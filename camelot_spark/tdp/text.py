@@ -43,17 +43,17 @@ def langid(documents: DataFrame) -> DataFrame:
     """N-gram/stopword-profile language vote: per doc, count profile-word
     occurrences per profile; predict the argmax (ties → lexicographically
     smallest profile name)."""
-    toks = _tokens(F.col("text"))
+    base = documents.select("doc_id", _tokens(F.col("text")).alias("toks"))
 
     def _in_profile(words):
         # factory, not a lambda default: Spark's HOF wrapper binds every
         # lambda PARAMETER to a Column (see minhash_signatures)
         return lambda w: F.array_contains(F.array(*[F.lit(x) for x in words]), w)
 
-    scored = documents.select(
+    scored = base.select(
         "doc_id",
         *[
-            F.size(F.filter(toks, _in_profile(ws))).alias(f"score_{p}")
+            F.size(F.filter("toks", _in_profile(ws))).alias(f"score_{p}")
             for p, ws in LANG_PROFILES.items()
         ],
     )
@@ -69,7 +69,8 @@ def langid(documents: DataFrame) -> DataFrame:
 def quality_score(documents: DataFrame) -> DataFrame:
     """Composite quality score from stopword ratio, long-token ratio and
     length; ×100 floored to BIGINT for exact oracle comparison."""
-    toks = _tokens(F.col("text"))
+    base = documents.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_tok = F.size(toks).cast("double")
     stop_ratio = (
         F.size(F.filter(toks, lambda w: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), w))).cast("double")
@@ -78,14 +79,15 @@ def quality_score(documents: DataFrame) -> DataFrame:
     long_ratio = F.size(F.filter(toks, lambda w: F.length(w) > 5)).cast("double") / n_tok
     len_term = F.least(n_tok, F.lit(100.0)) / F.lit(100.0)
     score = stop_ratio * 40 + long_ratio * 30 + len_term * 30
-    return documents.select(
+    return base.select(
         "doc_id",
         F.floor(score * 100).cast("bigint").alias("quality_x100"),
     )
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
-    """Whitespace token count + a BPE-ish regex token count."""
+    """Whitespace token count + a BPE-ish regex token count (single
+    references each — no intermediate projection needed)."""
     return documents.select(
         "doc_id",
         F.size(_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
