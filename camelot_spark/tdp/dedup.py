@@ -251,20 +251,19 @@ def _chunked_hamming_pairs(
         )
         chunks = chunks.join(small, ["chunk_id", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # hamming filter BEFORE the dedup exchange: most chunk-collisions
+    # fail the distance test, so the distinct shuffles only the
+    # surviving near-dup pairs instead of every candidate
+    return (
         a.join(b, ["chunk_id", "chunk"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & (hamming <= max_hamming))
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.where(hamming <= max_hamming).select(
-        "a_id", "b_id", hamming.cast("int").alias("hamming")
     )
 
 

@@ -121,6 +121,28 @@ def test_snapshot_isolation_and_atomic_commit(spark, tmp_path):
     assert log.read(spark).count() == 2
 
 
+def test_snapshot_concurrent_committers(tmp_path):
+    """Eight threads racing commits: optimistic retry must serialize
+    them into a linear version chain with no lost or clobbered commit
+    (the link(2)-publish guarantee, no Spark involved)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from camelot_spark.snapshots import SnapshotLog
+
+    log = SnapshotLog(str(tmp_path / "race"))
+    dirs = [log.new_data_dir() for _ in range(8)]
+    for d in dirs:
+        os.makedirs(d)
+    with ThreadPoolExecutor(8) as ex:
+        manifests = list(ex.map(log.commit, dirs))
+    assert sorted(m["version"] for m in manifests) == list(range(1, 9))
+    hist = log.history()
+    assert len(hist) == 8 and len(hist[-1]["data_dirs"]) == 8
+    for parent, child in zip(hist, hist[1:]):
+        assert child["parent_id"] == parent["snapshot_id"]
+
+
 def test_no_shuffle_without_salt(spark, stream_builders):
     """mapInPandas over scan partitions: the default plan must not
     contain an Exchange (the applyInPandas shape would)."""
