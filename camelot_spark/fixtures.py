@@ -578,6 +578,30 @@ def doc_laparams(doc_id: str = "laparams-0", dx: float = 0.0, dy: float = 0.0):
     return b
 
 
+def doc_sidebyside(doc_id: str = "sidebyside-0", dx: float = 0.0, dy: float = 0.0):
+    """Two lattice grids sharing the SAME bottom baseline (the y-tie case
+    of the sink reconstruction invariant): the right grid is larger, so
+    segment_tables lists it first (area-desc sort) and the parser's
+    bottom-y-tie keeps that insertion order → right = order 1, left =
+    order 2; assemble_spans still emits the LEFT block first ((-y, x)
+    unit sort), and extract_document must reorder ``tables`` to match
+    (`extract_doc.tables_in_span_order`). Golden derived from those
+    documented tie rules."""
+    b = DocBuilder(doc_id)
+    b.flavor = "lattice"
+    ys = [500.0 + dy - 22.0 * i for i in range(4)]
+    xs_l = [80.0 + dx + 48.0 * j for j in range(4)]
+    xs_r = [300.0 + dx + 56.0 * j for j in range(4)]  # wider → larger area
+    cells_l = _grid_texts(3, 3, "sl")
+    cells_r = _grid_texts(3, 3, "sr")
+    tl = add_lattice_table(b, cells_l, xs_l, ys, media_ref=f"mem://{doc_id}/left")
+    tr = add_lattice_table(b, cells_r, xs_r, ys, media_ref=f"mem://{doc_id}/right")
+    b.add_table_golden(tl["bbox"][1], tl["bbox"][0], 2, cells_l)   # left: order 2
+    b.add_table_golden(tr["bbox"][1], tr["bbox"][0], 1, cells_r)   # right: order 1
+    b.add_prose("Side-by-side quarterly grids", xs_l[0], ys[0] + 30.0)
+    return b
+
+
 def doc_rasternoise(doc_id: str = "rasternoise-0", dx: float = 0.0, dy: float = 0.0):
     """Noisy-scan lattice raster: the rasterfoo grid under deterministic
     paper-grain noise (non-two-level input — models an anti-aliased /
@@ -712,6 +736,7 @@ FAMILIES = {
     "rasterbg": doc_rasterbg,
     "rasternoise": doc_rasternoise,
     "laparams": doc_laparams,
+    "sidebyside": doc_sidebyside,
     "manytables": doc_manytables,
     "twotables": doc_twotables,
     "rowspan": doc_rowspan,
