@@ -97,6 +97,10 @@ SELECT doc_id,
        CAST(tb."order" AS BIGINT) AS table_order,
        CAST(tb.nrows AS BIGINT) AS nrows,
        CAST(tb.ncols AS BIGINT) AS ncols,
+       -- NOT asymmetric with the Spark side: sinks.parsing_report
+       -- already applies round(accuracy, 2), so the Spark query's
+       -- floor(accuracy) is floor-of-rounded too. Both sides are
+       -- FLOOR(ROUND(x, 2)) over byte-identical persisted doubles.
        CAST(FLOOR(ROUND(tb.accuracy, 2)) AS BIGINT) AS acc_floor
 FROM t
 """

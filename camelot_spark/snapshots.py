@@ -90,7 +90,10 @@ class SnapshotLog:
         m = manifest if manifest is not None else self.latest()
         if m is None:
             return []
-        return [os.path.join(self.root, d) for d in m["data_dirs"]]
+        dirs = [os.path.join(self.root, d) for d in m["data_dirs"]]
+        # legacy_files: plain-parquet outputs that predate the snapshot
+        # log, folded into manifest v1 so they stay visible (see commit)
+        return dirs + [os.path.join(self.root, f) for f in m.get("legacy_files", [])]
 
     def read(self, spark):
         """DataFrame of the latest snapshot (snapshot-isolated: files
@@ -121,6 +124,23 @@ class SnapshotLog:
         finally:
             os.unlink(tmp)
 
+    def _legacy_files(self) -> list[str]:
+        """Parquet part files sitting directly in the table root — a
+        pre-snapshot-log (plain ``df.write.parquet``) output. Folded into
+        manifest v1 so migrating a legacy directory never makes existing
+        rows invisible (which would also re-extract their docs on
+        resume)."""
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith((".", "_")):
+                continue  # _SUCCESS, .crc, _snapshots
+            p = os.path.join(self.root, name)
+            if os.path.isfile(p) and (name.endswith(".parquet") or name.startswith("part-")):
+                out.append(name)
+        return sorted(out)
+
     def commit(self, data_dir: str, metrics: dict | None = None,
                max_retries: int = 20) -> dict:
         """Publish ONE new snapshot whose data = parent's data + the new
@@ -137,6 +157,13 @@ class SnapshotLog:
                 "metrics": metrics or {},
                 "committed_at_ms": int(time.time() * 1000),
             }
+            if parent is None:
+                legacy = self._legacy_files()
+                if legacy:
+                    manifest["legacy_files"] = legacy
+            else:
+                if parent.get("legacy_files"):
+                    manifest["legacy_files"] = parent["legacy_files"]
             try:
                 self._publish(version, manifest)
                 return manifest

@@ -36,9 +36,14 @@ def decontaminate(
     Benchmark docs themselves are excluded from the output (they would
     trivially self-match).
     """
-    if benchmark is None:
+    # The %50 slice is ONLY the synthetic default benchmark; a caller's
+    # real eval set shares no doc_ids with the corpus by construction,
+    # so filtering the corpus there would silently drop 2% of real docs
+    # from decontamination (round-2 advice).
+    use_default = benchmark is None
+    if use_default:
         benchmark = documents.where(F.col("doc_id") % 50 == 0)
-    corpus = documents.where(F.col("doc_id") % 50 != 0) if benchmark is not documents else documents
+    corpus = documents.where(F.col("doc_id") % 50 != 0) if use_default else documents
     # broadcast-hash shape, not per-row array_intersect: the semi-join
     # builds ONE hash of the benchmark n-grams per task, where an
     # intersect against a broadcast ARRAY re-hashes ~|bench| entries on

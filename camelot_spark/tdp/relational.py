@@ -200,9 +200,14 @@ def asof_join(events, left_type: str = "purchase", right_type: str = "signup"):
     e = events.select("event_id", "ts", "user_id", "event_type").where(
         F.col("event_type").isin([left_type, right_type])
     )
+    # Inclusive as-of (l.ts >= r.ts, as DuckDB's native ASOF): right-side
+    # rows at an EQUAL timestamp must sort before left rows so the window
+    # frame at the left row already contains them; ordering by event_id
+    # alone would make same-ts matches depend on id assignment.
+    side = F.when(F.col("event_type") == right_type, 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(F.col("ts").asc(), side.asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     right_id = F.when(F.col("event_type") == right_type, F.col("event_id"))

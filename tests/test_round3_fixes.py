@@ -1,0 +1,145 @@
+"""Round-3 regression tests for the round-2 advice findings: custom
+benchmark decontamination, split-aware spread(), legacy-parquet
+snapshot migration, and inclusive as-of tie semantics."""
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_decontaminate_custom_benchmark_keeps_full_corpus(spark):
+    """A caller-supplied benchmark must not trigger the synthetic %50
+    corpus filter: every corpus doc appears in the output, and overlap
+    is computed against the custom set."""
+    from camelot_spark.tdp.contamination import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta" if i == 50
+          else "nothing shared here at all doc %d" % i)
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9001, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, benchmark=bench).collect()}
+    # doc_id 50 (a multiple of 50) must NOT be dropped, and it is the
+    # contaminated one
+    assert len(out) == 100
+    assert out[50]["contaminated"] == 1 and out[50]["overlap"] >= 5
+    assert out[49]["contaminated"] == 0
+
+
+def test_decontaminate_default_still_excludes_synthetic_benchmark(spark):
+    from camelot_spark.tdp.contamination import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z a b c" % i) for i in range(100)],
+        "doc_id long, text string",
+    )
+    ids = {r["doc_id"] for r in decontaminate(docs).collect()}
+    assert 0 not in ids and 50 not in ids and len(ids) == 98
+
+
+class TestSpread:
+    def test_small_file_scan_is_spread(self, spark, tmp_path):
+        from camelot_spark.tdp import spread
+
+        p = str(tmp_path / "small")
+        spark.range(100).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        target = spark.sparkContext.defaultParallelism
+        assert spread(df).rdd.getNumPartitions() == target
+
+    def test_large_splittable_file_is_left_alone(self, spark, tmp_path):
+        """A file big enough to be split into >= target partitions by
+        maxPartitionBytes must NOT be repartitioned (round-2 advice: the
+        file-count check shuffled exactly this case). Simulated by
+        shrinking maxPartitionBytes below the file size."""
+        from camelot_spark.tdp import spread
+
+        p = str(tmp_path / "big")
+        spark.range(20000).selectExpr("id", "repeat('x', 64) AS pad") \
+            .coalesce(1).write.parquet(p)
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+            df = spark.read.parquet(p)
+            out = spread(df)
+            assert out is df  # no gratuitous exchange on a splittable scan
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    def test_in_memory_narrow_plan_is_spread(self, spark):
+        """inputFiles()==[] plans fall back to the RDD partition count
+        instead of being silently skipped."""
+        from camelot_spark.tdp import spread
+
+        df = spark.range(1000).coalesce(1)
+        target = spark.sparkContext.defaultParallelism
+        assert spread(df).rdd.getNumPartitions() == target
+
+    def test_wide_in_memory_plan_untouched(self, spark):
+        from camelot_spark.tdp import spread
+
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(target * 2)
+        assert spread(df) is df
+
+
+def test_asof_join_matches_same_timestamp_right_row(spark):
+    """Inclusive as-of (l.ts >= r.ts): a purchase must see a signup at
+    the IDENTICAL timestamp even when the signup's event_id sorts after
+    the purchase's — previously the (ts, event_id) window order made
+    the match depend on id assignment."""
+    from camelot_spark.tdp.relational import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # purchase id 1 and signup id 9 share a timestamp (id 9 > 1)
+        (1, t0, 7, "purchase"),
+        (9, t0, 7, "signup"),
+        # control: a later purchase sees the same signup
+        (2, t0 + datetime.timedelta(seconds=30), 7, "purchase"),
+        # a user whose signup strictly precedes
+        (3, t0, 8, "signup"),
+        (4, t0 + datetime.timedelta(seconds=5), 8, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r["event_id"]: r for r in asof_join(df).collect()}
+    assert out[1]["asof_event_id"] == 9 and out[1]["gap_seconds"] == 0
+    assert out[2]["asof_event_id"] == 9 and out[2]["gap_seconds"] == 30
+    assert out[4]["asof_event_id"] == 3 and out[4]["gap_seconds"] == 5
+
+
+def test_legacy_parquet_dir_folds_into_first_snapshot(spark, tmp_path):
+    """run_extraction into a directory holding pre-snapshot-log plain
+    parquet: manifest v1 must fold the legacy part files in, so legacy
+    rows stay visible and their docs are not re-extracted on resume."""
+    from camelot_spark import fixtures as fx
+    from camelot_spark.pipeline import extract, read_extracted, run_extraction
+    from camelot_spark.snapshots import SnapshotLog
+    from tests.test_pipeline_spark import docs_df
+
+    out_path = str(tmp_path / "legacy_tbl")
+    b1, b2 = fx.doc_health("lg-1"), fx.doc_health("lg-2")
+    # legacy output: plain parquet written directly to the root
+    extract(docs_df(spark, [b1]), flavor="stream").write.parquet(out_path)
+    assert spark.read.parquet(out_path).count() == 1
+
+    metrics = run_extraction(spark, docs_df(spark, [b1, b2]), out_path, flavor="stream")
+    assert metrics["docs"] == 1  # lg-1 resumed from the legacy files
+    allrows = read_extracted(spark, out_path)
+    assert {r["doc_id"] for r in allrows.select("doc_id").collect()} == {"lg-1", "lg-2"}
+
+    hist = SnapshotLog(out_path).history()
+    assert len(hist) == 1 and hist[0].get("legacy_files"), "v1 must list legacy files"
+    # a further append carries the legacy files forward
+    run_extraction(spark, docs_df(spark, [b1, b2, fx.doc_health("lg-3")]), out_path,
+                   flavor="stream")
+    log = SnapshotLog(out_path)
+    assert log.latest().get("legacy_files") == hist[0]["legacy_files"]
+    assert read_extracted(spark, out_path).count() == 3
