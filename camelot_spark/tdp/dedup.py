@@ -143,14 +143,18 @@ def minhash_lsh_pairs(
 # oracle for minhash_lsh_pairs(portable=True): identical shingling,
 # polynomial token hash, K=32 seeded mixes, 8 bands of 4 — the banded
 # candidate logic is hash-verified end-to-end (the xxhash64 default
-# shares every line of that logic and differs only in the hash call)
+# shares every line of that logic and differs only in the hash call).
+# Runs on the deterministic doc_id % 2 = 0 half-corpus (mirrored by the
+# driver query): the per-character hash fold exists only to verify the
+# logic, so sampling buys the same oracle signal at half the cost.
 MINHASH_PORTABLE_SQL = """
 WITH sh AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          CASE WHEN len(toks) >= 3 THEN
            list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
          ELSE [] END AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 2 = 0)),
 ph AS (
   SELECT doc_id,
          list_transform(s, x ->
@@ -339,6 +343,9 @@ def simhash_near_dups_portable(
     )
 
 
+# Like MINHASH_PORTABLE_SQL, the oracle twin runs on a deterministic
+# slice (doc_id % 4 = 0, mirrored by the driver query) — 145 verified
+# pairs at sf0.01 at a quarter of the signature-fold cost.
 SIMHASH_PORTABLE_SQL = """
 WITH h AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -346,7 +353,8 @@ WITH h AS (
            list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(t[1:8], ''), c -> CAST(ord(c) AS BIGINT))),
              (a, b) -> (a * 31 + b) % 1000000007)) AS hs
-  FROM documents),
+  FROM documents
+  WHERE doc_id % 4 = 0),
 h32 AS (
   SELECT doc_id,
          list_transform(hs, p -> (((p * 48271 + 11) % 1000000007) & 65535)

@@ -70,26 +70,42 @@ FROM c
 """
 
 
-def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
+def pack_sequences(
+    documents: DataFrame, seq_len: int = 512, shard_docs: int | None = None
+) -> DataFrame:
     """Concatenate-and-cut packing: documents ordered by doc_id within
-    each ``source`` shard are laid end-to-end; every document gets the
+    each shard are laid end-to-end; every document gets the
     training-sequence id and intra-sequence offset where it starts.
-    Output: (source, doc_id, n_tokens, seq_id, seq_offset)."""
+    Output: (source, doc_id, n_tokens, seq_id, seq_offset).
+
+    The cumulative token count is a window cumsum partitioned by the
+    shard key, so packing parallelism equals shard count. The default
+    (``shard_docs=None``) shards by ``source`` alone — fine when
+    sources are many and balanced, but ONE giant source serializes
+    through one task. ``shard_docs=N`` sub-shards each source into
+    ``doc_id // N`` blocks (packing is per-shard by definition — real
+    packers shard their input the same way), bounding any task at N
+    docs regardless of source skew."""
     n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    shard_keys = ["source"]
+    base = documents.select(
+        "source", F.col("doc_id").cast("bigint").alias("doc_id"), n_tok.alias("n_tokens")
+    )
+    if shard_docs is not None:
+        base = base.withColumn(
+            "shard", F.floor(F.col("doc_id") / F.lit(int(shard_docs))).cast("bigint")
+        )
+        shard_keys = ["source", "shard"]
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy(*shard_keys)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
-    return (
-        documents.select("source", F.col("doc_id").cast("bigint").alias("doc_id"),
-                         n_tok.alias("n_tokens"))
-        .select(
-            "source", "doc_id", "n_tokens",
-            F.floor(cum_prev / seq_len).cast("bigint").alias("seq_id"),
-            (cum_prev % seq_len).cast("bigint").alias("seq_offset"),
-        )
+    return base.select(
+        "source", "doc_id", "n_tokens",
+        F.floor(cum_prev / seq_len).cast("bigint").alias("seq_id"),
+        (cum_prev % seq_len).cast("bigint").alias("seq_offset"),
     )
 
 

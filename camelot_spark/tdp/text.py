@@ -231,19 +231,25 @@ _PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 _PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
 
-def scrub_pii(documents: DataFrame) -> DataFrame:
+def scrub_pii(documents: DataFrame, decorate: bool = False) -> DataFrame:
     """PII scrub for training data: mask emails/phones/IPs with typed
-    tokens, report per-kind hit counts + the scrubbed text. The corpus
-    is synthetic, so deterministic PII-bearing suffixes are appended
-    first (keyed on doc_id) to exercise real replacements; a production
-    run drops that stage. Zero shuffle — regexp codegen on the scan."""
-    decorated = F.concat(
-        F.col("text"),
-        F.when(F.col("doc_id") % 7 == 0, F.lit(" contact bob@example.com now"))
-        .when(F.col("doc_id") % 7 == 1, F.lit(" call 555-867-5309 today"))
-        .when(F.col("doc_id") % 7 == 2, F.lit(" server at 10.0.42.7 responded"))
-        .otherwise(F.lit("")),
-    )
+    tokens, report per-kind hit counts + the scrubbed text. Zero
+    shuffle — regexp codegen on the scan.
+
+    ``decorate=True`` appends deterministic PII-bearing suffixes (keyed
+    on doc_id) before scrubbing — the test/bench corpus is synthetic
+    and PII-free, so the driver query opts in to exercise real
+    replacements. Production callers keep the default and get counts
+    over their actual text only."""
+    decorated = F.col("text")
+    if decorate:
+        decorated = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" contact bob@example.com now"))
+            .when(F.col("doc_id") % 7 == 1, F.lit(" call 555-867-5309 today"))
+            .when(F.col("doc_id") % 7 == 2, F.lit(" server at 10.0.42.7 responded"))
+            .otherwise(F.lit("")),
+        )
     scrubbed = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(decorated, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"

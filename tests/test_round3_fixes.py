@@ -143,3 +143,54 @@ def test_legacy_parquet_dir_folds_into_first_snapshot(spark, tmp_path):
     log = SnapshotLog(out_path)
     assert log.latest().get("legacy_files") == hist[0]["legacy_files"]
     assert read_extracted(spark, out_path).count() == 3
+
+
+def test_pack_sequences_shard_docs_bounds_task_size(spark):
+    """With shard_docs=N on a SINGLE-source corpus, the cumsum window
+    partitions on (source, shard): parallelism is corpus-size/N instead
+    of 1, and the per-shard packing matches an independent reference."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "one", " ".join(["t"] * (7 + i % 13))) for i in range(80)],
+        "doc_id long, source string, text string",
+    )
+    out = pack_sequences(docs, seq_len=64, shard_docs=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan and "hashpartitioning" in plan
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 80
+    # reference: packing restarts at every shard boundary of 10 docs
+    cum = {}
+    for i in range(80):
+        shard = i // 10
+        prev = cum.get(shard, 0)
+        assert rows[i]["seq_id"] == prev // 64, i
+        assert rows[i]["seq_offset"] == prev % 64, i
+        cum[shard] = prev + (7 + i % 13)
+    # default (no shard key) is unchanged: one packing stream per source
+    base = {r["doc_id"]: r for r in pack_sequences(docs, seq_len=64).collect()}
+    running = 0
+    for i in range(80):
+        assert base[i]["seq_id"] == running // 64 and base[i]["seq_offset"] == running % 64
+        running += 7 + i % 13
+
+
+def test_scrub_pii_undecorated_reports_only_true_hits(spark):
+    """Production path (decorate=False, the default): counts reflect the
+    actual text, and clean text is returned verbatim."""
+    from camelot_spark.tdp.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(0, "totally clean text"),  # doc_id % 7 == 0: decoration target
+         (7, "reach me at jo@corp.io or 555-123-4567")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[0]["n_emails"] == 0 and out[0]["n_phones"] == 0 and out[0]["n_ips"] == 0
+    assert out[0]["scrubbed"] == "totally clean text"
+    assert out[7]["n_emails"] == 1 and out[7]["n_phones"] == 1
+    assert out[7]["scrubbed"] == "reach me at <EMAIL> or <PHONE>"
