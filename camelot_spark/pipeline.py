@@ -363,10 +363,11 @@ def run_extraction(
     )
     if is_table:
         # DataSource V2: each append commits one snapshot (the Iceberg
-        # checkpoint unit of the north_rule). The plain session catalog
-        # registers v1 tables, which DSv2 refuses at analysis time —
-        # fall back to the v1 writer there (local tests; a real
-        # deployment configures an Iceberg catalog).
+        # checkpoint unit of the north_rule). Verified for real against
+        # the `snap` DSv2 catalog (java/SnapshotCatalog, the offline
+        # Iceberg stand-in) in tests/test_snapshot_catalog.py. The
+        # plain session catalog registers v1 tables, which DSv2 refuses
+        # at analysis time — fall back to the v1 writer there.
         from pyspark.errors import AnalysisException
 
         if spark.catalog.tableExists(output_path):

@@ -26,10 +26,13 @@ publicly documented Iceberg metadata-log design:
   (``SnapshotLog.history()``).
 
 What is and is not verified in this sandbox: these semantics are
-asserted by ``tests/test_pipeline_spark.py`` for the path branch; the
-Iceberg branch exercises the same DSv2 ``writeTo`` call against the
-session catalog (v1 fallback), but real Iceberg snapshot ids cannot be
-asserted without the runtime jar (TODO.md).
+asserted by ``tests/test_pipeline_spark.py`` for the path branch, and
+since round 3 the CATALOG branch is exercised for real too — the
+``snap`` DSv2 catalog (``java/``, an offline stand-in for Iceberg with
+the same manifest format as this module) lets
+``tests/test_snapshot_catalog.py`` assert one committed snapshot id
+per ``writeTo().append()`` through Spark's V2 write exec. The actual
+iceberg-spark-runtime jar is unobtainable offline (BASELINE.md).
 
 Scale note: the driver-side work per commit is one manifest read +
 one file link — O(1) regardless of data size. Data files are written by
