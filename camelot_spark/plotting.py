@@ -103,54 +103,121 @@ def debug_geometry(spans: list[dict], flavor: str = "stream", **kwargs) -> dict:
     return geom
 
 
-def plot_geometry(geom: dict, kind: str = "text", ax=None):
-    """Render one overlay kind ('text' | 'grid' | 'contour' |
-    'textedge' | 'joint' | 'line') — mirrors `camelot/plotting.py`
-    dispatch, including the flavor validation of `PlotMethods.__call__`
-    (`plotting.py:36-43`): textedge is stream-only, joint/line are
-    lattice-only."""
+PLOT_KINDS = ("text", "grid", "contour", "textedge", "joint", "line")
+
+
+def _validate_kind(geom: dict, kind: str) -> None:
+    """`PlotMethods.__call__` flavor validation (`camelot/plotting.py:36-43`):
+    textedge is stream-only, joint/line are lattice-only."""
     flavor = geom.get("flavor")
     if flavor == "lattice" and kind == "textedge":
         raise NotImplementedError(f"Lattice flavor does not support kind='{kind}'")
     if flavor == "stream" and kind in ("joint", "line"):
         raise NotImplementedError(f"Stream flavor does not support kind='{kind}'")
+    if kind not in PLOT_KINDS:
+        raise NotImplementedError(f"unknown plot kind {kind!r}")
+
+
+def _overlay_shapes(geom: dict, kind: str):
+    """One overlay kind → primitive draw ops (rect/line/point lists in
+    page coordinates) — the single source both renderers consume."""
+    rects: list[tuple[float, float, float, float]] = []
+    lines: list[tuple[float, float, float, float]] = []
+    points: list[tuple[float, float]] = []
+    if kind == "text":
+        rects = list(geom["text"])
+    elif kind == "grid":
+        rects = [r for t in geom.get("cells", []) for r in t["rects"]]
+    elif kind == "textedge":
+        lines = [
+            (te["x"], te["y0"], te["x"], te["y1"])
+            for te in geom.get("textedges", [])
+            if te["is_valid"]
+        ]
+    elif kind == "contour":
+        rects = list(geom.get("table_areas", [])) or [
+            t["bbox"] for t in geom.get("tables", [])
+        ]
+    elif kind == "joint":
+        points = [tuple(j) for t in geom.get("tables", []) for j in t["joints"]]
+    elif kind == "line":
+        segs = geom.get("segments", {})
+        lines = list(segs.get("vertical", [])) + list(segs.get("horizontal", []))
+    return rects, lines, points
+
+
+def render_geometry(geom: dict, kind: str = "text", ink: int = 0) -> "np.ndarray":
+    """Zero-dependency raster render of one overlay kind → (H, W) uint8
+    canvas (255 = paper, ``ink`` = overlay), PDF y-up flipped to image
+    rows. Pairs with ``tdp.png_codec.encode_png`` for savable debug
+    images in environments without matplotlib (this one)."""
+    import numpy as np
+
+    _validate_kind(geom, kind)
+    w, h = int(round(geom["width"])), int(round(geom["height"]))
+    canvas = np.full((max(h, 1), max(w, 1)), 255, dtype=np.uint8)
+
+    def px(x: float, y: float) -> tuple[int, int]:
+        c = min(max(int(round(x)), 0), canvas.shape[1] - 1)
+        r = min(max(int(round(y)), 0), canvas.shape[0] - 1)
+        return canvas.shape[0] - 1 - r, c  # flip y-up → row
+
+    def draw_line(x0, y0, x1, y1):
+        n = int(max(abs(x1 - x0), abs(y1 - y0))) * 2 + 2
+        import numpy as _np
+
+        for t in _np.linspace(0.0, 1.0, n):
+            r, c = px(x0 + (x1 - x0) * t, y0 + (y1 - y0) * t)
+            canvas[r, c] = ink
+
+    rects, lines, points = _overlay_shapes(geom, kind)
+    for (x0, y0, x1, y1) in rects:
+        draw_line(x0, y0, x1, y0)
+        draw_line(x0, y1, x1, y1)
+        draw_line(x0, y0, x0, y1)
+        draw_line(x1, y0, x1, y1)
+    for (x0, y0, x1, y1) in lines:
+        draw_line(x0, y0, x1, y1)
+    for (x, y) in points:
+        r, c = px(x, y)
+        canvas[max(r - 1, 0):r + 2, max(c - 1, 0):c + 2] = ink
+    return canvas
+
+
+def save_debug_png(geom: dict, kind: str, path: str) -> None:
+    """Render one overlay kind and write a real PNG (pure-stdlib codec)."""
+    from .tdp.png_codec import encode_png
+
+    with open(path, "wb") as f:
+        f.write(encode_png(render_geometry(geom, kind)))
+
+
+def plot_geometry(geom: dict, kind: str = "text", ax=None):
+    """Render one overlay kind ('text' | 'grid' | 'contour' |
+    'textedge' | 'joint' | 'line') — mirrors `camelot/plotting.py`
+    dispatch and flavor validation. Uses matplotlib when installed;
+    otherwise falls back to the built-in rasterizer and returns the
+    uint8 canvas (``render_geometry``)."""
+    _validate_kind(geom, kind)
     try:
         import matplotlib.patches as patches
         import matplotlib.pyplot as plt
-    except ImportError as e:  # pragma: no cover - env without matplotlib
-        raise ImportError(
-            "matplotlib is required for plot_geometry; debug_geometry "
-            "output is plain data and can be rendered elsewhere"
-        ) from e
+    except ImportError:
+        return render_geometry(geom, kind)
 
     if ax is None:
         _, ax = plt.subplots()
     ax.set_xlim(0, geom["width"])
     ax.set_ylim(0, geom["height"])
-
-    if kind == "text":
-        for (x0, y0, x1, y1) in geom["text"]:
-            ax.add_patch(patches.Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False, color="blue"))
-    elif kind == "grid":
-        for t in geom.get("cells", []):
-            for (x0, y0, x1, y1) in t["rects"]:
-                ax.add_patch(patches.Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False, color="purple"))
-    elif kind == "textedge":
-        for te in geom.get("textedges", []):
-            if te["is_valid"]:
-                ax.plot([te["x"], te["x"]], [te["y0"], te["y1"]], color="red")
-    elif kind == "contour":
-        for area in geom.get("table_areas", []) or [t["bbox"] for t in geom.get("tables", [])]:
-            x0, y0, x1, y1 = area
-            ax.add_patch(patches.Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False, color="green"))
-    elif kind == "joint":
-        xs = [j[0] for t in geom.get("tables", []) for j in t["joints"]]
-        ys = [j[1] for t in geom.get("tables", []) for j in t["joints"]]
-        ax.plot(xs, ys, "ro", markersize=3)
-    elif kind == "line":
-        segs = geom.get("segments", {})
-        for (x0, y0, x1, y1) in segs.get("vertical", []) + segs.get("horizontal", []):
-            ax.plot([x0, x1], [y0, y1], color="black")
-    else:
-        raise NotImplementedError(f"unknown plot kind {kind!r}")
+    colors = {"text": "blue", "grid": "purple", "textedge": "red",
+              "contour": "green", "joint": "red", "line": "black"}
+    rects, lines, points = _overlay_shapes(geom, kind)
+    for (x0, y0, x1, y1) in rects:
+        ax.add_patch(
+            patches.Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False, color=colors[kind])
+        )
+    for (x0, y0, x1, y1) in lines:
+        ax.plot([x0, x1], [y0, y1], color=colors[kind])
+    if points:
+        ax.plot([p[0] for p in points], [p[1] for p in points], "ro", markersize=3)
     return ax
