@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
 from camelot_spark.tdp import cleaning, contamination, dedup, multimodal, packing, relational, similarity
+from camelot_spark.tdp import html as tdp_html
 from camelot_spark.tdp import text as tdp_text
 
 
@@ -155,6 +156,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": lambda s, d: tdp_text.repetition_stats(_load(s, d, "documents")),
         "scrub_pii": lambda s, d: tdp_text.scrub_pii(_load(s, d, "documents"), decorate=True),
         "top_ngrams": lambda s, d: tdp_text.top_ngrams(_load(s, d, "documents")),
+        # html boilerplate strip + DOM-block main-content heuristics
+        # (north_rule's web modality; decorate=True synthesizes the
+        # deterministic HTML shell from the plain-text corpus)
+        "html_strip": lambda s, d: tdp_html.strip_html(_load(s, d, "documents"), decorate=True),
+        "html_main_content": lambda s, d: tdp_html.main_content(_load(s, d, "documents"), decorate=True),
         "decontaminate": lambda s, d: contamination.decontaminate(_load(s, d, "documents")),
         "chunk_documents": lambda s, d: packing.chunk_documents(_load(s, d, "documents")),
         "pack_sequences": lambda s, d: packing.pack_sequences(_load(s, d, "documents")),
@@ -225,6 +231,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": tdp_text.REPETITION_SQL,
         "scrub_pii": tdp_text.SCRUB_PII_SQL,
         "top_ngrams": tdp_text.TOP_NGRAMS_SQL,
+        "html_strip": tdp_html.STRIP_HTML_SQL,
+        "html_main_content": tdp_html.MAIN_CONTENT_SQL,
         "decontaminate": contamination.DECONTAMINATE_SQL,
         "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
