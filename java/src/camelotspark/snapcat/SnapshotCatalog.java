@@ -226,7 +226,7 @@ public class SnapshotCatalog implements TableCatalog {
 
     @Override
     public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-      return () -> new SnapScan(dir, tableSchema);
+      return new SnapScanBuilder(dir, tableSchema);
     }
 
     @Override
@@ -369,18 +369,55 @@ public class SnapshotCatalog implements TableCatalog {
 
   // ----------------------------------------------------------------- read
 
+  /**
+   * Column pruning: Catalyst pushes the required schema down, the
+   * reader projects each stored UnsafeRow to just those fields — so a
+   * resume anti-join over a 10^12-row table ships only doc_id, not the
+   * span structs.
+   */
+  static class SnapScanBuilder implements org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    private final Path tableDir;
+    private final StructType fullSchema;
+    private StructType requiredSchema;
+
+    SnapScanBuilder(Path tableDir, StructType fullSchema) {
+      this.tableDir = tableDir;
+      this.fullSchema = fullSchema;
+      this.requiredSchema = fullSchema;
+    }
+
+    @Override
+    public void pruneColumns(StructType required) {
+      this.requiredSchema = required;
+    }
+
+    @Override
+    public Scan build() {
+      return new SnapScan(tableDir, fullSchema, requiredSchema);
+    }
+  }
+
   static class SnapScan implements Scan, Batch {
     private final Path tableDir;
+    private final StructType fullSchema;
     private final StructType schema;
 
-    SnapScan(Path tableDir, StructType schema) {
+    SnapScan(Path tableDir, StructType fullSchema, StructType schema) {
       this.tableDir = tableDir;
+      this.fullSchema = fullSchema;
       this.schema = schema;
     }
 
     @Override
     public StructType readSchema() {
       return schema;
+    }
+
+    @Override
+    public String description() {
+      // surfaces the pruned column set in explain() so tests (and
+      // humans) can assert the pushdown happened
+      return "SnapScan(read=" + String.join(",", schema.fieldNames()) + ")";
     }
 
     @Override
@@ -410,7 +447,7 @@ public class SnapshotCatalog implements TableCatalog {
 
     @Override
     public PartitionReaderFactory createReaderFactory() {
-      return new BlobReaderFactory(schema.size());
+      return new BlobReaderFactory(fullSchema.json(), schema.json());
     }
   }
 
@@ -423,30 +460,52 @@ public class SnapshotCatalog implements TableCatalog {
   }
 
   static class BlobReaderFactory implements PartitionReaderFactory {
-    private final int numFields;
+    private final String fullSchemaJson;
+    private final String requiredSchemaJson;
 
-    BlobReaderFactory(int numFields) {
-      this.numFields = numFields;
+    BlobReaderFactory(String fullSchemaJson, String requiredSchemaJson) {
+      this.fullSchemaJson = fullSchemaJson;
+      this.requiredSchemaJson = requiredSchemaJson;
     }
 
     @Override
     public PartitionReader<InternalRow> createReader(InputPartition partition) {
-      return new BlobReader(((BlobPartition) partition).path, numFields);
+      StructType full =
+          (StructType) org.apache.spark.sql.types.DataType$.MODULE$.fromJson(fullSchemaJson);
+      StructType required =
+          (StructType) org.apache.spark.sql.types.DataType$.MODULE$.fromJson(requiredSchemaJson);
+      return new BlobReader(((BlobPartition) partition).path, full, required);
     }
   }
 
   static class BlobReader implements PartitionReader<InternalRow> {
     private final DataInputStream in;
     private final UnsafeRow row;
-    private boolean hasRow = false;
+    private final UnsafeProjection prune; // null when reading all columns
+    private InternalRow current;
 
-    BlobReader(String path, int numFields) {
+    BlobReader(String path, StructType full, StructType required) {
       try {
         this.in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)));
       } catch (IOException e) {
         throw new UncheckedIOException(e);
       }
-      this.row = new UnsafeRow(numFields);
+      this.row = new UnsafeRow(full.size());
+      if (required.json().equals(full.json())) {
+        this.prune = null;
+      } else {
+        // project the stored full-width UnsafeRow to the pushed-down
+        // columns: BoundReference per required field, by ordinal
+        java.util.List<org.apache.spark.sql.catalyst.expressions.Expression> refs =
+            new ArrayList<>();
+        for (org.apache.spark.sql.types.StructField f : required.fields()) {
+          int ordinal = full.fieldIndex(f.name());
+          refs.add(new org.apache.spark.sql.catalyst.expressions.BoundReference(
+              ordinal, full.fields()[ordinal].dataType(), full.fields()[ordinal].nullable()));
+        }
+        this.prune = UnsafeProjection.create(
+            scala.jdk.javaapi.CollectionConverters.asScala(refs).toList());
+      }
     }
 
     @Override
@@ -455,19 +514,19 @@ public class SnapshotCatalog implements TableCatalog {
       try {
         len = in.readInt();
       } catch (EOFException eof) {
-        hasRow = false;
+        current = null;
         return false;
       }
       byte[] bytes = new byte[len];
       in.readFully(bytes);
       row.pointTo(bytes, len);
-      hasRow = true;
+      current = prune == null ? row : prune.apply(row);
       return true;
     }
 
     @Override
     public InternalRow get() {
-      return hasRow ? row : null;
+      return current;
     }
 
     @Override

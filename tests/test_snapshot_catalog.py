@@ -100,3 +100,45 @@ def test_catalog_matches_path_branch_results(spark, tmp_path):
     a = {r["doc_id"]: r["spans"] for r in read_extracted(spark, table).collect()}
     b = {r["doc_id"]: r["spans"] for r in read_extracted(spark, path).collect()}
     assert a == b
+
+
+def test_catalog_scan_prunes_columns(spark):
+    """The resume anti-join must push its column set down: reading
+    doc_id from a catalog table scans [doc_id] only (at 10^12 rows the
+    span structs must never leave the reader)."""
+    table = "snap.ns.prune_v2"
+    run_extraction(spark, docs_df(spark, [fx.doc_health("pr-1")]), table, flavor="stream")
+    sel = spark.read.table(table).select("doc_id")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "SnapScan(read=doc_id)" in plan, plan
+    assert [r["doc_id"] for r in sel.collect()] == ["pr-1"]
+    # pruned subset in a different order than the table schema
+    sub = spark.read.table(table).select("n_tables", "doc_id").collect()
+    assert sub[0]["n_tables"] == 1 and sub[0]["doc_id"] == "pr-1"
+    # zero-column scan (count star)
+    assert spark.read.table(table).count() == 1
+
+
+def test_catalog_concurrent_appends_serialize(spark):
+    """Two threads appending simultaneously: the optimistic-concurrency
+    manifest publish must serialize them into versions [1, 2, 3] with
+    no lost commit (the Iceberg commit-race property)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = "snap.ns.race_v2"
+    run_extraction(spark, docs_df(spark, [fx.doc_health("rc-0")]), table, flavor="stream")
+
+    def append(i):
+        from camelot_spark.pipeline import extract
+        extract(docs_df(spark, [fx.doc_health(f"rc-{i}")]), flavor="stream") \
+            .writeTo(table).append()
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(append, [1, 2]))
+    log = _table_log(spark, table)
+    hist = log.history()
+    assert [m["version"] for m in hist] == [1, 2, 3]
+    for parent, child in zip(hist, hist[1:]):
+        assert child["parent_id"] == parent["snapshot_id"]
+    got = {r["doc_id"] for r in spark.read.table(table).select("doc_id").collect()}
+    assert got == {"rc-0", "rc-1", "rc-2"}
