@@ -59,3 +59,61 @@ def test_html_operators_are_shuffle_free(spark):
                lambda d: h.main_content(d, decorate=True)):
         plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Generate" not in plan
+
+
+def _py_strip(html: str) -> str:
+    """Independent Python reference of the strip chain."""
+    import re
+
+    s = re.sub(r"(?s)<script[^>]*>.*?</script>", " ", html)
+    s = re.sub(r"(?s)<style[^>]*>.*?</style>", " ", s)
+    s = re.sub(r"<[^>]*>", " ", s)
+    s = s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+    s = s.replace("&nbsp;", " ")
+    return re.sub(r" +", " ", s).strip()
+
+
+def test_main_content_matches_python_reference(spark):
+    """Randomized HTML pages vs a direct Python implementation of the
+    block classifier — guards the array-algebra formulation
+    independently of the DuckDB oracle's fixed decoration."""
+    import random
+    import re
+
+    rng = random.Random(23)
+    words = ["alpha", "beta", "gamma", "delta", "reader", "content", "x"]
+
+    def rand_block():
+        kind = rng.choice(["p", "div", "li", "h2", "nav", "footer"])
+        n = rng.randint(1, 14)
+        parts = []
+        for _ in range(n):
+            w = rng.choice(words)
+            if rng.random() < 0.3:
+                parts.append(f'<a href="/{w}">{w}</a>')
+            else:
+                parts.append(w)
+        return f"<{kind}>" + " ".join(parts) + f"</{kind}>"
+
+    pages = []
+    for i in range(40):
+        body = "".join(rand_block() for _ in range(rng.randint(1, 8)))
+        pages.append((i, f"<html><body>{body}</body></html>"))
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {r["doc_id"]: (r["n_blocks"], r["n_content_blocks"], r["main_text"])
+           for r in h.main_content(df).collect()}
+
+    for doc_id, html in pages:
+        blocks = re.split(r"</(?:p|div|nav|footer|li|h1|h2|h3)>", html)
+        scored = []
+        for b in blocks:
+            text = _py_strip(b)
+            if not text:
+                continue
+            links = sum(len(t) for t in re.findall(r"<a [^>]*>([^<]*)</a>", b))
+            n_words = len(text.split(" "))
+            density = int(links * 10000 / len(text))
+            scored.append((text, n_words, density))
+        content = [t for (t, n, d) in scored if n >= 5 and d <= 3333]
+        want = (len(scored), len(content), " ".join(content))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
