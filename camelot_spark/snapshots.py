@@ -181,3 +181,58 @@ class SnapshotLog:
         # collision beats silently merging two commits' files
         df.write.mode("error").parquet(data_dir)
         return self.commit(data_dir, metrics=metrics)
+
+    # -- maintenance (Iceberg expire_snapshots / remove_orphan_files) ----
+
+    def expire_snapshots(self, keep_last: int) -> list[int]:
+        """Drop manifest versions older than the newest ``keep_last``
+        (time travel to them ends; readers always resolve the latest
+        manifest, so current reads are unaffected). Data stays: dirs are
+        cumulative, every live dir is still listed by newer manifests.
+        Bounds metadata growth on long checkpoint chains — the
+        Iceberg ``expire_snapshots`` maintenance action. Returns the
+        expired version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self._versions()
+        expired = versions[:-keep_last]
+        for v in expired:
+            os.unlink(self._manifest_path(v))
+        return expired
+
+    def orphan_dirs(self) -> list[str]:
+        """Data directories not referenced by ANY committed manifest —
+        crashed/aborted writers and losers of commit races leave these
+        (never torn tables). Absolute paths, for inspection."""
+        data_root = os.path.join(self.root, "data")
+        if not os.path.isdir(data_root):
+            return []
+        live: set[str] = set()
+        for m in self.history():
+            for d in m["data_dirs"]:
+                # normalize both top-level dirs and streaming epoch dirs
+                live.add(os.path.normpath(os.path.join(self.root, d)))
+        out = []
+        for name in sorted(os.listdir(data_root)):
+            p = os.path.normpath(os.path.join(data_root, name))
+            if p in live:
+                continue
+            # a streaming run base dir is live if ANY of its epoch
+            # subdirs is referenced
+            if any(l.startswith(p + os.sep) for l in live):
+                continue
+            out.append(p)
+        return out
+
+    def remove_orphans(self) -> list[str]:
+        """Delete unreferenced data dirs (Iceberg ``remove_orphan_files``).
+        Safe by construction: a concurrent writer's dir only becomes
+        referenced AFTER its manifest lands, so only run this when no
+        write is in flight (same operational rule as Iceberg's action).
+        Returns the removed paths."""
+        import shutil
+
+        removed = self.orphan_dirs()
+        for p in removed:
+            shutil.rmtree(p)
+        return removed

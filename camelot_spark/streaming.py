@@ -61,25 +61,32 @@ def start_extraction_stream(
     **kwargs,
 ):
     """documents files → (optional cross-batch dedup) → extract →
-    parquet append, checkpointed.
+    sink append, checkpointed.
+
+    Sink: a catalog TABLE identifier streams through the DSv2 streaming
+    write (the `snap` snapshot catalog commits ONE idempotent snapshot
+    per micro-batch epoch — the Iceberg streaming-sink shape; see
+    java/SnapshotCatalog); a PATH appends parquet files. Both get
+    exactly-once from the streaming checkpoint.
 
     ``available_now=True`` drains the current backlog and stops (batch
     catch-up semantics); ``False`` runs continuously per micro-batch.
     ``dedup_within``: watermark delay for cross-batch doc_id dedup
     (None = off). Returns the StreamingQuery.
     """
+    from .pipeline import is_table_identifier
+
     docs = read_document_stream(spark, input_path)
     if dedup_within is not None:
         docs = dedup_stream(docs, watermark_delay=dedup_within)
     extracted = extract(
         docs, flavor=flavor, salt_partitions=salt_partitions, fail_fast=fail_fast, **kwargs
     )
-    writer = (
-        extracted.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-    )
+    writer = extracted.writeStream.option(
+        "checkpointLocation", checkpoint_path
+    ).outputMode("append")
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    if is_table_identifier(output_path):
+        return writer.toTable(output_path)
+    return writer.format("parquet").option("path", output_path).start()

@@ -221,7 +221,8 @@ public class SnapshotCatalog implements TableCatalog {
     @Override
     public Set<TableCapability> capabilities() {
       return Collections.unmodifiableSet(
-          EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE));
+          EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+              TableCapability.STREAMING_WRITE));
     }
 
     @Override
@@ -239,6 +240,11 @@ public class SnapshotCatalog implements TableCatalog {
             @Override
             public BatchWrite toBatch() {
               return new SnapBatchWrite(tableDir, info.schema());
+            }
+
+            @Override
+            public org.apache.spark.sql.connector.write.streaming.StreamingWrite toStreaming() {
+              return new SnapStreamingWrite(tableDir, info.schema(), info.queryId());
             }
           };
         }
@@ -286,6 +292,70 @@ public class SnapshotCatalog implements TableCatalog {
       // data files are unreferenced until a manifest lands; clean the
       // orphaned commit directory
       deleteRecursively(tableDir.resolve(dataDirRel).toFile());
+    }
+  }
+
+  /**
+   * Streaming epoch commits: one snapshot per micro-batch, IDEMPOTENT
+   * on (streaming query id, epoch id) — Spark replays the last
+   * uncommitted epoch after a restart, and a replayed epoch that
+   * already has a committed manifest must not double its rows (the
+   * Iceberg streaming-sink contract). Each query run writes epochs
+   * under a fresh base dir, so partial files from a crashed attempt
+   * are never swept into a later commit.
+   */
+  static class SnapStreamingWrite
+      implements org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    private final Path tableDir;
+    private final StructType schema;
+    private final String queryId;
+    private final String runBase;
+
+    SnapStreamingWrite(Path tableDir, StructType schema, String queryId) {
+      this.tableDir = tableDir;
+      this.schema = schema;
+      this.queryId = queryId;
+      this.runBase = "data/stream-" + UUID.randomUUID().toString().replace("-", "");
+    }
+
+    private String epochDirRel(long epochId) {
+      return runBase + "/epoch-" + epochId;
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+        createStreamingWriterFactory(PhysicalWriteInfo info) {
+      final String base = tableDir.resolve(runBase).toString();
+      final String schemaJson = schema.json();
+      return (partitionId, taskId, epochId) -> {
+        StructType s =
+            (StructType) org.apache.spark.sql.types.DataType$.MODULE$.fromJson(schemaJson);
+        return new BlobWriter(base + "/epoch-" + epochId, partitionId, taskId, s);
+      };
+    }
+
+    @Override
+    public void commit(long epochId, WriterCommitMessage[] messages) {
+      if (ManifestLog.epochCommitted(tableDir, queryId, epochId)) {
+        return; // replayed epoch after restart: already durable
+      }
+      long rows = 0;
+      for (WriterCommitMessage m : messages) {
+        if (m instanceof FileCommit) {
+          rows += ((FileCommit) m).rowCount;
+        }
+      }
+      Map<String, Object> metrics = new HashMap<>();
+      metrics.put("rows", rows);
+      Map<String, String> extras = new HashMap<>();
+      extras.put("streaming_query", queryId);
+      extras.put("streaming_epoch", Long.toString(epochId));
+      ManifestLog.commit(tableDir, epochDirRel(epochId), metrics, extras);
+    }
+
+    @Override
+    public void abort(long epochId, WriterCommitMessage[] messages) {
+      deleteRecursively(tableDir.resolve(epochDirRel(epochId)).toFile());
     }
   }
 
@@ -609,12 +679,32 @@ public class SnapshotCatalog implements TableCatalog {
       return dataDirs(readManifest(tableDir, v));
     }
 
+    /** True when some committed manifest already records this
+     * (streaming query, epoch) pair — the idempotency key for
+     * replayed micro-batches. */
+    static boolean epochCommitted(Path tableDir, String queryId, long epochId) {
+      int latest = latestVersion(tableDir);
+      for (int v = latest; v >= 1; v--) {
+        String m = readManifest(tableDir, v);
+        if (queryId.equals(stringField(m, "streaming_query"))
+            && Long.toString(epochId).equals(stringField(m, "streaming_epoch"))) {
+          return true;
+        }
+      }
+      return false;
+    }
+
+    static void commit(Path tableDir, String newDataDir, Map<String, Object> metrics) {
+      commit(tableDir, newDataDir, metrics, null);
+    }
+
     /**
      * Publish one snapshot: parent's data dirs + the new one, via an
      * atomic hard-link (link(2) fails with EEXIST instead of
      * clobbering a racing winner); losers re-read latest and retry.
      */
-    static void commit(Path tableDir, String newDataDir, Map<String, Object> metrics) {
+    static void commit(Path tableDir, String newDataDir, Map<String, Object> metrics,
+        Map<String, String> extras) {
       Path meta = metaDir(tableDir);
       try {
         Files.createDirectories(meta);
@@ -632,7 +722,7 @@ public class SnapshotCatalog implements TableCatalog {
         }
         dirs.add(newDataDir);
         int version = parentVersion + 1;
-        String json = renderManifest(version, parentId, dirs, metrics);
+        String json = renderManifest(version, parentId, dirs, metrics, extras);
         Path tmp = meta.resolve(".tmp-" + UUID.randomUUID().toString().replace("-", "") + ".json");
         try {
           Files.write(tmp, json.getBytes(StandardCharsets.UTF_8));
@@ -652,7 +742,8 @@ public class SnapshotCatalog implements TableCatalog {
     }
 
     static String renderManifest(
-        int version, String parentId, List<String> dirs, Map<String, Object> metrics) {
+        int version, String parentId, List<String> dirs, Map<String, Object> metrics,
+        Map<String, String> extras) {
       StringBuilder sb = new StringBuilder();
       sb.append("{\n");
       sb.append(" \"committed_at_ms\": ").append(System.currentTimeMillis()).append(",\n");
@@ -678,6 +769,12 @@ public class SnapshotCatalog implements TableCatalog {
           .append(parentId == null ? "null" : "\"" + parentId + "\"").append(",\n");
       sb.append(" \"snapshot_id\": \"")
           .append(UUID.randomUUID().toString().replace("-", "")).append("\",\n");
+      if (extras != null) {
+        for (Map.Entry<String, String> e : new java.util.TreeMap<>(extras).entrySet()) {
+          sb.append(" \"").append(e.getKey()).append("\": \"")
+              .append(e.getValue()).append("\",\n");
+        }
+      }
       sb.append(" \"version\": ").append(version).append("\n");
       sb.append("}");
       return sb.toString();

@@ -142,3 +142,73 @@ def test_catalog_concurrent_appends_serialize(spark):
         assert child["parent_id"] == parent["snapshot_id"]
     got = {r["doc_id"] for r in spark.read.table(table).select("doc_id").collect()}
     assert got == {"rc-0", "rc-1", "rc-2"}
+
+
+def test_streaming_write_commits_idempotent_epoch_snapshots(spark, tmp_path):
+    """writeStream into a catalog table: ONE snapshot per micro-batch
+    epoch, manifests tagged (streaming_query, streaming_epoch), and a
+    checkpointed restart with no new data commits nothing — the Iceberg
+    streaming-sink contract."""
+    from camelot_spark.streaming import start_extraction_stream
+    from tests.test_streaming import _write_docs
+
+    table = "snap.ns.stream_v2"
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    b1 = fx.doc_health("sw-1")
+    _write_docs(spark, [b1], inp)
+
+    q = start_extraction_stream(spark, inp, table, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    log = _table_log(spark, table)
+    hist = log.history()
+    epoch_manifests = [m for m in hist if "streaming_epoch" in m]
+    assert len(epoch_manifests) == 1
+    assert epoch_manifests[0]["metrics"]["rows"] == 1
+    rows = spark.read.table(table)
+    got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+           for s in rows.collect()[0]["spans"]]
+    assert got == b1.golden()
+
+    # second run, new doc: exactly one more epoch snapshot
+    _write_docs(spark, [fx.doc_twotables("sw-2")], inp)
+    q = start_extraction_stream(spark, inp, table, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    assert spark.read.table(table).count() == 2
+    n_after_two = len(_table_log(spark, table).history())
+
+    # third run, no new data: no rows and no new DATA snapshots
+    q = start_extraction_stream(spark, inp, table, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    assert spark.read.table(table).count() == 2
+    hist = _table_log(spark, table).history()
+    with_rows = [m for m in hist if m["metrics"].get("rows", 0) > 0]
+    assert len(with_rows) == 2, [m.get("streaming_epoch") for m in hist]
+    assert n_after_two <= len(hist) <= n_after_two + 1  # at most an empty epoch
+
+
+def test_snapshot_maintenance_expire_and_orphans(spark, tmp_path):
+    """Iceberg-style maintenance: expire_snapshots bounds the metadata
+    log without touching live data; remove_orphans deletes only
+    unreferenced data dirs (crashed writers, lost races)."""
+    out_path = str(tmp_path / "maint_tbl")
+    for i in range(4):
+        run_extraction(spark, docs_df(spark, [fx.doc_health(f"mt-{i}")]),
+                       out_path, flavor="stream", resume=False)
+    log = SnapshotLog(out_path)
+    assert [m["version"] for m in log.history()] == [1, 2, 3, 4]
+
+    # an orphan: data files written but never committed
+    dangling = log.new_data_dir()
+    docs_df(spark, [fx.doc_health("mt-x")]).write.parquet(dangling)
+    assert log.orphan_dirs() == [os.path.normpath(dangling)]
+
+    removed = log.remove_orphans()
+    assert removed and not os.path.exists(dangling)
+    assert read_extracted(spark, out_path).count() == 4  # live data intact
+
+    expired = log.expire_snapshots(keep_last=2)
+    assert expired == [1, 2]
+    assert [m["version"] for m in log.history()] == [3, 4]
+    # latest manifest still lists every live dir: reads unaffected
+    assert read_extracted(spark, out_path).count() == 4
+    assert log.orphan_dirs() == []
