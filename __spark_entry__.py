@@ -182,6 +182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("b_id").cast("bigint").alias("b_id"))
         ),
         "minhash_neardup_verified": lambda s, d: dedup.minhash_neardup_verified(_load(s, d, "documents")),
+        # pairs -> connected components -> dedup groups (canonical doc
+        # per near-dup cluster); production uses the xxhash64 pair path
+        "dedup_groups": lambda s, d: dedup.dedup_groups(_load(s, d, "documents")),
+        "dedup_groups_portable": lambda s, d: dedup.dedup_groups(
+            _load(s, d, "documents").where(F.col("doc_id") % 2 == 0), portable=True),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
         "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
@@ -240,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
         "minhash_lsh_pairs_portable": dedup.MINHASH_PORTABLE_SQL,
+        "dedup_groups_portable": dedup.DEDUP_GROUPS_PORTABLE_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,

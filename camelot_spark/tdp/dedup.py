@@ -463,3 +463,123 @@ def minhash_neardup_verified(
         )
         .where(F.col("jaccard_x10k") >= threshold_x10k)
     )
+
+
+def connected_components(pairs, rounds: int = 8):
+    """Connected components over an undirected pair list — the step
+    that turns near-dup PAIRS into dedup GROUPS (one canonical doc per
+    component). Input: (a_id, b_id) rows; output: (doc_id, component)
+    with component = the minimum doc_id reachable within ``rounds``
+    label-propagation steps.
+
+    Algorithm: min-label propagation. Each round, every node takes the
+    minimum of its own label and its neighbors' labels — pure
+    DataFrame joins/aggregations, shuffling only (id, label) longs.
+    Converges once ``rounds`` >= the largest component's diameter;
+    near-dup clusters are dense (diameter is tiny — mostly 1-2), so 8
+    rounds is generous. A fixed round count keeps the operator
+    deterministic AND exactly reproducible by the DuckDB oracle (the
+    SQL runs the identical rounds); at extreme scale the same loop is
+    what GraphFrames' connectedComponents runs, with large-star/
+    small-star contraction cutting rounds to O(log n) — the swap-in
+    point if components with huge diameters ever appear.
+    """
+    from pyspark.sql import functions as F
+
+    e = pairs.select(
+        F.col("a_id").cast("bigint").alias("src"), F.col("b_id").cast("bigint").alias("dst")
+    )
+    # the pair pipeline (e.g. a full minhash-LSH run) is referenced by
+    # BOTH union branches and by every round: materialize it exactly once
+    e = e.localCheckpoint(eager=True)
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    for _ in range(rounds):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = labels.join(neigh, labels.id == F.col("nid"), "left").select(
+            "id", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label")
+        )
+        # each round references `labels` twice; without truncation the
+        # logical plan doubles per iteration (2^rounds operators — OOMs
+        # the driver around 12 rounds). Iterative Spark algorithms
+        # checkpoint per iteration for exactly this reason (GraphX/
+        # GraphFrames do the same). Lazy (eager=False) still truncates
+        # the plan but lets the final action drive all rounds in one
+        # job chain instead of paying 'rounds' eager job submissions.
+        labels = labels.localCheckpoint(eager=False)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def dedup_groups(documents, num_hashes: int = 32, bands: int = 8, n: int = 3,
+                 portable: bool = False, rounds: int = 8):
+    """Full dedup grouping: MinHash-LSH candidate pairs → connected
+    components → (doc_id, component, is_canonical). The canonical doc
+    of each group is its minimum doc_id (= the component label)."""
+    from pyspark.sql import functions as F
+
+    pairs = minhash_lsh_pairs(documents, num_hashes=num_hashes, bands=bands,
+                              n=n, portable=portable)
+    cc = connected_components(pairs, rounds=rounds)
+    return cc.select(
+        "doc_id", "component",
+        F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
+        .cast("int").alias("is_canonical"),
+    )
+
+
+def _cc_rounds_sql(rounds: int) -> str:
+    """The DuckDB twin of connected_components: the SAME fixed number of
+    min-label propagation rounds, generated as chained CTEs (recursive
+    CTEs cannot aggregate over the recursive term)."""
+    steps = []
+    for k in range(1, rounds + 1):
+        prev = f"l{k - 1}"
+        # MATERIALIZED: each round references the previous twice; an
+        # inlined CTE would re-evaluate the whole chain exponentially
+        steps.append(
+            f"l{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id, LEAST(p.label, COALESCE(m.nl, p.label)) AS label\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, MIN(p2.label) AS nl\n"
+            f"    FROM edges e JOIN {prev} p2 ON p2.id = e.src GROUP BY e.dst) m\n"
+            f"  USING (id))"
+        )
+    return ",\n".join(steps)
+
+
+# dedup_groups(portable=True) oracle: portable minhash pairs (the
+# MINHASH_PORTABLE_SQL candidate logic, same %2 sample) → undirected
+# edges → 8 rounds of min-label propagation → groups. Assembled by
+# folding MINHASH_PORTABLE_SQL's final SELECT into a `pairs` CTE.
+_MINHASH_CTE_HEAD, _MINHASH_FINAL_SELECT = MINHASH_PORTABLE_SQL.rstrip().split(
+    "SELECT DISTINCT", 1
+)
+DEDUP_GROUPS_PORTABLE_SQL = (
+    _MINHASH_CTE_HEAD
+    + ",\npairs AS MATERIALIZED (SELECT DISTINCT"
+    + _MINHASH_FINAL_SELECT
+    + "),\n"
+    + """edges AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+"""
+    + _cc_rounds_sql(8)
+    + """
+SELECT id AS doc_id, label AS component,
+       CAST(CASE WHEN id = label THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM l8
+"""
+)

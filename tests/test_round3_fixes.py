@@ -194,3 +194,52 @@ def test_scrub_pii_undecorated_reports_only_true_hits(spark):
     assert out[0]["scrubbed"] == "totally clean text"
     assert out[7]["n_emails"] == 1 and out[7]["n_phones"] == 1
     assert out[7]["scrubbed"] == "reach me at <EMAIL> or <PHONE>"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Fixed-round min-label propagation vs a true union-find on random
+    graphs: with rounds >= diameter the labels are exact components."""
+    import random
+
+    from camelot_spark.tdp.dedup import connected_components
+
+    rng = random.Random(5)
+    nodes = list(range(60))
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df, rounds=10).collect()}
+
+    parent = {n: n for n in nodes}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for p in pairs for x in p}
+    want = {}
+    for n in touched:
+        root = find(n)
+        want[n] = min(m for m in touched if find(m) == root)
+    assert got == want
+
+
+def test_connected_components_long_chain_needs_rounds(spark):
+    """A 12-node chain: rounds below the diameter leave far nodes
+    unconverged (documented fixed-round semantics); enough rounds
+    collapse the whole chain to one component."""
+    from camelot_spark.tdp.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    full = {r["doc_id"]: r["component"]
+            for r in connected_components(df, rounds=12).collect()}
+    assert set(full.values()) == {0}
+    partial = {r["doc_id"]: r["component"]
+               for r in connected_components(df, rounds=2).collect()}
+    assert partial[11] != 0  # honest: 2 rounds cannot reach 11 hops
