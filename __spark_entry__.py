@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic HTML shell from the plain-text corpus)
         "html_strip": lambda s, d: tdp_html.strip_html(_load(s, d, "documents"), decorate=True),
         "html_main_content": lambda s, d: tdp_html.main_content(_load(s, d, "documents"), decorate=True),
+        "html_links": lambda s, d: tdp_html.extract_links(_load(s, d, "documents"), decorate=True),
         "decontaminate": lambda s, d: contamination.decontaminate(_load(s, d, "documents")),
         "chunk_documents": lambda s, d: packing.chunk_documents(_load(s, d, "documents")),
         "pack_sequences": lambda s, d: packing.pack_sequences(_load(s, d, "documents")),
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.resize_media(_load(s, d, "documents"))
             .select("doc_id", "width", "height", "pixels_sum", "pixels_poly")
         ),
+        "media_features": lambda s, d: multimodal.media_features_hist(_load(s, d, "documents")),
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
@@ -238,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": tdp_text.TOP_NGRAMS_SQL,
         "html_strip": tdp_html.STRIP_HTML_SQL,
         "html_main_content": tdp_html.MAIN_CONTENT_SQL,
+        "html_links": tdp_html.EXTRACT_LINKS_SQL,
         "decontaminate": contamination.DECONTAMINATE_SQL,
         "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
@@ -258,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": multimodal.MEDIA_META_SQL,
         "frame_sample_counts": multimodal.FRAME_COUNTS_SQL,
         "media_resize": multimodal.MEDIA_RESIZE_SQL,
+        "media_features": multimodal.MEDIA_FEATURES_SQL,
         "table_export_csv": TABLE_EXPORT_CSV_SQL,
         "parsing_report": PARSING_REPORT_SQL,
         # minhash_lsh_pairs / minhash_neardup_verified / simhash_near_dups:

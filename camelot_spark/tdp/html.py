@@ -226,3 +226,42 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
            s -> s.text), ' ') AS main_text
 FROM scored
 """
+
+
+_ANCHOR_FULL = '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_links(documents: DataFrame, decorate: bool = False) -> DataFrame:
+    """(doc_id, link_idx, href, anchor_text) — one row per <a> in
+    document order; the DOM link-graph feed (outlink extraction for
+    crawl frontier / PageRank-style dedup). One regexp_extract_all +
+    posexplode: the explode is scan-local, the only wide op is whatever
+    the caller aggregates next."""
+    src = decorate_html(documents) if decorate else documents.select("doc_id", "html")
+    hrefs = F.regexp_extract_all(F.col("html"), F.lit(_ANCHOR_FULL), F.lit(1))
+    texts = F.regexp_extract_all(F.col("html"), F.lit(_ANCHOR_FULL), F.lit(2))
+    pairs = F.zip_with(hrefs, texts, lambda h, t: F.struct(h.alias("href"), t.alias("anchor_text")))
+    return src.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(pairs).alias("link_idx", "l"),
+    ).select(
+        "doc_id",
+        F.col("link_idx").cast("bigint").alias("link_idx"),
+        F.col("l.href").alias("href"),
+        F.col("l.anchor_text").alias("anchor_text"),
+    )
+
+
+EXTRACT_LINKS_SQL = f"""
+WITH d AS ({_SQL_DECORATE}),
+l AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hs,
+         regexp_extract_all(html, '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS ts
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i - 1 AS BIGINT) AS link_idx,
+       hs[i] AS href,
+       ts[i] AS anchor_text
+FROM l, lateral unnest(range(1, len(hs) + 1)) u(i)
+"""

@@ -283,6 +283,33 @@ def media_features(documents: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+def media_features_hist(documents: DataFrame, dim: int = 8) -> DataFrame:
+    """media_features as exploded (doc_id, bucket, cnt) rows — the
+    hash-oracled view of the histogram (integer outputs; the array form
+    feeds the similarity operators directly)."""
+    feats = media_features(documents, dim=dim)
+    return feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("features").alias("bucket", "cnt_d"),
+    ).select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cnt_d").cast("bigint").alias("cnt"),
+    )
+
+
+MEDIA_FEATURES_SQL = """
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(string_split(text, ''), ch -> ord(ch) % 8) AS bs
+  FROM documents)
+SELECT doc_id,
+       CAST(u.k AS INTEGER) AS bucket,
+       CAST(len(list_filter(bs, x -> x = u.k)) AS BIGINT) AS cnt
+FROM c, lateral unnest(range(0, 8)) u(k)
+"""
+
+
 FRAME_COUNTS_SQL = """
 WITH f AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -117,3 +117,13 @@ def test_main_content_matches_python_reference(spark):
         content = [t for (t, n, d) in scored if n >= 5 and d <= 3333]
         want = (len(scored), len(content), " ".join(content))
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_extract_links_real_column(spark):
+    df = spark.createDataFrame(
+        [(3, _page('<p>see <a href="/x">first</a> then <a class="b" href="/y">second one</a></p>'))],
+        "doc_id long, html string",
+    )
+    rows = h.extract_links(df).collect()
+    assert [(r["link_idx"], r["href"], r["anchor_text"]) for r in rows] == [
+        (0, "/x", "first"), (1, "/y", "second one")]
