@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "width", "height", "pixels_sum", "pixels_poly")
         ),
         "media_features": lambda s, d: multimodal.media_features_hist(_load(s, d, "documents")),
+        "audio_meta": lambda s, d: multimodal.audio_metadata(_load(s, d, "documents")),
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
@@ -262,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample_counts": multimodal.FRAME_COUNTS_SQL,
         "media_resize": multimodal.MEDIA_RESIZE_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
+        "audio_meta": multimodal.AUDIO_META_SQL,
         "table_export_csv": TABLE_EXPORT_CSV_SQL,
         "parsing_report": PARSING_REPORT_SQL,
         # minhash_lsh_pairs / minhash_neardup_verified / simhash_near_dups:

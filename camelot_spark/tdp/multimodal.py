@@ -318,3 +318,72 @@ WITH f AS (
 SELECT doc_id, CAST(FLOOR((n_total + 3) / 4) AS BIGINT) AS n_frames
 FROM f WHERE n_total >= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV/PCM decode + per-clip stats (real codec, pure stdlib)
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("peak_abs", LongType(), False),
+        StructField("energy", LongType(), False),
+    ]
+)
+
+
+def audio_metadata(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Audio stats per payload: (sample_rate, n_samples, duration_ms,
+    peak_abs, energy=Σ sample²) — the audio-modality decode/feature
+    plan shape, Arrow-batched.
+
+    Routing mirrors images: a RIFF/WAVE payload decodes as-is
+    (``wav_codec``, pure stdlib — the REAL path); any other payload is
+    deterministically synthesized into PCM ((byte−97)·256 per byte)
+    and STILL round-trips through encode_wav → decode_wav, so the
+    codec executes on every row and the DuckDB oracle verifies the
+    whole encode→decode→stats loop from the text bytes."""
+    from .wav_codec import WAV_MAGIC, decode_wav, encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:4] == WAV_MAGIC:
+                    wav = bytes(payload)
+                else:
+                    pcm = (np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 97) * 256
+                    pcm = np.clip(pcm, -32768, 32767)  # valid int16 PCM
+                    wav = encode_wav(pcm.astype("<i2"), sample_rate=sample_rate)
+                sr, _, s = decode_wav(wav)
+                s64 = s.astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(int(s.size))
+                out["duration_ms"].append(int(s.size * 1000 // sr) if sr else 0)
+                out["peak_abs"].append(int(np.abs(s64).max()) if s.size else 0)
+                out["energy"].append(int((s64 * s64).sum()))
+            yield pd.DataFrame(out)
+
+    return attach_fake_payload(documents).mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+AUDIO_META_SQL = """
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(string_split(text, ''),
+                        c -> LEAST(GREATEST((CAST(ord(c) AS BIGINT) - 97) * 256,
+                                            -32768), 32767)) AS pcm
+  FROM documents)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(len(pcm) AS BIGINT) AS n_samples,
+       CAST(len(pcm) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(COALESCE(list_max(list_transform(pcm, x -> abs(x))), 0) AS BIGINT) AS peak_abs,
+       CAST(COALESCE(list_sum(list_transform(pcm, x -> x * x)), 0) AS BIGINT) AS energy
+FROM s
+"""

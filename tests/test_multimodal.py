@@ -144,3 +144,46 @@ def test_media_features_histogram(docs, spark):
     # histogram sums to the character count of the text
     row = docs.where("doc_id = 1").collect()[0]
     assert sum(out["1"]) == len(row["text"])
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit(self):
+        from camelot_spark.tdp.wav_codec import decode_wav, encode_wav
+
+        rng = np.random.RandomState(4)
+        samples = rng.randint(-32768, 32768, size=777).astype("<i2")
+        sr, ch, got = decode_wav(encode_wav(samples, sample_rate=16000))
+        assert (sr, ch) == (16000, 1)
+        assert (got == samples.astype(np.int32)).all()
+
+    def test_rejects_non_wav_and_non_pcm(self):
+        import struct
+
+        import pytest as _pytest
+
+        from camelot_spark.tdp.wav_codec import decode_wav, encode_wav
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"not audio at all")
+        # flip the format code to non-PCM
+        wav = bytearray(encode_wav(np.zeros(4, dtype="<i2")))
+        fmt_at = wav.find(b"fmt ") + 8
+        wav[fmt_at:fmt_at + 2] = struct.pack("<H", 3)
+        with _pytest.raises(NotImplementedError):
+            decode_wav(bytes(wav))
+
+
+def test_audio_metadata_real_wav_payloads(spark):
+    """A real WAV payload column decodes as-is: stats reflect the
+    actual PCM, not the synthetic text mapping."""
+    from camelot_spark.tdp.wav_codec import encode_wav
+
+    samples = np.array([0, 1000, -2000, 3000], dtype="<i2")
+    df = spark.createDataFrame(
+        [(5, bytearray(encode_wav(samples, sample_rate=4000)))],
+        "doc_id long, payload binary",
+    )
+    r = mm.audio_metadata(df).collect()[0]
+    assert (r["sample_rate"], r["n_samples"]) == (4000, 4)
+    assert r["duration_ms"] == 1 and r["peak_abs"] == 3000
+    assert r["energy"] == 1000**2 + 2000**2 + 3000**2

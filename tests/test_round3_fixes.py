@@ -243,3 +243,36 @@ def test_connected_components_long_chain_needs_rounds(spark):
     partial = {r["doc_id"]: r["component"]
                for r in connected_components(df, rounds=2).collect()}
     assert partial[11] != 0  # honest: 2 rounds cannot reach 11 hops
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan has NO
+    Exchange (co-located scan-local join) and matches the plain-join
+    result exactly."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.relational import write_bucketed
+
+    left = spark.range(500).select(
+        (F.col("id") % 40).alias("user_id"), F.col("id").alias("event_id"))
+    right = spark.range(40).select(
+        F.col("id").alias("user_id"), (F.col("id") * 7).alias("score"))
+    write_bucketed(left, "bkt_left", buckets=8, key="user_id")
+    write_bucketed(right, "bkt_right", buckets=8, key="user_id")
+    try:
+        a, b = spark.table("bkt_left"), spark.table("bkt_right")
+        # disable broadcast so the co-location (not a broadcast) kills
+        # the shuffle — the shape that matters when BOTH sides are huge
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "user_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            got = sorted(map(tuple, joined.collect()))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        want = sorted(map(tuple, left.join(right, "user_id").collect()))
+        assert got == want and len(got) == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
