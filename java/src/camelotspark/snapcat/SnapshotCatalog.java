@@ -386,10 +386,20 @@ public class SnapshotCatalog implements TableCatalog {
     }
   }
 
-  /** Length-prefixed UnsafeRow blobs: schema-agnostic row storage. */
+  /**
+   * Length-prefixed UnsafeRow blobs: schema-agnostic row storage. Each
+   * data file gets a ``.stats`` sidecar with per-column min/max for
+   * long/int/string top-level fields — the file-pruning statistics the
+   * scan uses to skip files a pushed filter cannot match (Iceberg's
+   * per-data-file column stats, in miniature).
+   */
   static class BlobWriter implements DataWriter<InternalRow> {
     private final File file;
     private final UnsafeProjection toUnsafe;
+    private final StructType schema;
+    private final int[] statOrdinals;
+    private final Object[] mins;
+    private final Object[] maxs;
     private DataOutputStream out;
     private long rows = 0;
 
@@ -397,6 +407,17 @@ public class SnapshotCatalog implements TableCatalog {
       new File(dataDir).mkdirs();
       this.file = new File(dataDir, "part-" + partitionId + "-" + taskId + ".bin");
       this.toUnsafe = UnsafeProjection.create(schema);
+      this.schema = schema;
+      List<Integer> ords = new ArrayList<>();
+      for (int i = 0; i < schema.size(); i++) {
+        String tn = schema.fields()[i].dataType().typeName();
+        if (tn.equals("long") || tn.equals("integer") || tn.equals("string")) {
+          ords.add(i);
+        }
+      }
+      this.statOrdinals = ords.stream().mapToInt(Integer::intValue).toArray();
+      this.mins = new Object[schema.size()];
+      this.maxs = new Object[schema.size()];
     }
 
     private DataOutputStream stream() throws IOException {
@@ -406,9 +427,34 @@ public class SnapshotCatalog implements TableCatalog {
       return out;
     }
 
+    @SuppressWarnings("unchecked")
+    private void trackStats(InternalRow row) {
+      for (int ord : statOrdinals) {
+        if (row.isNullAt(ord)) {
+          continue;
+        }
+        String tn = schema.fields()[ord].dataType().typeName();
+        Comparable<Object> v;
+        if (tn.equals("long")) {
+          v = (Comparable<Object>) (Object) Long.valueOf(row.getLong(ord));
+        } else if (tn.equals("integer")) {
+          v = (Comparable<Object>) (Object) Long.valueOf(row.getInt(ord));
+        } else {
+          v = (Comparable<Object>) (Object) row.getUTF8String(ord).toString();
+        }
+        if (mins[ord] == null || v.compareTo(mins[ord]) < 0) {
+          mins[ord] = v;
+        }
+        if (maxs[ord] == null || v.compareTo(maxs[ord]) > 0) {
+          maxs[ord] = v;
+        }
+      }
+    }
+
     @Override
     public void write(InternalRow row) throws IOException {
       UnsafeRow u = toUnsafe.apply(row);
+      trackStats(row);
       byte[] bytes = u.getBytes();
       DataOutputStream s = stream();
       s.writeInt(bytes.length);
@@ -416,9 +462,33 @@ public class SnapshotCatalog implements TableCatalog {
       rows++;
     }
 
+    private File statsFile() {
+      return new File(file.getPath() + ".stats");
+    }
+
+    private void writeStats() throws IOException {
+      StringBuilder sb = new StringBuilder();
+      for (int ord : statOrdinals) {
+        if (mins[ord] == null) {
+          continue;
+        }
+        String tn = schema.fields()[ord].dataType().typeName();
+        String kind = tn.equals("string") ? "s" : "l";
+        sb.append(java.net.URLEncoder.encode(schema.fields()[ord].name(), "UTF-8"))
+            .append('\t').append(kind)
+            .append('\t').append(java.net.URLEncoder.encode(mins[ord].toString(), "UTF-8"))
+            .append('\t').append(java.net.URLEncoder.encode(maxs[ord].toString(), "UTF-8"))
+            .append('\n');
+      }
+      Files.write(statsFile().toPath(), sb.toString().getBytes(StandardCharsets.UTF_8));
+    }
+
     @Override
     public WriterCommitMessage commit() throws IOException {
       close();
+      if (rows > 0) {
+        writeStats();
+      }
       return new FileCommit(file.getAbsolutePath(), rows);
     }
 
@@ -426,6 +496,7 @@ public class SnapshotCatalog implements TableCatalog {
     public void abort() throws IOException {
       close();
       file.delete();
+      statsFile().delete();
     }
 
     @Override
@@ -445,10 +516,14 @@ public class SnapshotCatalog implements TableCatalog {
    * resume anti-join over a 10^12-row table ships only doc_id, not the
    * span structs.
    */
-  static class SnapScanBuilder implements org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  static class SnapScanBuilder
+      implements org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns,
+          org.apache.spark.sql.connector.read.SupportsPushDownFilters {
     private final Path tableDir;
     private final StructType fullSchema;
     private StructType requiredSchema;
+    private org.apache.spark.sql.sources.Filter[] pushed =
+        new org.apache.spark.sql.sources.Filter[0];
 
     SnapScanBuilder(Path tableDir, StructType fullSchema) {
       this.tableDir = tableDir;
@@ -462,8 +537,137 @@ public class SnapshotCatalog implements TableCatalog {
     }
 
     @Override
+    public org.apache.spark.sql.sources.Filter[] pushFilters(
+        org.apache.spark.sql.sources.Filter[] filters) {
+      List<org.apache.spark.sql.sources.Filter> usable = new ArrayList<>();
+      for (org.apache.spark.sql.sources.Filter f : filters) {
+        if (FileStats.supports(f)) {
+          usable.add(f);
+        }
+      }
+      this.pushed = usable.toArray(new org.apache.spark.sql.sources.Filter[0]);
+      // stats prune whole FILES; rows inside surviving files still need
+      // the filter, so every filter is returned for Spark-side
+      // re-evaluation (same contract as a format without dictionaries)
+      return filters;
+    }
+
+    @Override
+    public org.apache.spark.sql.sources.Filter[] pushedFilters() {
+      return pushed;
+    }
+
+    @Override
     public Scan build() {
-      return new SnapScan(tableDir, fullSchema, requiredSchema);
+      return new SnapScan(tableDir, fullSchema, requiredSchema, pushed);
+    }
+  }
+
+  /** Per-file min/max column stats (the ``.stats`` sidecar) and the
+   * can-this-file-match-this-filter test used for file pruning. */
+  static class FileStats {
+    final Map<String, String[]> ranges = new HashMap<>(); // name -> {kind, min, max}
+
+    static FileStats read(File binFile) {
+      File f = new File(binFile.getPath() + ".stats");
+      if (!f.isFile()) {
+        return null;
+      }
+      FileStats out = new FileStats();
+      try {
+        for (String line : Files.readAllLines(f.toPath(), StandardCharsets.UTF_8)) {
+          String[] parts = line.split("\t");
+          if (parts.length == 4) {
+            out.ranges.put(
+                java.net.URLDecoder.decode(parts[0], "UTF-8"),
+                new String[] {
+                  parts[1],
+                  java.net.URLDecoder.decode(parts[2], "UTF-8"),
+                  java.net.URLDecoder.decode(parts[3], "UTF-8")
+                });
+          }
+        }
+      } catch (IOException e) {
+        return null; // unreadable stats: never prune
+      }
+      return out;
+    }
+
+    static boolean supports(org.apache.spark.sql.sources.Filter f) {
+      return f instanceof org.apache.spark.sql.sources.EqualTo
+          || f instanceof org.apache.spark.sql.sources.GreaterThan
+          || f instanceof org.apache.spark.sql.sources.GreaterThanOrEqual
+          || f instanceof org.apache.spark.sql.sources.LessThan
+          || f instanceof org.apache.spark.sql.sources.LessThanOrEqual
+          || f instanceof org.apache.spark.sql.sources.In;
+    }
+
+    /** -2 = no stats / not comparable; else compareTo(value) semantics
+     * clamped to {-1, 0, 1}. */
+    private int cmp(String kind, String bound, Object value) {
+      try {
+        if (kind.equals("l") && value instanceof Number) {
+          return Long.compare(Long.parseLong(bound), ((Number) value).longValue());
+        }
+        if (kind.equals("s") && value instanceof String) {
+          int c = bound.compareTo((String) value);
+          return Integer.compare(c, 0);
+        }
+      } catch (NumberFormatException ignore) {
+        // fall through
+      }
+      return -2;
+    }
+
+    private boolean outside(String name, Object value) {
+      String[] r = ranges.get(name);
+      if (r == null) {
+        return false;
+      }
+      int lo = cmp(r[0], r[1], value);
+      int hi = cmp(r[0], r[2], value);
+      return lo != -2 && hi != -2 && (lo > 0 || hi < 0);
+    }
+
+    /** True when the file's ranges PROVE no row matches the filter. */
+    boolean provesEmpty(org.apache.spark.sql.sources.Filter f) {
+      if (f instanceof org.apache.spark.sql.sources.EqualTo) {
+        org.apache.spark.sql.sources.EqualTo e = (org.apache.spark.sql.sources.EqualTo) f;
+        return outside(e.attribute(), e.value());
+      }
+      if (f instanceof org.apache.spark.sql.sources.In) {
+        org.apache.spark.sql.sources.In in = (org.apache.spark.sql.sources.In) f;
+        for (Object v : in.values()) {
+          if (!outside(in.attribute(), v)) {
+            return false;
+          }
+        }
+        return in.values().length > 0;
+      }
+      String[] r;
+      if (f instanceof org.apache.spark.sql.sources.GreaterThan) {
+        org.apache.spark.sql.sources.GreaterThan g = (org.apache.spark.sql.sources.GreaterThan) f;
+        r = ranges.get(g.attribute());
+        return r != null && cmp(r[0], r[2], g.value()) != -2 && cmp(r[0], r[2], g.value()) <= 0;
+      }
+      if (f instanceof org.apache.spark.sql.sources.GreaterThanOrEqual) {
+        org.apache.spark.sql.sources.GreaterThanOrEqual g =
+            (org.apache.spark.sql.sources.GreaterThanOrEqual) f;
+        r = ranges.get(g.attribute());
+        return r != null && cmp(r[0], r[2], g.value()) != -2 && cmp(r[0], r[2], g.value()) < 0;
+      }
+      if (f instanceof org.apache.spark.sql.sources.LessThan) {
+        org.apache.spark.sql.sources.LessThan l = (org.apache.spark.sql.sources.LessThan) f;
+        r = ranges.get(l.attribute());
+        return r != null && cmp(r[0], r[1], l.value()) != -2 && cmp(r[0], r[1], l.value()) >= 0;
+      }
+      if (f instanceof org.apache.spark.sql.sources.LessThanOrEqual) {
+        org.apache.spark.sql.sources.LessThanOrEqual l =
+            (org.apache.spark.sql.sources.LessThanOrEqual) f;
+        r = ranges.get(l.attribute());
+        return r != null && cmp(r[0], r[1], l.value()) != -2 && cmp(r[0], r[1], l.value()) > 0;
+      }
+      return false;
     }
   }
 
@@ -471,11 +675,14 @@ public class SnapshotCatalog implements TableCatalog {
     private final Path tableDir;
     private final StructType fullSchema;
     private final StructType schema;
+    private final org.apache.spark.sql.sources.Filter[] filters;
 
-    SnapScan(Path tableDir, StructType fullSchema, StructType schema) {
+    SnapScan(Path tableDir, StructType fullSchema, StructType schema,
+        org.apache.spark.sql.sources.Filter[] filters) {
       this.tableDir = tableDir;
       this.fullSchema = fullSchema;
       this.schema = schema;
+      this.filters = filters;
     }
 
     @Override
@@ -485,9 +692,14 @@ public class SnapshotCatalog implements TableCatalog {
 
     @Override
     public String description() {
-      // surfaces the pruned column set in explain() so tests (and
-      // humans) can assert the pushdown happened
-      return "SnapScan(read=" + String.join(",", schema.fieldNames()) + ")";
+      // surfaces the pruned column set + pushed filters in explain()
+      // so tests (and humans) can assert the pushdown happened
+      StringBuilder sb = new StringBuilder("SnapScan(read=");
+      sb.append(String.join(",", schema.fieldNames()));
+      if (filters.length > 0) {
+        sb.append(", pushed=").append(Arrays.toString(filters));
+      }
+      return sb.append(')').toString();
     }
 
     @Override
@@ -498,7 +710,10 @@ public class SnapshotCatalog implements TableCatalog {
     @Override
     public InputPartition[] planInputPartitions() {
       // snapshot isolation: only files under a committed manifest's
-      // data_dirs are planned — a racing uncommitted append is invisible
+      // data_dirs are planned — a racing uncommitted append is
+      // invisible. Pushed filters prune whole files via the per-file
+      // min/max stats sidecars (Iceberg-style data-file skipping);
+      // files without stats are never pruned.
       List<String> dataDirs = ManifestLog.latestDataDirs(tableDir);
       List<InputPartition> parts = new ArrayList<>();
       for (String rel : dataDirs) {
@@ -509,6 +724,21 @@ public class SnapshotCatalog implements TableCatalog {
         }
         Arrays.sort(files);
         for (File f : files) {
+          if (filters.length > 0) {
+            FileStats stats = FileStats.read(f);
+            if (stats != null) {
+              boolean skip = false;
+              for (org.apache.spark.sql.sources.Filter flt : filters) {
+                if (stats.provesEmpty(flt)) {
+                  skip = true;
+                  break;
+                }
+              }
+              if (skip) {
+                continue;
+              }
+            }
+          }
           parts.add(new BlobPartition(f.getAbsolutePath()));
         }
       }

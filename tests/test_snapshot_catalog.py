@@ -212,3 +212,31 @@ def test_snapshot_maintenance_expire_and_orphans(spark, tmp_path):
     # latest manifest still lists every live dir: reads unaffected
     assert read_extracted(spark, out_path).count() == 4
     assert log.orphan_dirs() == []
+
+
+def test_filter_pushdown_prunes_files(spark):
+    """Per-file min/max stats sidecars + pushed filters skip whole data
+    files at planning time (Iceberg-style data-file pruning): three
+    appends with disjoint doc_id ranges, a point filter plans ONE
+    input partition and still returns exact results."""
+    table = "snap.ns.fileprune_v2"
+    for lo in (0, 100, 200):
+        w = spark.range(lo, lo + 100).selectExpr(
+            "cast(id as string) as doc_id", "id as n").coalesce(1).writeTo(table)
+        (w.create if lo == 0 else w.append)()
+    t = spark.read.table(table)
+    assert t.rdd.getNumPartitions() == 3  # one file per append
+
+    point = t.where("n = 250")
+    assert point.rdd.getNumPartitions() == 1
+    assert [(r["doc_id"], r["n"]) for r in point.collect()] == [("250", 250)]
+    plan = point._jdf.queryExecution().executedPlan().toString()
+    assert "pushed=" in plan, plan
+
+    rng = t.where("n >= 250")
+    assert rng.rdd.getNumPartitions() == 1 and rng.count() == 50
+    s = t.where("doc_id = '42'")
+    assert s.rdd.getNumPartitions() == 1 and s.count() == 1
+    # filters are re-evaluated per row: a file-internal miss returns 0,
+    # never a stale row
+    assert t.where("n = 101 and doc_id = 'nope'").count() == 0
