@@ -238,3 +238,46 @@ def test_output_invariant_under_partitioning(spark):
         assert norm(extract(variant, flavor="stream")) == base
     salted = extract(df, flavor="stream", salt_partitions=8, salt=7)
     assert norm(salted) == base
+
+
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    """The north_rule deployment shape, run for real: package
+    dist/camelot_spark.zip, launch `spark-submit --py-files` from a
+    NEUTRAL cwd (imports must resolve from the zip, not the checkout),
+    extract a corpus, and golden-check the output."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp, outp = str(tmp_path / "docs"), str(tmp_path / "out")
+    b1, b2 = fx.doc_health("ss-1"), fx.doc_twotables("ss-2")
+    docs_df(spark, [b1, b2]).write.parquet(inp)
+
+    subprocess.run([sys.executable, os.path.join(repo, "tools", "package.py")],
+                   check=True, capture_output=True)
+    zip_path = os.path.join(repo, "dist", "camelot_spark.zip")
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(repo, "jobs", "extract_job.py"),
+         "--input", inp, "--output", outp, "--flavor", "stream", "--fail-fast"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    status = json.loads([ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
+    assert status["status"] == "ok" and status["metrics"]["docs"] == 2.0
+
+    from camelot_spark.pipeline import read_extracted
+
+    rows = {r["doc_id"]: r for r in read_extracted(spark, outp).collect()}
+    got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in rows["ss-1"]["spans"]]
+    assert got == b1.golden()
+    assert rows["ss-2"]["n_tables"] == 2
