@@ -74,8 +74,11 @@ def _sink_query(kind: str):
         src = _load(spark, sf_dir, "documents")
         src = src.select("doc_id").repartition(spark.sparkContext.defaultParallelism * 4)
         ext = synthesize_and_extract(src, "stream", families=fx.STREAM_FAMILIES, fail_fast=True)
-        ext.select("doc_id", "spans", "tables").write.mode("overwrite").parquet(ORACLE_EXTRACT_PATH)
+        ext.select("doc_id", "spans", "tables", "n_tables", "lineage").write.mode(
+            "overwrite").parquet(ORACLE_EXTRACT_PATH)
         persisted = spark.read.parquet(ORACLE_EXTRACT_PATH)
+        if kind == "lineage":
+            return sinks.lineage_report(persisted)
         if kind == "report":
             return sinks.parsing_report(persisted).select(
                 "doc_id",
@@ -104,6 +107,21 @@ SELECT doc_id,
        -- FLOOR(ROUND(x, 2)) over byte-identical persisted doubles.
        CAST(FLOOR(ROUND(tb.accuracy, 2)) AS BIGINT) AS acc_floor
 FROM t
+"""
+
+# Aggregation logic check on byte-identical persisted input: elapsed
+# timings are nondeterministic run-to-run, but BOTH engines aggregate
+# the same persisted values, so the hashes must match exactly.
+LINEAGE_REPORT_SQL = f"""
+WITH ext AS (SELECT * FROM read_parquet('{ORACLE_EXTRACT_PATH}/*.parquet'))
+SELECT CAST(lineage.partition_id AS INTEGER) AS partition_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lineage.error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(SUM(lineage.elapsed_us) AS BIGINT) AS elapsed_us,
+       CAST(MAX(lineage.elapsed_us) AS BIGINT) AS max_doc_us,
+       CAST(SUM(lineage.n_input_spans) AS BIGINT) AS n_input_spans,
+       CAST(SUM(n_tables) AS BIGINT) AS n_tables
+FROM ext GROUP BY lineage.partition_id
 """
 
 TABLE_EXPORT_CSV_SQL = f"""
@@ -217,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sinks over the extracted corpus (rows-only) ---
         "table_export_csv": _sink_query("csv"),
         "parsing_report": _sink_query("report"),
+        "lineage_report": _sink_query("lineage"),
     }
 
 
@@ -266,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta": multimodal.AUDIO_META_SQL,
         "table_export_csv": TABLE_EXPORT_CSV_SQL,
         "parsing_report": PARSING_REPORT_SQL,
+        "lineage_report": LINEAGE_REPORT_SQL,
         # minhash_lsh_pairs / minhash_neardup_verified / simhash_near_dups:
         # xxhash64-dependent — no DuckDB twin, rows-only (deterministic).
         # extract_stream_corpus / extract_lattice_corpus: the extraction

@@ -156,3 +156,27 @@ def parsing_report(extracted: DataFrame) -> DataFrame:
         F.col("t.nrows").alias("nrows"),
         F.col("t.ncols").alias("ncols"),
     )
+
+
+def lineage_report(extracted: DataFrame) -> DataFrame:
+    """Per-partition operational report from the lineage struct every
+    extracted row carries (north_rule: "per-partition lineage +
+    metrics"): docs processed, error count, total/max kernel time, span
+    volume — the table an operator reads to find the slow or poisoned
+    partition of a 10^12-doc run. One partial-aggregated groupBy on a
+    small int key; never touches span bodies."""
+    return (
+        extracted.groupBy(F.col("lineage.partition_id").alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("lineage.error").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_errors"),
+            F.sum("lineage.elapsed_us").cast("bigint").alias("elapsed_us"),
+            F.max("lineage.elapsed_us").cast("bigint").alias("max_doc_us"),
+            F.sum("lineage.n_input_spans").cast("bigint").alias("n_input_spans"),
+            F.sum("n_tables").cast("bigint").alias("n_tables"),
+        )
+        .select(F.col("partition_id").cast("int").alias("partition_id"),
+                "n_docs", "n_errors", "elapsed_us", "max_doc_us",
+                "n_input_spans", "n_tables")
+    )
