@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_metrics": lambda s, d: relational.grid_metrics(_load(s, d, "lineitem")),
         "range_predicate": lambda s, d: relational.range_predicate(_load(s, d, "events")),
         "asof_join": lambda s, d: relational.asof_join(_load(s, d, "events")),
+        "range_join": lambda s, d: relational.range_join_agg(
+            _load(s, d, "events"), _load(s, d, "part")),
         # --- text analysis ---
         "langid_vote": lambda s, d: tdp_text.langid(_load(s, d, "documents")),
         "quality_score": lambda s, d: tdp_text.quality_score(_load(s, d, "documents")),
@@ -249,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_metrics": relational.GRID_METRICS_SQL,
         "range_predicate": relational.RANGE_PREDICATE_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
+        "range_join": relational.RANGE_JOIN_SQL,
         "langid_vote": tdp_text.LANGID_SQL,
         "quality_score": tdp_text.QUALITY_SQL,
         "token_stats": tdp_text.TOKEN_STATS_SQL,

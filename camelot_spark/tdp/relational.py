@@ -255,3 +255,59 @@ def write_bucketed(df, table: str, buckets: int, key: str, sort: bool = True) ->
     if sort:
         writer = writer.sortBy(key)
     writer.format("parquet").saveAsTable(table)
+
+
+def bucketized_interval_join(
+    points: DataFrame, intervals: DataFrame,
+    point_col: str, lo_col: str, hi_col: str, bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join as an EQUI-join — the scale fix for the
+    range join Catalyst can only plan as a nested loop (BNLJ/cartesian:
+    O(points × intervals), the classic cluster-killer). Each interval
+    is exploded to the buckets it covers (bounded by
+    interval_span/bucket_width — pick the width near the typical span
+    so the fan-out is ~2), each point hashes to one bucket, and the
+    join runs on the bucket key with the exact range predicate applied
+    after the match. Shuffle carries only bucket-key rows; no pair
+    explosion beyond genuine candidates."""
+    b = F.floor(F.col(point_col) / bucket_width).cast("long")
+    p = points.withColumn("__bucket", b)
+    span = F.sequence(
+        F.floor(F.col(lo_col) / bucket_width).cast("long"),
+        F.floor(F.col(hi_col) / bucket_width).cast("long"),
+    )
+    iv = intervals.withColumn("__bucket", F.explode(span))
+    return (
+        p.join(iv, "__bucket")
+        .where((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+        .drop("__bucket")
+    )
+
+
+def range_join_agg(events: DataFrame, part: DataFrame, bucket_width: float = 16.0) -> DataFrame:
+    """Driver query for the interval join: events.value against part's
+    synthetic [3·p_size, 3·p_size+15] bands; per matched part, count of
+    points and the id range (exact-integer outputs for the oracle)."""
+    intervals = part.select(
+        F.col("p_partkey").cast("bigint").alias("partkey"),
+        (F.col("p_size") * 3.0).alias("lo"),
+        (F.col("p_size") * 3.0 + 15.0).alias("hi"),
+    )
+    pts = events.select(F.col("event_id").cast("bigint").alias("event_id"), "value")
+    matched = bucketized_interval_join(pts, intervals, "value", "lo", "hi", bucket_width)
+    return matched.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT CAST(p.p_partkey AS BIGINT) AS partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(e.event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(e.event_id) AS BIGINT) AS max_event_id
+FROM part p JOIN events e
+  ON e.value >= p.p_size * 3.0 AND e.value <= p.p_size * 3.0 + 15.0
+GROUP BY p.p_partkey
+"""

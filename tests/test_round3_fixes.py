@@ -276,3 +276,30 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bucketized_interval_join_is_equi_not_nested_loop(spark):
+    """The banded re-expression plans an equi-join; the naive range
+    join on the same data plans a BroadcastNestedLoopJoin — the shape
+    this operator exists to avoid. Results match exactly."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.relational import bucketized_interval_join
+
+    pts = spark.range(2000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 331 * 0.7).alias("value"))
+    iv = spark.range(50).select(
+        F.col("id").alias("key"), (F.col("id") * 4.0).alias("lo"),
+        (F.col("id") * 4.0 + 9.0).alias("hi"))
+
+    ours = bucketized_interval_join(pts, iv, "value", "lo", "hi", bucket_width=8.0)
+    plan = ours._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+    naive = pts.join(iv, (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in naive_plan or "Cartesian" in naive_plan
+
+    got = sorted((r["event_id"], r["key"]) for r in ours.collect())
+    want = sorted((r["event_id"], r["key"]) for r in naive.collect())
+    assert got == want and len(got) > 0
