@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": lambda s, d: relational.asof_join(_load(s, d, "events")),
         "range_join": lambda s, d: relational.range_join_agg(
             _load(s, d, "events"), _load(s, d, "part")),
+        "time_rollup": lambda s, d: relational.time_rollup(_load(s, d, "events")),
         # --- text analysis ---
         "langid_vote": lambda s, d: tdp_text.langid(_load(s, d, "documents")),
         "quality_score": lambda s, d: tdp_text.quality_score(_load(s, d, "documents")),
@@ -189,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
         "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
+        "kmv_distinct": lambda s, d: dedup.kmv_distinct(_load(s, d, "documents")),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_adjacent(_load(s, d, "documents")),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_load(s, d, "documents")),
         # portable twins run on deterministic doc_id slices (mirrored in
@@ -252,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "range_predicate": relational.RANGE_PREDICATE_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "range_join": relational.RANGE_JOIN_SQL,
+        "time_rollup": relational.TIME_ROLLUP_SQL,
         "langid_vote": tdp_text.LANGID_SQL,
         "quality_score": tdp_text.QUALITY_SQL,
         "token_stats": tdp_text.TOKEN_STATS_SQL,
@@ -270,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
+        "kmv_distinct": dedup.KMV_DISTINCT_SQL,
         "minhash_lsh_pairs_portable": dedup.MINHASH_PORTABLE_SQL,
         "dedup_groups_portable": dedup.DEDUP_GROUPS_PORTABLE_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,

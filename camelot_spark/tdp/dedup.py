@@ -583,3 +583,66 @@ SELECT id AS doc_id, label AS component,
 FROM l8
 """
 )
+
+
+_KMV_M = 1_000_000_007
+
+
+def kmv_distinct(documents: DataFrame, k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count sketch per source — the
+    mergeable theta-family sketch behind approx-distinct at scale: keep
+    the k smallest (distinct) hash values of a group; the k-th minimum
+    estimates the hash density, so distinct ≈ (k−1)·M / h_k. Exact when
+    a group has fewer than k distinct hashes.
+
+    Plan: hash each text (portable char fold mod 1e9+7, exactly
+    reproducible in the DuckDB oracle — production swaps in xxhash64),
+    distinct on (source, hash) — the only shuffle, carrying 8-byte
+    hashes, never bodies — then a per-source rank window truncated at
+    k. All integer math, so the ESTIMATE itself hash-matches the
+    oracle. A datasketches-style partial-agg would bound the shuffle at
+    k values per partition instead of all distinct hashes; the distinct
+    hash set is already ~10^-4 of corpus bytes, so this shape holds."""
+    h = F.aggregate(
+        F.split(F.col("text"), ""), F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _KMV_M,
+    )
+    hashes = documents.select("source", h.alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    ranked = hashes.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    agg = ranked.groupBy("source").agg(
+        F.max("r").cast("bigint").alias("n_min"),
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("hk"),
+    )
+    est = (
+        F.when(F.col("n_min") < k, F.col("n_min"))
+        .when(F.col("hk") > 0, F.floor(F.lit((k - 1) * _KMV_M) / F.col("hk")))
+        .otherwise(F.col("n_min"))
+    )
+    return agg.select(
+        "source", est.cast("bigint").alias("distinct_est"),
+        F.coalesce("hk", F.lit(-1)).cast("bigint").alias("kth_hash"),
+    )
+
+
+KMV_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT source,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS h
+  FROM documents),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r
+  FROM h QUALIFY r <= 64),
+agg AS (
+  SELECT source, CAST(MAX(r) AS BIGINT) AS n_min,
+         MAX(CASE WHEN r = 64 THEN h END) AS hk
+  FROM ranked GROUP BY source)
+SELECT source,
+       CAST(CASE WHEN n_min < 64 THEN n_min
+                 WHEN hk > 0 THEN FLOOR(63 * 1000000007 / hk)
+                 ELSE n_min END AS BIGINT) AS distinct_est,
+       CAST(COALESCE(hk, -1) AS BIGINT) AS kth_hash
+FROM agg
+"""

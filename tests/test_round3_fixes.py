@@ -303,3 +303,22 @@ def test_bucketized_interval_join_is_equi_not_nested_loop(spark):
     got = sorted((r["event_id"], r["key"]) for r in ours.collect())
     want = sorted((r["event_id"], r["key"]) for r in naive.collect())
     assert got == want and len(got) > 0
+
+
+def test_kmv_distinct_estimator_accuracy(spark):
+    """KMV estimate within ~2/sqrt(k) of the true distinct count on a
+    group far larger than k, and exact below k."""
+    import random
+
+    from camelot_spark.tdp.dedup import kmv_distinct
+
+    rng = random.Random(17)
+    rows = [(i, "big", "doc %d %s" % (rng.randint(0, 1199), "x" * (i % 5)))
+            for i in range(4000)]
+    rows += [(10_000 + i, "small", "tiny %d" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    true_big = df.where("source = 'big'").select("text").distinct().count()
+    out = {r["source"]: r for r in kmv_distinct(df, k=64).collect()}
+    assert out["small"]["distinct_est"] == 20  # below k: exact
+    err = abs(out["big"]["distinct_est"] - true_big) / true_big
+    assert err < 0.25, (out["big"]["distinct_est"], true_big)
