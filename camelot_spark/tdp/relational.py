@@ -335,12 +335,18 @@ def time_rollup(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("value_x100").cast("bigint").alias("sum_value_x100"),
     )
+    # materialize each grain once: the three union branches otherwise
+    # recompute the shared subtrees (Catalyst's exchange reuse does not
+    # fire across these union branches — verified: 6 scans without
+    # this, 1 with), which would re-scan the raw table per grain
+    minute = minute.localCheckpoint(eager=False)
     hour = (
         minute.withColumn("hour_ts", F.date_trunc("hour", F.col("minute_ts")))
         .groupBy("user_id", "hour_ts")
         .agg(F.sum("n_events").cast("bigint").alias("n_events"),
              F.sum("sum_value_x100").cast("bigint").alias("sum_value_x100"))
     )
+    hour = hour.localCheckpoint(eager=False)
     day = (
         hour.withColumn("day_ts", F.date_trunc("day", F.col("hour_ts")))
         .groupBy("user_id", "day_ts")
