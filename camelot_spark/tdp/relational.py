@@ -284,14 +284,18 @@ def bucketized_interval_join(
     )
 
 
-def range_join_agg(events: DataFrame, part: DataFrame, bucket_width: float = 16.0) -> DataFrame:
-    """Driver query for the interval join: events.value against part's
-    synthetic [3·p_size, 3·p_size+15] bands; per matched part, count of
-    points and the id range (exact-integer outputs for the oracle)."""
+def range_join_agg(events: DataFrame, part: DataFrame, bucket_width: float = 1.0) -> DataFrame:
+    """Driver query for the interval join: events.value against
+    per-part bands [0.5·(p_partkey % 1120), +0.45] — partkey-derived so
+    the 20k intervals tile the [0, 560] value domain in near-disjoint
+    lanes (p_size-derived bands would stack 400 parts per lane and the
+    TRUE join result would be ~10^8 pairs at sf0.1 — a data-modeling
+    problem, not an operator one). Per matched part: point count and
+    the id range (exact-integer outputs for the oracle)."""
     intervals = part.select(
         F.col("p_partkey").cast("bigint").alias("partkey"),
-        (F.col("p_size") * 3.0).alias("lo"),
-        (F.col("p_size") * 3.0 + 15.0).alias("hi"),
+        ((F.col("p_partkey") % 1120) * 0.5).alias("lo"),
+        ((F.col("p_partkey") % 1120) * 0.5 + 0.45).alias("hi"),
     )
     pts = events.select(F.col("event_id").cast("bigint").alias("event_id"), "value")
     matched = bucketized_interval_join(pts, intervals, "value", "lo", "hi", bucket_width)
@@ -308,7 +312,8 @@ SELECT CAST(p.p_partkey AS BIGINT) AS partkey,
        CAST(MIN(e.event_id) AS BIGINT) AS min_event_id,
        CAST(MAX(e.event_id) AS BIGINT) AS max_event_id
 FROM part p JOIN events e
-  ON e.value >= p.p_size * 3.0 AND e.value <= p.p_size * 3.0 + 15.0
+  ON e.value >= (p.p_partkey % 1120) * 0.5
+ AND e.value <= (p.p_partkey % 1120) * 0.5 + 0.45
 GROUP BY p.p_partkey
 """
 
