@@ -210,6 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": lambda s, d: dedup.dedup_groups(_load(s, d, "documents")),
         "dedup_groups_portable": lambda s, d: dedup.dedup_groups(
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0), portable=True),
+        # same grouping via O(log n) large-star/small-star contraction —
+        # the huge-diameter-safe algorithm; converges to true components
+        "dedup_groups_star": lambda s, d: dedup.dedup_groups(
+            _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+            portable=True, algorithm="star"),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
         "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
@@ -276,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": dedup.KMV_DISTINCT_SQL,
         "minhash_lsh_pairs_portable": dedup.MINHASH_PORTABLE_SQL,
         "dedup_groups_portable": dedup.DEDUP_GROUPS_PORTABLE_SQL,
+        "dedup_groups_star": dedup.DEDUP_GROUPS_STAR_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,

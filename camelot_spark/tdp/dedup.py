@@ -521,16 +521,126 @@ def connected_components(pairs, rounds: int = 8):
     )
 
 
+def connected_components_star(pairs, max_iters: int = 30):
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round algorithm for graphs whose
+    components may have LARGE diameter, where fixed-round min-label
+    propagation (``connected_components``) would need diameter-many
+    rounds. Same contract: input (a_id, b_id) pair rows, output
+    (doc_id, component) with component = the minimum doc_id in each
+    true connected component, one row per node appearing in ``pairs``.
+
+    Each iteration runs:
+    - **large-star**: every node u links its LARGER neighbors to
+      min(Γ(u) ∪ {u}) — long chains collapse toward small ids;
+    - **small-star**: every node links its smaller-or-self neighborhood
+      to its minimum — forms stars rooted at local minima.
+    Both steps preserve connectivity (paper, Lemmas 1-2) and strictly
+    reduce a monotone potential, converging to one star per component
+    rooted at the component minimum in O(log n) iterations — the same
+    contraction GraphFrames' connectedComponents runs.
+
+    Per iteration: two groupBy + two join shuffles over (long, long)
+    edges only (never document bodies), plan truncated per iteration
+    with localCheckpoint exactly like the fixed-round variant.
+    Convergence is detected by a (count, sum-of-hash) signature of the
+    canonical edge set going stable — at the fixpoint an extra
+    iteration is a no-op, so a (vanishingly unlikely) 64-bit signature
+    collision can only cost one wasted iteration, never wrong labels.
+    """
+    from pyspark.sql import functions as F
+
+    e = pairs.select(
+        F.col("a_id").cast("bigint").alias("u"), F.col("b_id").cast("bigint").alias("v")
+    ).localCheckpoint(eager=True)
+    # every node mentioned by pairs gets an output row, exactly like
+    # the fixed-round variant (self-loops count as node mentions)
+    nodes = e.select(F.col("u").alias("id")).union(
+        e.select(F.col("v").alias("id"))).distinct()
+    # canonical undirected edge set, u < v
+    edges = (
+        e.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(E):
+        row = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold (not sum: ANSI mode would overflow) — the edge
+            # set is distinct, so xor is a faithful set signature
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    sig = _signature(edges)
+    for _ in range(max_iters):
+        # large-star over the symmetric neighborhood view
+        sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("m")).select(
+            "a", F.least("m", "a").alias("m"))
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("u"), F.col("b").alias("v"))  # m < a < b
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: canonical (u, v) already orients v's smaller
+        # neighborhood as {u}; link it (and v itself) to its minimum
+        smins = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = (
+            large.join(smins, "v")
+            .where(F.col("u") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("u").alias("v"))
+            .union(smins.select(F.col("m").alias("u"), F.col("v").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _signature(small)
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # at the fixpoint each non-root node has exactly ONE star edge; the
+    # min-aggregate is a no-op there and guards the (max_iters hit
+    # before convergence) escape hatch against duplicate label rows
+    labels = edges.groupBy(F.col("v").alias("id")).agg(F.min("u").alias("label"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("label", "id").alias("component"),
+        )
+    )
+
+
 def dedup_groups(documents, num_hashes: int = 32, bands: int = 8, n: int = 3,
-                 portable: bool = False, rounds: int = 8):
+                 portable: bool = False, rounds: int = 8,
+                 algorithm: str = "rounds"):
     """Full dedup grouping: MinHash-LSH candidate pairs → connected
     components → (doc_id, component, is_canonical). The canonical doc
-    of each group is its minimum doc_id (= the component label)."""
+    of each group is its minimum doc_id (= the component label).
+
+    ``algorithm="rounds"`` (default) is fixed-round min-label
+    propagation — deterministic round count, exactly reproducible by
+    the DuckDB oracle. ``algorithm="star"`` is the O(log n) large-star/
+    small-star contraction for huge-diameter components; it converges
+    to TRUE components, so at convergence both agree wherever
+    ``rounds`` covers the component diameter."""
     from pyspark.sql import functions as F
 
     pairs = minhash_lsh_pairs(documents, num_hashes=num_hashes, bands=bands,
                               n=n, portable=portable)
-    cc = connected_components(pairs, rounds=rounds)
+    if algorithm == "star":
+        cc = connected_components_star(pairs)
+    elif algorithm == "rounds":
+        cc = connected_components(pairs, rounds=rounds)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r} (rounds|star)")
     return cc.select(
         "doc_id", "component",
         F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
@@ -581,6 +691,31 @@ l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
 SELECT id AS doc_id, label AS component,
        CAST(CASE WHEN id = label THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
 FROM l8
+"""
+)
+
+# dedup_groups(portable=True, algorithm="star") oracle: the star
+# contraction converges to TRUE components, which equal min-label
+# propagation run past the largest component diameter — 12 rounds is
+# comfortably past it on the sampled corpus (near-dup clusters are
+# template duplicates: dense, diameter 1-2), so the SQL twin is the
+# same chained-CTE propagation taken to a converged depth.
+DEDUP_GROUPS_STAR_SQL = (
+    _MINHASH_CTE_HEAD
+    + ",\npairs AS MATERIALIZED (SELECT DISTINCT"
+    + _MINHASH_FINAL_SELECT
+    + "),\n"
+    + """edges AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+"""
+    + _cc_rounds_sql(12)
+    + """
+SELECT id AS doc_id, label AS component,
+       CAST(CASE WHEN id = label THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM l12
 """
 )
 

@@ -322,3 +322,74 @@ def test_kmv_distinct_estimator_accuracy(spark):
     assert out["small"]["distinct_est"] == 20  # below k: exact
     err = abs(out["big"]["distinct_est"] - true_big) / true_big
     assert err < 0.25, (out["big"]["distinct_est"], true_big)
+
+
+def _union_find_components(pairs):
+    """Ground-truth min-id components for a pair list."""
+    nodes = {x for p in pairs for x in p}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    """Large-star/small-star contraction returns TRUE components (vs a
+    union-find oracle) on random graphs, cliques, and self-loops."""
+    import random
+
+    from camelot_spark.tdp.dedup import connected_components_star
+
+    rng = random.Random(7)
+    cases = [
+        [(5, 5), (1, 2), (2, 2)],
+        [(a, b) for base in (0, 100)
+         for a in range(base, base + 6) for b in range(a + 1, base + 6)],
+    ]
+    for _ in range(2):
+        nodes = list(range(200))
+        cases.append([(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)])
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "a_id long, b_id long")
+        got = {r["doc_id"]: r["component"]
+               for r in connected_components_star(df).collect()}
+        assert got == _union_find_components(pairs)
+
+
+def test_star_cc_converges_on_huge_diameter_component(spark):
+    """The O(log n) motivation: a 60-hop path collapses to one component
+    in few contraction iterations, where fixed-round min-label would
+    need 60 rounds (cf. test_connected_components_long_chain_needs_rounds)."""
+    from camelot_spark.tdp.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components_star(df, max_iters=8).collect()}
+    assert len(got) == 61 and set(got.values()) == {0}
+
+
+def test_dedup_groups_star_equals_rounds_on_corpus(spark):
+    """On the real sampled corpus (dense near-dup clusters), the star
+    algorithm and converged fixed-round propagation produce identical
+    groups — the contract behind DEDUP_GROUPS_STAR_SQL's oracle."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.dedup import dedup_groups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") % 2 == 0)
+    a = {(r["doc_id"], r["component"], r["is_canonical"])
+         for r in dedup_groups(docs, portable=True, algorithm="star").collect()}
+    b = {(r["doc_id"], r["component"], r["is_canonical"])
+         for r in dedup_groups(docs, portable=True, rounds=12).collect()}
+    assert a == b and len(a) > 0
