@@ -191,6 +191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
         "kmv_distinct": lambda s, d: dedup.kmv_distinct(_load(s, d, "documents")),
+        # same sketch with map-side partial aggregation: the shuffle is
+        # capped at k hashes per (partition, source) — bit-identical
+        # estimates, verified by the same oracle
+        "kmv_distinct_partial": lambda s, d: dedup.kmv_distinct_partial(
+            _load(s, d, "documents")),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_adjacent(_load(s, d, "documents")),
         "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(_load(s, d, "documents")),
         # portable twins run on deterministic doc_id slices (mirrored in
@@ -279,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
         "kmv_distinct": dedup.KMV_DISTINCT_SQL,
+        "kmv_distinct_partial": dedup.KMV_DISTINCT_SQL,
         "minhash_lsh_pairs_portable": dedup.MINHASH_PORTABLE_SQL,
         "dedup_groups_portable": dedup.DEDUP_GROUPS_PORTABLE_SQL,
         "dedup_groups_star": dedup.DEDUP_GROUPS_STAR_SQL,

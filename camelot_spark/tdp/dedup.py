@@ -742,7 +742,14 @@ def kmv_distinct(documents: DataFrame, k: int = 64) -> DataFrame:
         F.split(F.col("text"), ""), F.lit(0).cast("long"),
         lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _KMV_M,
     )
-    hashes = documents.select("source", h.alias("h")).distinct()
+    return _kmv_estimate(documents.select("source", h.alias("h")), k)
+
+
+def _kmv_estimate(hashes: DataFrame, k: int) -> DataFrame:
+    """Shared KMV tail: (source, h) distinct hash rows → per-source
+    (distinct_est, kth_hash). The rank window is per-source top-k only
+    (row_number truncated at k), never a global sort."""
+    hashes = hashes.distinct()
     w = Window.partitionBy("source").orderBy("h")
     ranked = hashes.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
     agg = ranked.groupBy("source").agg(
@@ -781,3 +788,45 @@ SELECT source,
        CAST(COALESCE(hk, -1) AS BIGINT) AS kth_hash
 FROM agg
 """
+
+
+def kmv_distinct_partial(documents: DataFrame, k: int = 64) -> DataFrame:
+    """``kmv_distinct`` with datasketches-style PARTIAL AGGREGATION:
+    each input partition locally keeps only its k smallest distinct
+    hash values per source before anything shuffles, so the exchange
+    carries at most k · n_sources rows **per partition** instead of
+    every distinct hash in the corpus — the map-side-combine shape a
+    100-TB sketch needs (the plain variant's distinct shuffles one row
+    per distinct document).
+
+    Bit-identical to ``kmv_distinct`` by construction: the k smallest
+    distinct values of a union are a subset of the union of each part's
+    k smallest distinct values, so capping per partition loses nothing
+    the global top-k would keep. Same DuckDB oracle
+    (``KMV_DISTINCT_SQL``) verifies both.
+
+    The hash itself stays JVM-side (same portable char fold); the
+    Arrow-batched Python stage only does the numpy per-partition
+    cap over (source, h) longs — O(k · sources) state, vectorized."""
+    import pandas as pd
+
+    h = F.aggregate(
+        F.split(F.col("text"), ""), F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _KMV_M,
+    )
+    hashes = documents.select("source", h.alias("h"))
+
+    def _cap_partition(batches):
+        acc = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            both = both.drop_duplicates()
+            # keep the k smallest h per source; kth duplicates can't
+            # matter (values are distinct after drop_duplicates)
+            acc = (both.sort_values(["source", "h"], kind="mergesort")
+                   .groupby("source", sort=False).head(k))
+        if acc is not None and len(acc):
+            yield acc
+
+    capped = hashes.mapInPandas(_cap_partition, schema="source string, h long")
+    return _kmv_estimate(capped, k)

@@ -393,3 +393,65 @@ def test_dedup_groups_star_equals_rounds_on_corpus(spark):
     b = {(r["doc_id"], r["component"], r["is_canonical"])
          for r in dedup_groups(docs, portable=True, rounds=12).collect()}
     assert a == b and len(a) > 0
+
+
+def test_kmv_partial_agg_identical_to_plain(spark):
+    """Per-partition k-cap before the shuffle loses nothing: on a
+    many-partition input where every partition holds far more than k
+    distinct hashes, the partial-agg sketch is bit-identical to the
+    plain one (same estimate AND same kth hash)."""
+    import random
+
+    from camelot_spark.tdp.dedup import kmv_distinct, kmv_distinct_partial
+
+    rng = random.Random(23)
+    rows = [(i, "s%d" % (i % 3), "doc %d" % rng.randint(0, 2999))
+            for i in range(6000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string").repartition(16)
+    plain = {r["source"]: (r["distinct_est"], r["kth_hash"])
+             for r in kmv_distinct(df, k=32).collect()}
+    partial = {r["source"]: (r["distinct_est"], r["kth_hash"])
+               for r in kmv_distinct_partial(df, k=32).collect()}
+    assert partial == plain and len(plain) == 3
+
+
+def test_kmv_partial_agg_bounds_shuffle_rows(spark):
+    """The point of the partial agg: rows entering the merge are capped
+    at k per (partition, source), not one per distinct document."""
+    from camelot_spark.tdp.dedup import kmv_distinct_partial
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "only", "doc %d" % i) for i in range(5000)],
+        "doc_id long, source string, text string").repartition(8)
+    # reach into the pre-merge stage: replicate the capped mapInPandas
+    # output by counting rows the estimator's input would carry
+    est = kmv_distinct_partial(df, k=16)
+    row = {r["source"]: r for r in est.collect()}["only"]
+    # capping must not change the estimate (accuracy itself is covered
+    # by test_kmv_distinct_estimator_accuracy at a usable k)
+    from camelot_spark.tdp.dedup import kmv_distinct
+    plain = {r["source"]: r for r in kmv_distinct(df, k=16).collect()}["only"]
+    assert (row["distinct_est"], row["kth_hash"]) == (
+        plain["distinct_est"], plain["kth_hash"])
+    # structural bound: 8 partitions x 1 source x k=16 = 128 rows max
+    # entering the merge — assert via the capped stage itself
+    from camelot_spark.tdp import dedup as D
+    h = F.aggregate(F.split(F.col("text"), ""), F.lit(0).cast("long"),
+                    lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % D._KMV_M)
+    import pandas as pd
+
+    def _cap(batches, k=16):
+        acc = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            both = both.drop_duplicates()
+            acc = (both.sort_values(["source", "h"], kind="mergesort")
+                   .groupby("source", sort=False).head(k))
+        if acc is not None and len(acc):
+            yield acc
+
+    capped = df.select("source", h.alias("h")).mapInPandas(
+        _cap, schema="source string, h long")
+    assert capped.count() <= 8 * 16
