@@ -98,13 +98,24 @@ class SnapshotLog:
         # log, folded into manifest v1 so they stay visible (see commit)
         return dirs + [os.path.join(self.root, f) for f in m.get("legacy_files", [])]
 
-    def read(self, spark):
+    def read(self, spark, version: int | None = None, merge_schema: bool = False):
         """DataFrame of the latest snapshot (snapshot-isolated: files
-        not referenced by a committed manifest are never read)."""
-        paths = self.data_paths()
+        not referenced by a committed manifest are never read).
+
+        ``version`` time-travels to a specific committed manifest.
+        ``merge_schema=True`` reconciles appends made with EVOLVED
+        schemas (added columns read as NULL for older files) — Iceberg
+        resolves this from table metadata for free; plain parquet needs
+        the footer-merging scan, so it stays opt-in: at 100 TB you only
+        pay it on tables that actually evolved."""
+        m = self.manifest(version) if version is not None else None
+        paths = self.data_paths(m)
         if not paths:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     # -- write side ------------------------------------------------------
 
@@ -157,6 +168,7 @@ class SnapshotLog:
                 "snapshot_id": uuid.uuid4().hex,
                 "parent_id": parent["snapshot_id"] if parent else None,
                 "data_dirs": (parent["data_dirs"] if parent else []) + [rel],
+                "operation": "append",
                 "metrics": metrics or {},
                 "committed_at_ms": int(time.time() * 1000),
             }
@@ -181,6 +193,47 @@ class SnapshotLog:
         # collision beats silently merging two commits' files
         df.write.mode("error").parquet(data_dir)
         return self.commit(data_dir, metrics=metrics)
+
+    def compact(self, spark, target_partitions: int = 1,
+                metrics: dict | None = None) -> dict:
+        """Rewrite the table's accumulated small data files into
+        ``target_partitions`` files and commit ONE replacing snapshot —
+        Iceberg's ``rewrite_data_files`` maintenance action. Long
+        checkpoint chains append one directory per run; scan planning
+        and open-file cost grow with file count, so periodic compaction
+        is what keeps a 10^12-doc table readable.
+
+        Unlike ``commit``, a replace must NOT retry past a concurrent
+        append (retrying would silently drop the appended rows — the
+        rewrite read never saw them). The commit validates that the
+        parent observed at read time is still the latest and raises
+        ``CommitConflict`` otherwise; the caller re-runs the compaction
+        on the new state (same serializable-rewrite rule as Iceberg's
+        action). Old snapshots still reference the old dirs for time
+        travel until ``expire_snapshots`` + ``remove_orphans``.
+        """
+        parent = self.latest()
+        if parent is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        df = spark.read.parquet(*self.data_paths(parent))
+        data_dir = self.new_data_dir()
+        df.repartition(target_partitions).write.mode("error").parquet(data_dir)
+        manifest = {
+            "version": parent["version"] + 1,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent["snapshot_id"],
+            "data_dirs": [os.path.relpath(data_dir, self.root)],
+            "operation": "replace",
+            # legacy files were folded into the rewrite read: dropped
+            "metrics": metrics or {},
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        latest = self.latest()
+        if latest["snapshot_id"] != parent["snapshot_id"]:
+            raise CommitConflict(
+                "concurrent commit during compaction; re-run on the new state")
+        self._publish(manifest["version"], manifest)
+        return manifest
 
     # -- maintenance (Iceberg expire_snapshots / remove_orphan_files) ----
 

@@ -455,3 +455,84 @@ def test_kmv_partial_agg_bounds_shuffle_rows(spark):
     capped = df.select("source", h.alias("h")).mapInPandas(
         _cap, schema="source string, h long")
     assert capped.count() <= 8 * 16
+
+
+def test_snapshot_compaction_rewrites_files_and_preserves_rows(spark, tmp_path):
+    """compact() = Iceberg rewrite_data_files: many small append dirs
+    become one replacing snapshot with the same rows; time travel to
+    pre-compaction versions still works, and expire + remove_orphans
+    reclaims the old dirs without touching the live data."""
+    import os as _os
+
+    from camelot_spark.snapshots import SnapshotLog
+
+    root = str(tmp_path / "tbl")
+    log = SnapshotLog(root)
+    for i in range(4):
+        log.append(spark.range(i * 10, (i + 1) * 10).selectExpr(
+            "id", "id * 2 AS twice"))
+    before = {r["id"] for r in log.read(spark).collect()}
+    assert len(log.latest()["data_dirs"]) == 4
+
+    m = log.compact(spark, target_partitions=1)
+    assert m["operation"] == "replace" and len(m["data_dirs"]) == 1
+    after = {r["id"] for r in log.read(spark).collect()}
+    assert after == before == set(range(40))
+    # time travel: version 4 (pre-compaction) still lists 4 dirs
+    assert {r["id"] for r in log.read(spark, version=4).collect()} == before
+
+    # maintenance: expire old snapshots, then the 4 original dirs are
+    # orphans; removing them leaves the compacted table intact
+    log.expire_snapshots(keep_last=1)
+    removed = log.remove_orphans()
+    assert len(removed) == 4
+    assert {r["id"] for r in log.read(spark).collect()} == before
+    data_root = _os.path.join(root, "data")
+    assert len(_os.listdir(data_root)) == 1
+
+
+def test_snapshot_compaction_refuses_to_drop_concurrent_append(spark, tmp_path):
+    """Serializable rewrite: a commit that lands between the compaction
+    read and its publish must fail the compaction (retrying blindly
+    would drop the concurrent rows)."""
+    import pytest
+
+    from camelot_spark.snapshots import CommitConflict, SnapshotLog
+
+    root = str(tmp_path / "tbl")
+    log = SnapshotLog(root)
+    log.append(spark.range(10))
+
+    orig_latest = log.latest
+    calls = {"n": 0}
+
+    def racing_latest():
+        m = orig_latest()
+        # after compact() captured its parent (first call), land a
+        # concurrent append before its validation re-read
+        if calls["n"] == 1:
+            log2 = SnapshotLog(root)
+            log2.latest = orig_latest
+            SnapshotLog(root).append(spark.range(100, 110))
+        calls["n"] += 1
+        return orig_latest()
+
+    log.latest = racing_latest
+    with pytest.raises(CommitConflict):
+        log.compact(spark)
+    # nothing lost: both commits' rows are visible
+    assert log.read(spark).count() == 20
+
+
+def test_snapshot_schema_evolution_reads_added_column_as_null(spark, tmp_path):
+    """Appends with an evolved (added-column) schema: merge_schema=True
+    reconciles old files with NULLs, default read stays cheap."""
+    from camelot_spark.snapshots import SnapshotLog
+
+    log = SnapshotLog(str(tmp_path / "tbl"))
+    log.append(spark.range(5).selectExpr("id"))
+    log.append(spark.range(5, 10).selectExpr("id", "id * 3 AS extra"))
+    merged = log.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in merged.collect()}
+    assert rows[2] is None and rows[7] == 21 and len(rows) == 10
