@@ -3,10 +3,11 @@
 Image/audio/video payloads are opaque ``binary`` columns; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` kernels. ``decode_image`` routes by container magic
-bytes: PIL when installed, else the pure-stdlib PNG codec
-(``png_codec``) — so the REAL decode path executes even in this
-codec-less sandbox (round-2 verdict item #4); JPEG without PIL fails
-loudly. Synthetic text payloads take the deterministic fake. The
+bytes: PIL when installed, else the pure-stdlib codecs — ``png_codec``
+for PNG and ``jpeg_codec`` (baseline sequential) for JPEG — so the
+REAL decode path executes for both containers even in this codec-less
+sandbox; non-baseline JPEG without PIL fails loudly.
+Synthetic text payloads take the deterministic fake. The
 Spark-side plumbing (schema, batch shape, partitioning, UDF
 signatures) is identical on every path, and a production deployment
 gets full codec coverage by installing PIL, with zero plan change.
@@ -75,13 +76,14 @@ def _looks_like_image(payload: bytes) -> bool:
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image bytes → (H, W) uint8 grayscale.
 
-    Codec priority: PIL when installed (covers JPEG + exotic PNGs),
-    else the pure-stdlib PNG decoder (``png_codec`` — zlib inflate +
-    all five filter reconstructions, no third-party libs), so the real
-    decode path executes even in codec-less environments. Raises
-    ValueError for non-image payloads (the synthetic corpus — callers
-    route those to the deterministic fake) and NotImplementedError only
-    for JPEG without PIL.
+    Codec priority: PIL when installed (covers progressive/subsampled
+    JPEG + exotic PNGs), else the pure-stdlib decoders — ``png_codec``
+    (zlib inflate + all five filter reconstructions) for PNG and
+    ``jpeg_codec`` (baseline sequential Huffman + IDCT) for JPEG — so
+    the real decode path executes for BOTH containers even in codec-
+    less environments. Raises ValueError for non-image payloads (the
+    synthetic corpus — callers route those to the deterministic fake)
+    and NotImplementedError only for non-baseline JPEG without PIL.
     """
     if not _looks_like_image(payload):
         raise ValueError("payload is not a PNG/JPEG container")
@@ -93,7 +95,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .png_codec import decode_png
 
         return decode_png(payload)
-    raise NotImplementedError("JPEG decoding requires PIL/cv2 — not in this environment")
+    from .jpeg_codec import decode_jpeg
+
+    img = decode_jpeg(payload)
+    if img.ndim == 3:  # same integer ITU-R 601 luma as png_codec
+        r, g, b = (img[:, :, c].astype(np.int64) for c in range(3))
+        img = ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
+    return img
 
 
 def _fake_decode_meta(payload: bytes) -> tuple[int, int, int]:

@@ -24,8 +24,9 @@ def test_decode_image_routing():
     with pytest.raises(ValueError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
     if mm._PILImage is None:
-        # JPEG has no pure-stdlib decoder: loud, never faked
-        with pytest.raises(NotImplementedError):
+        # a JPEG container with garbage after SOI is corrupt: loud,
+        # never faked (baseline JPEG itself decodes via jpeg_codec)
+        with pytest.raises(ValueError):
             mm.decode_image(b"\xff\xd8\xff" + b"\x00" * 16)
 
 
@@ -187,3 +188,89 @@ def test_audio_metadata_real_wav_payloads(spark):
     assert (r["sample_rate"], r["n_samples"]) == (4000, 4)
     assert r["duration_ms"] == 1 and r["peak_abs"] == 3000
     assert r["energy"] == 1000**2 + 2000**2 + 3000**2
+
+
+class TestJpegCodec:
+    """Pure-stdlib baseline JPEG codec: lossy round trips within a
+    tolerance, gray + RGB, non-multiple-of-8 sizes, and loud failures
+    on the variants only PIL covers."""
+
+    def _smooth(self, h, w, color=False):
+        yy, xx = np.mgrid[0:h, 0:w]
+        if not color:
+            return (128 + 60 * np.sin(xx / 9) + 50 * np.cos(yy / 7)) \
+                .clip(0, 255).astype(np.uint8)
+        return np.stack(
+            [(128 + 100 * np.sin(xx / 8 + c)).clip(0, 255) for c in range(3)],
+            axis=-1).astype(np.uint8)
+
+    @pytest.mark.parametrize("h,w", [(8, 8), (37, 51), (16, 9)])
+    def test_gray_roundtrip(self, h, w):
+        from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+        img = self._smooth(h, w)
+        dec = decode_jpeg(encode_jpeg(img, quality=92))
+        assert dec.shape == (h, w)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    def test_rgb_roundtrip(self):
+        from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+        img = self._smooth(24, 31, color=True)
+        dec = decode_jpeg(encode_jpeg(img, quality=92))
+        assert dec.shape == (24, 31, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+    def test_noise_high_quality_near_lossless(self):
+        from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (16, 24), dtype=np.int64).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=100))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_progressive_raises_not_implemented(self):
+        from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+        enc = bytearray(encode_jpeg(self._smooth(8, 8)))
+        sof = enc.index(b"\xff\xc0")
+        enc[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(enc))
+
+    def test_subsampled_raises_not_implemented(self):
+        from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+        enc = bytearray(encode_jpeg(self._smooth(8, 8, color=True)))
+        sof = enc.index(b"\xff\xc0")
+        # component 0 sampling byte: marker(2) + len(2) + prec/h/w/nc(6)
+        # + cid(1) -> sampling at sof+11; set 2x2
+        enc[sof + 11] = 0x22
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(enc))
+
+    def test_decode_image_routes_jpeg(self):
+        from camelot_spark.tdp.jpeg_codec import encode_jpeg
+
+        img = self._smooth(9, 13)
+        arr = mm.decode_image(encode_jpeg(img, quality=95))
+        assert arr.shape == (9, 13)
+        assert np.abs(arr.astype(int) - img.astype(int)).max() <= 4
+        # color payloads come back as ITU-R 601 luma, same as PNG
+        rgb = self._smooth(9, 13, color=True)
+        luma = mm.decode_image(encode_jpeg(rgb, quality=95))
+        assert luma.shape == (9, 13) and luma.dtype == np.uint8
+
+
+def test_media_metadata_real_jpeg_payloads(spark):
+    """media_metadata over genuine JPEG containers: real decode
+    (jpeg_codec or PIL) feeds width/height, not the fake."""
+    from camelot_spark.tdp.jpeg_codec import encode_jpeg
+
+    yy, xx = np.mgrid[0:12, 0:30]
+    img = (96 + 80 * np.sin(xx / 5)).clip(0, 255).astype(np.uint8)
+    payload = encode_jpeg(img, quality=90)
+    docs = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary")
+    row = mm.media_metadata(docs).collect()[0]
+    assert (row["fake_width"], row["fake_height"]) == (30, 12)
