@@ -165,9 +165,71 @@ public class SnapshotCatalog implements TableCatalog {
     return new SnapTable(ident.toString(), dir, schema);
   }
 
+  /**
+   * Schema evolution, Iceberg-style: ADD COLUMN only (data stays
+   * append-only). Before the new schema is published, every existing
+   * data directory that lacks a {@code _schema.json} sidecar is
+   * stamped with the CURRENT schema — by induction, an unstamped dir
+   * was always written under the schema current at stamp time — so
+   * readers can reconstruct each file's write-time row layout and
+   * null-fill the added columns for old files.
+   */
   @Override
   public Table alterTable(Identifier ident, TableChange... changes) {
-    throw new UnsupportedOperationException("SnapshotCatalog tables are append-only");
+    Path dir = tableDir(ident);
+    Path schemaFile = dir.resolve("_meta").resolve("schema.json");
+    if (!Files.isRegularFile(schemaFile)) {
+      throw new IllegalArgumentException("no such table: " + ident);
+    }
+    try {
+      String json = new String(Files.readAllBytes(schemaFile), StandardCharsets.UTF_8);
+      StructType schema =
+          (StructType) org.apache.spark.sql.types.DataType$.MODULE$.fromJson(json);
+      StructType next = schema;
+      for (TableChange change : changes) {
+        if (!(change instanceof TableChange.AddColumn)) {
+          throw new UnsupportedOperationException(
+              "SnapshotCatalog schema evolution supports ADD COLUMN only, got "
+                  + change.getClass().getSimpleName());
+        }
+        TableChange.AddColumn add = (TableChange.AddColumn) change;
+        if (add.fieldNames().length != 1) {
+          throw new UnsupportedOperationException("nested ADD COLUMN is not supported");
+        }
+        // added columns must be nullable: existing rows have no value
+        next = next.add(add.fieldNames()[0], add.dataType(), true);
+      }
+      stampUnversionedDataDirs(dir, json);
+      Files.write(schemaFile, next.json().getBytes(StandardCharsets.UTF_8));
+      return new SnapTable(ident.toString(), dir, next);
+    } catch (IOException e) {
+      throw new UncheckedIOException(e);
+    }
+  }
+
+  /** Write {@code _schema.json} into every data dir holding .bin files
+   *  that does not declare its write-time schema yet. */
+  private static void stampUnversionedDataDirs(Path tableDir, String schemaJson)
+      throws IOException {
+    Path dataRoot = tableDir.resolve("data");
+    if (!Files.isDirectory(dataRoot)) {
+      return;
+    }
+    try (java.util.stream.Stream<Path> walk = Files.walk(dataRoot)) {
+      for (Path p : (Iterable<Path>) walk::iterator) {
+        if (!Files.isDirectory(p)) {
+          continue;
+        }
+        File[] bins = p.toFile().listFiles(f -> f.isFile() && f.getName().endsWith(".bin"));
+        if (bins == null || bins.length == 0) {
+          continue;
+        }
+        Path sidecar = p.resolve("_schema.json");
+        if (!Files.exists(sidecar)) {
+          Files.write(sidecar, schemaJson.getBytes(StandardCharsets.UTF_8));
+        }
+      }
+    }
   }
 
   @Override
@@ -284,6 +346,7 @@ public class SnapshotCatalog implements TableCatalog {
       Map<String, Object> metrics = new HashMap<>();
       metrics.put("rows", rows);
       metrics.put("files", (long) files);
+      writeSchemaSidecar(tableDir.resolve(dataDirRel), schema);
       ManifestLog.commit(tableDir, dataDirRel, metrics);
     }
 
@@ -350,12 +413,25 @@ public class SnapshotCatalog implements TableCatalog {
       Map<String, String> extras = new HashMap<>();
       extras.put("streaming_query", queryId);
       extras.put("streaming_epoch", Long.toString(epochId));
+      writeSchemaSidecar(tableDir.resolve(epochDirRel(epochId)), schema);
       ManifestLog.commit(tableDir, epochDirRel(epochId), metrics, extras);
     }
 
     @Override
     public void abort(long epochId, WriterCommitMessage[] messages) {
       deleteRecursively(tableDir.resolve(epochDirRel(epochId)).toFile());
+    }
+  }
+
+  /** Record a data dir's write-time schema so post-evolution readers
+   *  can null-fill columns the dir's files never stored. */
+  static void writeSchemaSidecar(Path dataDir, StructType schema) {
+    try {
+      Files.createDirectories(dataDir);
+      Files.write(dataDir.resolve("_schema.json"),
+          schema.json().getBytes(StandardCharsets.UTF_8));
+    } catch (IOException e) {
+      throw new UncheckedIOException(e);
     }
   }
 
@@ -717,10 +793,23 @@ public class SnapshotCatalog implements TableCatalog {
       List<String> dataDirs = ManifestLog.latestDataDirs(tableDir);
       List<InputPartition> parts = new ArrayList<>();
       for (String rel : dataDirs) {
-        File[] files = tableDir.resolve(rel).toFile()
+        Path dirPath = tableDir.resolve(rel);
+        File[] files = dirPath.toFile()
             .listFiles(f -> f.isFile() && f.getName().endsWith(".bin"));
         if (files == null) {
           continue;
+        }
+        // write-time schema sidecar: rows in this dir were laid out
+        // under it; absent (pre-evolution table) means the current
+        // table schema — alterTable back-stamps before evolving
+        String fileSchemaJson = null;
+        Path sidecar = dirPath.resolve("_schema.json");
+        if (Files.isRegularFile(sidecar)) {
+          try {
+            fileSchemaJson = new String(Files.readAllBytes(sidecar), StandardCharsets.UTF_8);
+          } catch (IOException e) {
+            throw new UncheckedIOException(e);
+          }
         }
         Arrays.sort(files);
         for (File f : files) {
@@ -739,7 +828,7 @@ public class SnapshotCatalog implements TableCatalog {
               }
             }
           }
-          parts.add(new BlobPartition(f.getAbsolutePath()));
+          parts.add(new BlobPartition(f.getAbsolutePath(), fileSchemaJson));
         }
       }
       return parts.toArray(new InputPartition[0]);
@@ -753,9 +842,11 @@ public class SnapshotCatalog implements TableCatalog {
 
   static class BlobPartition implements InputPartition {
     final String path;
+    final String schemaJson; // write-time schema; null = table schema
 
-    BlobPartition(String path) {
+    BlobPartition(String path, String schemaJson) {
       this.path = path;
+      this.schemaJson = schemaJson;
     }
   }
 
@@ -770,11 +861,13 @@ public class SnapshotCatalog implements TableCatalog {
 
     @Override
     public PartitionReader<InternalRow> createReader(InputPartition partition) {
-      StructType full =
-          (StructType) org.apache.spark.sql.types.DataType$.MODULE$.fromJson(fullSchemaJson);
+      BlobPartition bp = (BlobPartition) partition;
+      String storedJson = bp.schemaJson != null ? bp.schemaJson : fullSchemaJson;
+      StructType stored =
+          (StructType) org.apache.spark.sql.types.DataType$.MODULE$.fromJson(storedJson);
       StructType required =
           (StructType) org.apache.spark.sql.types.DataType$.MODULE$.fromJson(requiredSchemaJson);
-      return new BlobReader(((BlobPartition) partition).path, full, required);
+      return new BlobReader(bp.path, stored, required);
     }
   }
 
@@ -784,24 +877,34 @@ public class SnapshotCatalog implements TableCatalog {
     private final UnsafeProjection prune; // null when reading all columns
     private InternalRow current;
 
-    BlobReader(String path, StructType full, StructType required) {
+    BlobReader(String path, StructType stored, StructType required) {
       try {
         this.in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)));
       } catch (IOException e) {
         throw new UncheckedIOException(e);
       }
-      this.row = new UnsafeRow(full.size());
-      if (required.json().equals(full.json())) {
+      this.row = new UnsafeRow(stored.size());
+      if (required.json().equals(stored.json())) {
         this.prune = null;
       } else {
-        // project the stored full-width UnsafeRow to the pushed-down
-        // columns: BoundReference per required field, by ordinal
+        // project the stored-layout UnsafeRow to the pushed-down
+        // columns: BoundReference per required field by ordinal in the
+        // file's WRITE-TIME schema; a column the file predates (schema
+        // evolution) reads as a typed NULL literal
         java.util.List<org.apache.spark.sql.catalyst.expressions.Expression> refs =
             new ArrayList<>();
         for (org.apache.spark.sql.types.StructField f : required.fields()) {
-          int ordinal = full.fieldIndex(f.name());
+          int ordinal;
+          try {
+            ordinal = stored.fieldIndex(f.name());
+          } catch (IllegalArgumentException missing) {
+            refs.add(org.apache.spark.sql.catalyst.expressions.Literal.create(
+                null, f.dataType()));
+            continue;
+          }
           refs.add(new org.apache.spark.sql.catalyst.expressions.BoundReference(
-              ordinal, full.fields()[ordinal].dataType(), full.fields()[ordinal].nullable()));
+              ordinal, stored.fields()[ordinal].dataType(),
+              stored.fields()[ordinal].nullable()));
         }
         this.prune = UnsafeProjection.create(
             scala.jdk.javaapi.CollectionConverters.asScala(refs).toList());

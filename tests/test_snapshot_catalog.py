@@ -240,3 +240,35 @@ def test_filter_pushdown_prunes_files(spark):
     # filters are re-evaluated per row: a file-internal miss returns 0,
     # never a stale row
     assert t.where("n = 101 and doc_id = 'nope'").count() == 0
+
+
+def test_alter_table_add_column_null_fills_old_files(spark):
+    """Schema evolution, Iceberg-style: ADD COLUMN back-stamps existing
+    data dirs with their write-time schema, old rows read the new
+    column as NULL, new appends store it for real, and column pruning
+    still works across mixed-layout files."""
+    _require_catalog(spark)
+    table = "snap.ns.evolve_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, name STRING)")
+    spark.range(3).selectExpr("id", "concat('n', id) AS name") \
+        .writeTo(table).append()
+    spark.sql(f"ALTER TABLE {table} ADD COLUMN extra BIGINT")
+    spark.range(3, 5).selectExpr(
+        "id", "concat('n', id) AS name", "id * 10 AS extra") \
+        .writeTo(table).append()
+
+    rows = {r["id"]: r for r in spark.table(table).collect()}
+    assert len(rows) == 5
+    assert rows[1]["extra"] is None and rows[1]["name"] == "n1"
+    assert rows[4]["extra"] == 40 and rows[4]["name"] == "n4"
+    # predicates over the evolved column span both layouts
+    assert {r["id"] for r in spark.table(table).where("extra IS NULL").collect()} \
+        == {0, 1, 2}
+    # pruned scan of only the evolved column
+    got = sorted(r["extra"] for r in spark.table(table).select("extra").collect()
+                 if r["extra"] is not None)
+    assert got == [30, 40]
+    # evolution stays append-only: anything but ADD COLUMN refuses
+    with pytest.raises(Exception, match="ADD COLUMN|append-only|not supported|Unsupported"):
+        spark.sql(f"ALTER TABLE {table} DROP COLUMN name")
