@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
-from camelot_spark.tdp import cleaning, contamination, dedup, multimodal, packing, relational, similarity
+from camelot_spark.tdp import (cleaning, contamination, dedup, multimodal,
+                               packing, relational, sampling, similarity)
 from camelot_spark.tdp import html as tdp_html
 from camelot_spark.tdp import text as tdp_text
 
@@ -190,6 +191,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
         "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
+        # deterministic curation sampling: quota rates, target-mix, and
+        # fixed-k-per-stratum — acceptance is integer hash math, so the
+        # oracles reproduce it bit-for-bit
+        "stratified_sample": lambda s, d: sampling.stratified_sample(
+            _load(s, d, "documents"),
+            rates={"de": 100000, "en": 250000, "fr": 500000}),
+        "corpus_mix": lambda s, d: sampling.corpus_mix(
+            _load(s, d, "documents"),
+            targets={"de": 200000, "en": 500000, "es": 100000, "fr": 200000},
+            sample_total=200),
+        "stratified_topk_sample": lambda s, d: sampling.stratified_topk_sample(
+            _load(s, d, "documents"), k=10),
+        "length_histogram": lambda s, d: sampling.length_histogram(
+            _load(s, d, "documents")),
         "kmv_distinct": lambda s, d: dedup.kmv_distinct(_load(s, d, "documents")),
         # same sketch with map-side partial aggregation: the shuffle is
         # capped at k hashes per (partition, source) — bit-identical
@@ -283,6 +298,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
+        "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
+        "corpus_mix": sampling.CORPUS_MIX_SQL,
+        "stratified_topk_sample": sampling.STRATIFIED_TOPK_SQL,
+        "length_histogram": sampling.LENGTH_HISTOGRAM_SQL,
         "kmv_distinct": dedup.KMV_DISTINCT_SQL,
         "kmv_distinct_partial": dedup.KMV_DISTINCT_SQL,
         "minhash_lsh_pairs_portable": dedup.MINHASH_PORTABLE_SQL,

@@ -1,0 +1,173 @@
+"""Deterministic sampling & corpus-mixing operators for training-data
+curation: stratified keep-rates, target-proportion corpus mixing, and
+per-stratum fixed-size samples.
+
+Every operator here is DETERMINISTIC — acceptance is a pure function of
+doc_id via a multiplicative hash, never an RNG — because training-data
+pipelines need reproducible subsets (same config → same corpus, on any
+cluster size, with any partitioning). All acceptance math is INTEGER
+(parts-per-million rates, floor division) so the DuckDB oracles match
+bit-for-bit; production at 10^12 docs swaps the multiplicative hash for
+``xxhash64`` with zero plan change (the hash is one projected column).
+
+Scale shapes:
+- ``stratified_sample``: pure filter — zero shuffle, fully pushed into
+  the scan's partitioning; throughput = scan speed.
+- ``corpus_mix``: one tiny per-stratum count aggregate (bytes: one row
+  per stratum), broadcast back — the corpus itself never shuffles.
+- ``stratified_topk_sample``: hash-rank window per stratum; Catalyst
+  plans the per-group top-k with partial TakeOrdered, not a global
+  sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PPM = 1_000_000
+# Knuth multiplicative hash (2^32 golden ratio); doc_id * KNUTH stays
+# far inside int64 for any realistic id space
+_KNUTH = 2654435761
+
+
+def _accept_ppm_hash(col):
+    """Deterministic pseudo-uniform value in [0, 1e6) from a long id."""
+    return (col * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(_PPM)
+
+
+def stratified_sample(documents: DataFrame, rates: dict[str, int],
+                      strata_col: str = "lang",
+                      default_ppm: int = _PPM) -> DataFrame:
+    """Keep each document with a per-stratum probability given in parts
+    per million — the quota knob of corpus curation ("keep 25% of web,
+    all of books"). Pure filter: no shuffle, no RNG, reproducible under
+    any partitioning. Unknown strata fall back to ``default_ppm``."""
+    rate = F.lit(default_ppm)
+    for key, ppm in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(int(ppm))).otherwise(rate)
+    return (
+        documents
+        .where(_accept_ppm_hash(F.col("doc_id")) < rate)
+        .select("doc_id", strata_col, "source", "n_chars")
+    )
+
+
+def corpus_mix(documents: DataFrame, targets: dict[str, int],
+               sample_total: int, strata_col: str = "lang") -> DataFrame:
+    """Sample toward TARGET PROPORTIONS: given per-stratum target
+    shares (ppm of ``sample_total``), derive each stratum's acceptance
+    rate from its actual count and keep documents deterministically —
+    the "mix 50% web, 30% books, 20% code" step of building a training
+    corpus. A stratum smaller than its quota is kept whole (rate capped
+    at 100%; no oversampling).
+
+    All integer math: want = sample_total * target_ppm / 1e6 (floor),
+    accept_ppm = min(1e6, want * 1e6 / count) (floor) — so the DuckDB
+    twin reproduces acceptance exactly. One tiny count aggregate (one
+    row per stratum) broadcast back onto the corpus; the corpus itself
+    never shuffles."""
+    targets_df = documents.sparkSession.createDataFrame(
+        sorted(targets.items()), f"{strata_col} string, target_ppm long")
+    counts = documents.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    rates = (
+        counts.join(F.broadcast(targets_df), strata_col, "inner")
+        # DIV keeps everything in exact int64 arithmetic — float
+        # division would eventually disagree with the oracle's `//`
+        .selectExpr(
+            strata_col,
+            f"least(CAST({_PPM} AS BIGINT), "
+            f"((target_ppm * CAST({int(sample_total)} AS BIGINT)) DIV {_PPM})"
+            f" * {_PPM} DIV n) AS accept_ppm",
+        )
+    )
+    return (
+        documents.join(F.broadcast(rates), strata_col, "inner")
+        .where(_accept_ppm_hash(F.col("doc_id")) < F.col("accept_ppm"))
+        .select("doc_id", strata_col, "source", "accept_ppm")
+    )
+
+
+def stratified_topk_sample(documents: DataFrame, k: int = 10,
+                           strata_col: str = "lang") -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank documents by
+    hash within each stratum and keep the k smallest — a fixed-size
+    uniform-without-replacement sample that is stable across runs and
+    cluster layouts (the reservoir-sampling use case, without reservoir
+    state). Ties are impossible on distinct doc_ids; Catalyst plans the
+    rank window as per-group top-k, not a global sort."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _accept_ppm_hash(F.col("doc_id")).asc(), F.col("doc_id").asc())
+    return (
+        documents
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select("doc_id", strata_col, F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Log2-bucketed length distribution per source — the corpus-QA
+    summary (spot truncation, boilerplate spikes, length skew before
+    training). Partial-aggregates map-side; the shuffle carries one row
+    per (source, bucket)."""
+    # floor(log2(x)) as len(bin(x)) - 1: exact integer math on both
+    # engines (Spark's LOG2 is log(x)/log(2) in doubles — its floor can
+    # disagree with DuckDB's libm exactly at bucket boundaries)
+    bucket = (F.length(F.bin(F.col("n_chars") + F.lit(1))) - 1).cast("bigint")
+    return (
+        documents.groupBy("source", bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .select("source", "len_bucket", "docs", "chars")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 1000000 <
+      CASE lang WHEN 'de' THEN 100000
+                WHEN 'en' THEN 250000
+                WHEN 'fr' THEN 500000
+                ELSE 1000000 END
+"""
+
+CORPUS_MIX_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+targets(lang, target_ppm) AS (
+  VALUES ('de', 200000), ('en', 500000), ('es', 100000), ('fr', 200000)),
+rates AS (
+  SELECT c.lang,
+         LEAST(1000000,
+               ((t.target_ppm * 200) // 1000000) * 1000000 // c.n)
+           AS accept_ppm
+  FROM counts c JOIN targets t USING (lang))
+SELECT d.doc_id, d.lang, d.source, CAST(r.accept_ppm AS BIGINT) AS accept_ppm
+FROM documents d JOIN rates r USING (lang)
+WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.accept_ppm
+"""
+
+STRATIFIED_TOPK_SQL = """
+SELECT doc_id, lang, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296 % 1000000, doc_id)
+           AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 10
+"""
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT source,
+       CAST(LENGTH(BIN(n_chars + 1)) - 1 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY source, len_bucket
+"""

@@ -1,0 +1,88 @@
+"""Deterministic sampling / corpus-mixing operators: acceptance is
+integer hash math (reproducible on any cluster layout), plans stay
+shuffle-free where the operator allows it."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from camelot_spark.tdp import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "doc %d" % i, ["en", "fr", "de", "es"][i % 4],
+             "src%d" % (i % 5), 10 + (i * 37) % 900)
+            for i in range(400)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_stratified_sample_is_pure_filter(docs):
+    out = sampling.stratified_sample(docs, rates={"en": 250000, "fr": 0})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle: scan + filter only
+    rows = out.collect()
+    langs = {r["lang"] for r in rows}
+    assert "fr" not in langs           # rate 0: dropped entirely
+    assert {"de", "es"} <= langs       # default ppm: kept whole
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    assert 0 < n_en < 100              # ~25% of the 100 en docs
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(docs):
+    a = {r["doc_id"] for r in sampling.stratified_sample(
+        docs, rates={"en": 300000}).collect()}
+    b = {r["doc_id"] for r in sampling.stratified_sample(
+        docs.repartition(13), rates={"en": 300000}).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_corpus_mix_hits_targets_and_caps_small_strata(spark):
+    # 1000 en docs, 20 de docs; mix 50/50 toward a 200-doc sample:
+    # en accepts ~10%, de (quota 100 > 20 docs) is kept WHOLE
+    rows = [(i, "t", "en", "s", 5) for i in range(1000)]
+    rows += [(10_000 + i, "t", "de", "s", 5) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = sampling.corpus_mix(
+        docs, targets={"en": 500000, "de": 500000}, sample_total=200)
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["de"]) == 20                    # capped at 100%
+    assert all(r["accept_ppm"] == 1000000 for r in by_lang["de"])
+    assert 60 <= len(by_lang["en"]) <= 140             # ~100 of 1000
+    # the rate side is broadcast: the corpus never shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_topk_exactly_k_per_stratum(docs):
+    out = sampling.stratified_topk_sample(docs, k=7).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], set()).add(r["sample_rank"])
+    assert set(per) == {"en", "fr", "de", "es"}
+    assert all(ranks == set(range(1, 8)) for ranks in per.values())
+    # deterministic: same ids on re-run
+    again = sampling.stratified_topk_sample(docs, k=7).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_length_histogram_bucket_math(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "en", "s", 0), (2, "b", "en", "s", 1),
+         (3, "c", "en", "s", 1023), (4, "d", "en", "s", 1024)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["len_bucket"]: r for r in sampling.length_histogram(docs).collect()}
+    # n_chars=0 -> bin(1) -> bucket 0; 1 -> bucket 1; 1023 -> bucket 10
+    # (1024 = 2^10) and 1024 -> bucket 10 (1025 still < 2^11)
+    assert out[0]["docs"] == 1 and out[1]["docs"] == 1
+    assert out[10]["docs"] == 2 and out[10]["chars"] == 1023 + 1024
