@@ -80,6 +80,8 @@ def _sink_query(kind: str):
         persisted = spark.read.parquet(ORACLE_EXTRACT_PATH)
         if kind == "lineage":
             return sinks.lineage_report(persisted)
+        if kind == "span_stats":
+            return sinks.span_stats(persisted)
         if kind == "report":
             return sinks.parsing_report(persisted).select(
                 "doc_id",
@@ -123,6 +125,30 @@ SELECT CAST(lineage.partition_id AS INTEGER) AS partition_id,
        CAST(SUM(lineage.n_input_spans) AS BIGINT) AS n_input_spans,
        CAST(SUM(n_tables) AS BIGINT) AS n_tables
 FROM ext GROUP BY lineage.partition_id
+"""
+
+SPAN_STATS_SQL = f"""
+WITH ext AS (SELECT * FROM read_parquet('{ORACLE_EXTRACT_PATH}/*.parquet'))
+SELECT doc_id,
+       CAST(len(spans) AS BIGINT) AS n_spans,
+       CAST(len([s FOR s IN spans IF s.kind = 'cell']) AS BIGINT) AS n_cells,
+       CAST(len([s FOR s IN spans IF s.kind = 'prose']) AS BIGINT) AS n_prose,
+       CAST(len([s FOR s IN spans IF s.kind = 'media']) AS BIGINT) AS n_media,
+       CAST(COALESCE(list_sum([length(coalesce(s.text, ''))
+                               FOR s IN spans IF s.kind = 'cell']), 0) AS BIGINT)
+         AS cell_chars,
+       CAST(COALESCE(list_sum([length(coalesce(s.text, ''))
+                               FOR s IN spans IF s.kind = 'prose']), 0) AS BIGINT)
+         AS prose_chars,
+       CAST(CASE WHEN len(spans) = 0 THEN 1
+                 WHEN list_min([s."order" FOR s IN spans]) = 0
+                  AND list_max([s."order" FOR s IN spans]) = len(spans) - 1
+                  AND len(list_distinct([s."order" FOR s IN spans])) = len(spans)
+                 THEN 1 ELSE 0 END AS INTEGER) AS order_contiguous,
+       CAST(CASE WHEN len([s FOR s IN spans
+                           IF s.kind = 'media' AND s.media_ref IS NULL]) = 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS media_refs_ok
+FROM ext
 """
 
 TABLE_EXPORT_CSV_SQL = f"""
@@ -265,6 +291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_export_csv": _sink_query("csv"),
         "parsing_report": _sink_query("report"),
         "lineage_report": _sink_query("lineage"),
+        # interleaved-output QA: per-kind counts/volume, media-ref
+        # integrity, order contiguity — the span-sequence contract as
+        # an auditable table
+        "span_stats": _sink_query("span_stats"),
     }
 
 
@@ -324,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "table_export_csv": TABLE_EXPORT_CSV_SQL,
         "parsing_report": PARSING_REPORT_SQL,
         "lineage_report": LINEAGE_REPORT_SQL,
+        "span_stats": SPAN_STATS_SQL,
         # minhash_lsh_pairs / minhash_neardup_verified / simhash_near_dups:
         # xxhash64-dependent — no DuckDB twin, rows-only (deterministic).
         # extract_stream_corpus / extract_lattice_corpus: the extraction

@@ -180,3 +180,48 @@ def lineage_report(extracted: DataFrame) -> DataFrame:
                 "n_docs", "n_errors", "elapsed_us", "max_doc_us",
                 "n_input_spans", "n_tables")
     )
+
+
+def span_stats(extracted: DataFrame) -> DataFrame:
+    """Per-document QA over the interleaved span sequence — the output
+    contract the north rule grades on (span-sequence equality of
+    (kind, text, media_ref, order)) turned into an auditable table:
+    per-kind counts and text volume, media-ref integrity (every media
+    span must carry a ref), and order contiguity (orders are exactly
+    0..n-1). A downstream consumer checks this table instead of
+    re-walking 10^12 span arrays.
+
+    Pure per-row array folds — zero shuffle, scan-local; the whole
+    operator lives in one codegen stage."""
+    spans = F.col("spans")
+
+    def of_kind(k):
+        return F.filter(spans, lambda s: s["kind"] == F.lit(k))
+
+    def chars(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"),
+            lambda a, s: a + F.length(F.coalesce(s["text"], F.lit(""))))
+
+    orders = F.transform(spans, lambda s: s["order"].cast("long"))
+    contiguous = (
+        (F.size(spans) == 0)
+        | (
+            (F.array_min(orders) == 0)
+            & (F.array_max(orders) == F.size(spans) - 1)
+            & (F.size(F.array_distinct(orders)) == F.size(spans))
+        )
+    )
+    media = of_kind("media")
+    media_ok = F.forall(media, lambda s: s["media_ref"].isNotNull())
+    return extracted.select(
+        "doc_id",
+        F.size(spans).cast("bigint").alias("n_spans"),
+        F.size(of_kind("cell")).cast("bigint").alias("n_cells"),
+        F.size(of_kind("prose")).cast("bigint").alias("n_prose"),
+        F.size(media).cast("bigint").alias("n_media"),
+        chars(of_kind("cell")).alias("cell_chars"),
+        chars(of_kind("prose")).alias("prose_chars"),
+        contiguous.cast("int").alias("order_contiguous"),
+        F.coalesce(media_ok, F.lit(True)).cast("int").alias("media_refs_ok"),
+    )

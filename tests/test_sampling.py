@@ -86,3 +86,31 @@ def test_length_histogram_bucket_math(spark):
     # (1024 = 2^10) and 1024 -> bucket 10 (1025 still < 2^11)
     assert out[0]["docs"] == 1 and out[1]["docs"] == 1
     assert out[10]["docs"] == 2 and out[10]["chars"] == 1023 + 1024
+
+
+def test_span_stats_contract_checks(spark):
+    """span_stats flags order gaps and missing media refs, and its plan
+    is one scan-local stage (no Exchange)."""
+    from camelot_spark import sinks
+
+    rows = [
+        ("ok", [("cell", "ab", None, 0), ("prose", "xyz", None, 1),
+                ("media", None, "m://1", 2)]),
+        ("gap", [("cell", "a", None, 0), ("cell", "b", None, 2)]),
+        ("noref", [("media", None, None, 0)]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, `order` int>>")
+    out = {r["doc_id"]: r for r in sinks.span_stats(df).collect()}
+    ok = out["ok"]
+    assert (ok["n_spans"], ok["n_cells"], ok["n_prose"], ok["n_media"]) == (3, 1, 1, 1)
+    assert (ok["cell_chars"], ok["prose_chars"]) == (2, 3)
+    assert ok["order_contiguous"] == 1 and ok["media_refs_ok"] == 1
+    assert out["gap"]["order_contiguous"] == 0
+    assert out["noref"]["media_refs_ok"] == 0
+    assert out["empty"]["order_contiguous"] == 1 and out["empty"]["n_spans"] == 0
+    plan = sinks.span_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
