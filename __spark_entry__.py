@@ -68,15 +68,23 @@ def _extract_corpus(flavor: str, families: list[str]):
 ORACLE_EXTRACT_PATH = "/tmp/camelot_spark_extracted_oracle"
 
 
+# one persist per (process, sf_dir): the corpus is deterministic, so
+# every sink query in a run reshapes byte-identical input — re-running
+# the extraction per sink query would only re-write the same bytes
+_SINK_PERSISTED_FOR: list[str] = []
+
+
 def _sink_query(kind: str):
     from camelot_spark import sinks
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        src = _load(spark, sf_dir, "documents")
-        src = src.select("doc_id").repartition(spark.sparkContext.defaultParallelism * 4)
-        ext = synthesize_and_extract(src, "stream", families=fx.STREAM_FAMILIES, fail_fast=True)
-        ext.select("doc_id", "spans", "tables", "n_tables", "lineage").write.mode(
-            "overwrite").parquet(ORACLE_EXTRACT_PATH)
+        if _SINK_PERSISTED_FOR != [sf_dir]:
+            src = _load(spark, sf_dir, "documents")
+            src = src.select("doc_id").repartition(spark.sparkContext.defaultParallelism * 4)
+            ext = synthesize_and_extract(src, "stream", families=fx.STREAM_FAMILIES, fail_fast=True)
+            ext.select("doc_id", "spans", "tables", "n_tables", "lineage").write.mode(
+                "overwrite").parquet(ORACLE_EXTRACT_PATH)
+            _SINK_PERSISTED_FOR[:] = [sf_dir]
         persisted = spark.read.parquet(ORACLE_EXTRACT_PATH)
         if kind == "lineage":
             return sinks.lineage_report(persisted)

@@ -48,6 +48,34 @@ def dedup_stream(docs, watermark_delay: str = "1 hour"):
     )
 
 
+def windowed_ingest_metrics(df, event_ts_col: str = "event_ts",
+                            window_size: str = "1 minute",
+                            watermark_delay: str = "2 minutes"):
+    """Event-time windowed ingest metrics with bounded late-data state —
+    the watermark + windowed-agg shape for continuous monitoring of a
+    document stream: per tumbling window, arriving docs and span
+    volume. In append output mode a window emits exactly once, when the
+    watermark passes its end; rows later than ``watermark_delay`` are
+    dropped (the state store stays bounded: open windows only, never
+    the stream's history). Feed any streaming DataFrame carrying an
+    event-time column and a ``n_spans`` count column."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withWatermark(event_ts_col, watermark_delay)
+        .groupBy(F.window(F.col(event_ts_col), window_size))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_spans").cast("bigint").alias("n_spans"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_docs", "n_spans",
+        )
+    )
+
+
 def start_extraction_stream(
     spark,
     input_path: str,
