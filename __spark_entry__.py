@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
 from camelot_spark.tdp import (cleaning, contamination, dedup, multimodal,
-                               packing, relational, sampling, similarity)
+                               packing, relational, sampling, similarity,
+                               substr_dedup)
 from camelot_spark.tdp import html as tdp_html
 from camelot_spark.tdp import text as tdp_text
 
@@ -269,6 +270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_star": lambda s, d: dedup.dedup_groups(
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
             portable=True, algorithm="star"),
+        # exact duplicate-substring regions (Lee et al.-style fixed-k):
+        # verbatim reuse inside otherwise-distinct docs; portable twin
+        # groups raw windows so DuckDB reproduces it (prod: xxhash64)
+        "dup_substring_spans": lambda s, d: substr_dedup.duplicate_substring_spans(
+            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
+        "dup_substring_stats": lambda s, d: substr_dedup.duplicate_substring_stats(
+            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
         "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
@@ -346,6 +354,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups_portable": dedup.DEDUP_GROUPS_PORTABLE_SQL,
         "dedup_groups_star": dedup.DEDUP_GROUPS_STAR_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
+        "dup_substring_spans": substr_dedup.DUP_SUBSTR_SPANS_SQL,
+        "dup_substring_stats": substr_dedup.DUP_SUBSTR_STATS_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,
