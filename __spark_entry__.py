@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
         "dup_substring_stats": lambda s, d: substr_dedup.duplicate_substring_stats(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
+        "strip_dup_substrings": lambda s, d: substr_dedup.strip_duplicate_substrings(
+            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
         "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
@@ -356,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "dup_substring_spans": substr_dedup.DUP_SUBSTR_SPANS_SQL,
         "dup_substring_stats": substr_dedup.DUP_SUBSTR_STATS_SQL,
+        "strip_dup_substrings": substr_dedup.STRIP_DUP_SUBSTR_SQL,
         "ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,

@@ -117,6 +117,52 @@ def duplicate_substring_stats(documents: DataFrame, k: int = 40,
     )
 
 
+def strip_duplicate_substrings(documents: DataFrame, k: int = 40,
+                               portable: bool = False) -> DataFrame:
+    """The removal step: cut every duplicate region out of each
+    document, keeping the corpus-wide first occurrence — the operator
+    that actually PRODUCES the deduplicated training corpus (spans/
+    stats are the audit views). Returns (doc_id, clean_text,
+    removed_chars, n_regions); clean documents pass through verbatim.
+
+    The text surgery is a pure expression fold: regions are collected
+    per doc (sorted, non-overlapping by construction), and the kept
+    text is the concatenation of the n+1 gaps around n regions —
+    substring arithmetic inside codegen, no Python. One extra shuffle
+    (collect regions per doc) on top of the span pipeline."""
+    spans = duplicate_substring_spans(documents, k=k, portable=portable)
+    regions = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("dup_start", "dup_end"))).alias("regs"))
+    n = F.size("regs")
+    starts = F.transform("regs", lambda r: r["dup_start"])
+    ends = F.transform("regs", lambda r: r["dup_end"])
+
+    def piece(i):
+        prev_end = F.when(i == 0, F.lit(0)).otherwise(
+            F.element_at(ends, i))  # element_at is 1-based: ends[i-1]
+        next_start = F.when(i == n, F.length("text")).otherwise(
+            F.element_at(starts, (i + 1).cast("int")))
+        return F.col("text").substr(
+            (prev_end + 1).cast("int"), (next_start - prev_end).cast("int"))
+
+    clean = F.aggregate(
+        F.sequence(F.lit(0), n), F.lit(""),
+        lambda acc, i: F.concat(acc, piece(i)))
+    removed = F.aggregate(
+        F.zip_with(starts, ends, lambda s, e: e - s),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return (
+        documents.join(regions, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("regs").isNull(), F.col("text"))
+            .otherwise(clean).alias("clean_text"),
+            F.coalesce(removed, F.lit(0)).cast("bigint").alias("removed_chars"),
+            F.coalesce(n, F.lit(0)).cast("bigint").alias("n_regions"),
+        )
+    )
+
+
 # portable twin: the SAME pipeline over the raw 40-char windows (DuckDB
 # groups the strings themselves; production shuffles xxhash64 keys).
 # %4 sample keeps the oracle cheap at sf0.1 while exercising every
@@ -197,4 +243,69 @@ SELECT d.doc_id,
                  THEN COALESCE(p.dup_chars, 0) * 1000000 // length(d.text)
                  ELSE 0 END AS BIGINT) AS dup_ppm
 FROM docs d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+# strip twin: regions per doc (the spans pipeline), then the kept text
+# as the ordered concatenation of the n+1 gaps around n regions.
+STRIP_DUP_SUBSTR_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+eligible AS (
+  SELECT doc_id, text FROM docs WHERE length(text) >= 40),
+grams AS (
+  SELECT doc_id, CAST(p.pos AS BIGINT) AS pos,
+         substr(text, CAST(p.pos + 1 AS INTEGER), 40) AS gram
+  FROM eligible, LATERAL unnest(range(0, length(text) - 39)) AS p(pos)),
+agg AS (
+  SELECT gram, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first, COUNT(*) AS n
+  FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+dup_pos AS (
+  SELECT DISTINCT g.doc_id, g.pos
+  FROM grams g JOIN agg a USING (gram)
+  WHERE NOT (g.doc_id = a.first.doc_id AND g.pos = a.first.pos)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 40) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup_pos),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM marked),
+regions AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 40 AS e
+  FROM islands GROUP BY doc_id, island),
+reg_lists AS (
+  SELECT doc_id,
+         list_sort(list(struct_pack(s := s, e := e))) AS regs
+  FROM regions GROUP BY doc_id),
+pieces AS (
+  SELECT d.doc_id, i.i,
+         substr(d.text,
+                CAST(CASE WHEN i.i = 0 THEN 0
+                          ELSE r.regs[CAST(i.i AS INTEGER)].e END + 1 AS INTEGER),
+                CAST((CASE WHEN i.i = len(r.regs) THEN length(d.text)
+                           ELSE r.regs[CAST(i.i + 1 AS INTEGER)].s END)
+                     - (CASE WHEN i.i = 0 THEN 0
+                             ELSE r.regs[CAST(i.i AS INTEGER)].e END) AS INTEGER))
+           AS piece
+  FROM docs d JOIN reg_lists r USING (doc_id),
+       LATERAL unnest(range(0, len(r.regs) + 1)) AS i(i)),
+cleaned AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY i) AS clean_text
+  FROM pieces GROUP BY doc_id),
+removed AS (
+  SELECT doc_id,
+         CAST(SUM(e - s) AS BIGINT) AS removed_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_regions
+  FROM regions GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(c.clean_text, d.text) AS clean_text,
+       COALESCE(r.removed_chars, 0) AS removed_chars,
+       COALESCE(r.n_regions, 0) AS n_regions
+FROM docs d
+LEFT JOIN cleaned c USING (doc_id)
+LEFT JOIN removed r USING (doc_id)
 """

@@ -106,3 +106,38 @@ def test_short_docs_produce_no_windows(spark):
     rows = [(1, "tiny"), (2, "tiny")]
     assert duplicate_substring_spans(_docs(spark, rows), k=40,
                                      portable=True).count() == 0
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_strip_produces_reference_clean_text(spark, portable):
+    """strip_duplicate_substrings cuts exactly the reference regions:
+    cleaned text equals the brute-force surgery, canonical copies and
+    clean docs pass through verbatim."""
+    from camelot_spark.tdp.substr_dedup import strip_duplicate_substrings
+
+    lic = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz01234567"
+    rows = [
+        (1, "".join("<a%d>" % i for i in range(6)) + lic),
+        (2, lic + "".join("<b%d>" % i for i in range(10))),
+        (3, "<c0><c1><c2>" + lic + "<d0><d1><d2>"),
+        (4, "".join("<e%d>" % i for i in range(16))),
+    ]
+    regions = {}
+    for doc_id, s, e, _ in _reference_spans(rows, 8):
+        regions.setdefault(doc_id, []).append((s, e))
+    want = {}
+    for doc_id, text in rows:
+        kept, prev = [], 0
+        for s, e in sorted(regions.get(doc_id, [])):
+            kept.append(text[prev:s])
+            prev = e
+        kept.append(text[prev:])
+        want[doc_id] = ("".join(kept),
+                        sum(e - s for s, e in regions.get(doc_id, [])),
+                        len(regions.get(doc_id, [])))
+    out = {r["doc_id"]: (r["clean_text"], r["removed_chars"], r["n_regions"])
+           for r in strip_duplicate_substrings(
+               _docs(spark, rows), k=8, portable=portable).collect()}
+    assert out == want
+    assert out[1][1] == 0 and out[4][1] == 0      # canonical + clean intact
+    assert lic not in out[2][0] and lic not in out[3][0]
