@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: documents table → curated training corpus.
+
+The cluster deployment shape for the TDP (training-data-pipeline) tier —
+the same ``--py-files`` contract as ``extract_job.py`` but driving the
+curation operators instead of table extraction::
+
+    spark-submit --py-files dist/camelot_spark.zip jobs/curate_job.py \
+        --input  /data/documents           # parquet dir or Iceberg table \
+        --output /data/curated             # snapshot-logged parquet dir \
+        --steps quality,dedup_exact,strip_substr,sample \
+        --min-quality 400 --substr-k 40 \
+        --sample-rates en=1000000,fr=500000
+
+Steps compose left-to-right over the documents DataFrame; every run
+commits ONE snapshot to the output's SnapshotLog (resumable, auditable
+chain — the same checkpoint semantics as the extraction job). Step
+catalog:
+
+- ``quality``      drop docs below ``--min-quality`` (integer score
+                   x100 from tdp.text.quality_score);
+- ``dedup_exact``  keep the first copy of each exact-duplicate text;
+- ``dedup_near``   drop non-canonical docs of each MinHash-LSH near-dup
+                   group (tdp.dedup.dedup_groups);
+- ``strip_substr`` cut corpus-wide duplicate substring regions out of
+                   the surviving text (tdp.substr_dedup);
+- ``decontaminate`` drop docs overlapping the benchmark n-gram set;
+- ``sample``       deterministic per-lang keep rates (integer ppm).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_rates(spec: str) -> dict[str, int]:
+    """"en=250000,fr=500000" → {"en": 250000, "fr": 500000}."""
+    out: dict[str, int] = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        key, _, val = part.partition("=")
+        out[key] = int(val)
+    return out
+
+
+def apply_steps(spark, docs, args):
+    """Compose the requested curation steps; returns (df, report)."""
+    from pyspark.sql import functions as F
+
+    report: list[dict] = []
+
+    def note(step, df):
+        n = df.count()
+        report.append({"step": step, "docs": n})
+        return df
+
+    docs = note("input", docs)
+    for step in args.steps.split(","):
+        if step == "quality":
+            from camelot_spark.tdp.text import quality_score
+
+            keep = quality_score(docs).where(
+                F.col("quality_x100") >= args.min_quality).select("doc_id")
+            docs = docs.join(keep, "doc_id", "left_semi")
+        elif step == "dedup_exact":
+            w_first = docs.groupBy(F.xxhash64("text").alias("h")).agg(
+                F.min("doc_id").alias("doc_id"))
+            docs = docs.join(w_first.select("doc_id"), "doc_id", "left_semi")
+        elif step == "dedup_near":
+            from camelot_spark.tdp.dedup import dedup_groups
+
+            groups = dedup_groups(docs, algorithm=args.cc_algorithm)
+            canon = groups.where(F.col("is_canonical") == 1).select("doc_id")
+            # docs never seen in any near-dup group pass through
+            docs = docs.join(groups.select("doc_id"), "doc_id", "left_anti") \
+                .unionByName(docs.join(canon, "doc_id", "left_semi"))
+        elif step == "strip_substr":
+            from camelot_spark.tdp.substr_dedup import strip_duplicate_substrings
+
+            cleaned = strip_duplicate_substrings(docs, k=args.substr_k)
+            docs = (docs.drop("text")
+                    .join(cleaned.select("doc_id",
+                                         F.col("clean_text").alias("text")),
+                          "doc_id"))
+        elif step == "decontaminate":
+            from camelot_spark.tdp.contamination import decontaminate
+
+            clean_ids = decontaminate(docs).where(
+                F.col("contaminated") == 0).select("doc_id")
+            docs = docs.join(clean_ids, "doc_id", "left_semi")
+        elif step == "sample":
+            from camelot_spark.tdp.sampling import stratified_sample
+
+            kept = stratified_sample(docs, rates=parse_rates(args.sample_rates),
+                                     strata_col=args.strata_col)
+            docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        else:
+            raise SystemExit(f"unknown step {step!r}")
+        docs = note(step, docs)
+    return docs, report
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True,
+                    help="snapshot-logged parquet dir (one commit per run)")
+    ap.add_argument("--steps", default="quality,dedup_exact,sample")
+    ap.add_argument("--min-quality", type=int, default=300)
+    ap.add_argument("--substr-k", type=int, default=40)
+    ap.add_argument("--cc-algorithm", choices=("rounds", "star"), default="star",
+                    help="near-dup grouping: fixed-round propagation or "
+                         "O(log n) star contraction")
+    ap.add_argument("--sample-rates", default="", metavar="LANG=PPM,...")
+    ap.add_argument("--strata-col", default="lang")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from camelot_spark.snapshots import SnapshotLog
+    from jobs.extract_job import load_documents
+
+    spark = SparkSession.builder.appName("camelot-spark-curate").config(
+        "spark.sql.adaptive.enabled", "true").getOrCreate()
+    docs = load_documents(spark, args.input)
+    curated, report = apply_steps(spark, docs, args)
+    manifest = SnapshotLog(args.output).append(
+        curated, metrics={"steps": report})
+    print(json.dumps({"status": "ok", "snapshot_id": manifest["snapshot_id"],
+                      "version": manifest["version"], "steps": report}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""End-to-end curation job: composed steps over a crafted corpus,
+one snapshot per run, per-step doc counts in the commit metrics."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _corpus(spark):
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the other animals watch with great interest indeed")
+    rows = []
+    for i in range(20):
+        rows.append((i, good + " doc%d" % i, "en", "src", 100))
+    rows.append((100, rows[0][1], "en", "src", 100))      # exact dup of doc 0
+    rows.append((200, "zz qq xx", "en", "src", 8))        # low quality
+    rows.append((300, good + " unique", "fr", "src", 100))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_curate_job_steps_and_snapshot(spark, tmp_path):
+    from camelot_spark.snapshots import SnapshotLog
+    from jobs.curate_job import apply_steps, parse_rates
+
+    class Args:
+        steps = "quality,dedup_exact,sample"
+        min_quality = 300
+        substr_k = 40
+        cc_algorithm = "star"
+        sample_rates = "en=1000000,fr=0"
+        strata_col = "lang"
+
+    docs = _corpus(spark)
+    curated, report = apply_steps(spark, docs, Args)
+    by_step = {r["step"]: r["docs"] for r in report}
+    assert by_step["input"] == 23
+    assert by_step["quality"] == 22          # low-quality doc dropped
+    assert by_step["dedup_exact"] == 21      # exact dup dropped
+    assert by_step["sample"] == 20           # fr rate 0 -> doc 300 dropped
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert 200 not in ids and 300 not in ids
+    assert 0 in ids and 100 not in ids       # keep-first exact dedup
+
+    out = str(tmp_path / "curated")
+    log = SnapshotLog(out)
+    m = log.append(curated, metrics={"steps": report})
+    assert m["version"] == 1 and log.read(spark).count() == 20
+    assert log.latest()["metrics"]["steps"][0]["step"] == "input"
+
+
+def test_curate_strip_substr_step(spark):
+    from jobs.curate_job import apply_steps
+
+    lic = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz01234567"
+    rows = [(1, "intro one two three four five six seven " + lic, "en", "s", 100),
+            (2, lic + " totally different tail content here now", "en", "s", 100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    class Args:
+        steps = "strip_substr"
+        min_quality = 0
+        substr_k = 20
+        cc_algorithm = "star"
+        sample_rates = ""
+        strata_col = "lang"
+
+    curated, _ = apply_steps(spark, docs, Args)
+    texts = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert lic in texts[1]                    # canonical copy survives
+    assert lic not in texts[2]                # duplicate region cut
+    assert "totally different tail" in texts[2]
