@@ -235,6 +235,43 @@ class SnapshotLog:
         self._publish(manifest["version"], manifest)
         return manifest
 
+    def merge(self, spark, updates, key: str = "doc_id",
+              metrics: dict | None = None) -> dict:
+        """Copy-on-write MERGE (Iceberg ``MERGE INTO`` upsert): rows in
+        ``updates`` replace current rows with the same ``key``; new keys
+        append. One replacing snapshot — the resumable-correction shape
+        (re-extract a batch of poisoned docs and publish atomically,
+        readers never see a mix of old and new rows for one key).
+
+        Same serializable rule as ``compact``: the rewrite read saw the
+        parent snapshot, so the publish targets exactly parent+1 and a
+        concurrent commit makes it fail with ``CommitConflict`` rather
+        than silently dropping that commit's rows. An empty table just
+        appends."""
+        parent = self.latest()
+        if parent is None:
+            return self.append(updates, metrics=metrics)
+        current = spark.read.parquet(*self.data_paths(parent))
+        kept = current.join(updates.select(key).distinct(), key, "left_anti")
+        merged = kept.unionByName(updates)
+        data_dir = self.new_data_dir()
+        merged.write.mode("error").parquet(data_dir)
+        manifest = {
+            "version": parent["version"] + 1,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent["snapshot_id"],
+            "data_dirs": [os.path.relpath(data_dir, self.root)],
+            "operation": "replace",
+            "metrics": metrics or {},
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        latest = self.latest()
+        if latest["snapshot_id"] != parent["snapshot_id"]:
+            raise CommitConflict(
+                "concurrent commit during merge; re-run on the new state")
+        self._publish(manifest["version"], manifest)
+        return manifest
+
     # -- maintenance (Iceberg expire_snapshots / remove_orphan_files) ----
 
     def expire_snapshots(self, keep_last: int) -> list[int]:

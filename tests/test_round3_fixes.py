@@ -536,3 +536,49 @@ def test_snapshot_schema_evolution_reads_added_column_as_null(spark, tmp_path):
     assert set(merged.columns) == {"id", "extra"}
     rows = {r["id"]: r["extra"] for r in merged.collect()}
     assert rows[2] is None and rows[7] == 21 and len(rows) == 10
+
+
+def test_snapshot_merge_upserts_by_key(spark, tmp_path):
+    """Copy-on-write MERGE: updated keys replace, new keys append, one
+    replacing snapshot; time travel still shows the pre-merge rows."""
+    from camelot_spark.snapshots import SnapshotLog
+
+    log = SnapshotLog(str(tmp_path / "tbl"))
+    log.append(spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "doc_id long, text string"))
+    m = log.merge(spark, spark.createDataFrame(
+        [(2, "new2"), (9, "new9")], "doc_id long, text string"))
+    assert m["operation"] == "replace" and m["version"] == 2
+    rows = {r["doc_id"]: r["text"] for r in log.read(spark).collect()}
+    assert rows == {1: "old1", 2: "new2", 3: "old3", 9: "new9"}
+    old = {r["doc_id"]: r["text"] for r in log.read(spark, version=1).collect()}
+    assert old == {1: "old1", 2: "old2", 3: "old3"}
+    # merge into an empty table is a plain append
+    log2 = SnapshotLog(str(tmp_path / "tbl2"))
+    m2 = log2.merge(spark, spark.createDataFrame([(5, "x")],
+                                                 "doc_id long, text string"))
+    assert m2["version"] == 1 and log2.read(spark).count() == 1
+
+
+def test_snapshot_merge_refuses_concurrent_commit(spark, tmp_path):
+    import pytest
+
+    from camelot_spark.snapshots import CommitConflict, SnapshotLog
+
+    root = str(tmp_path / "tbl")
+    log = SnapshotLog(root)
+    log.append(spark.range(5).selectExpr("id AS doc_id", "'a' AS text"))
+    orig_latest = log.latest
+    calls = {"n": 0}
+
+    def racing_latest():
+        if calls["n"] == 1:
+            SnapshotLog(root).append(
+                spark.range(100, 103).selectExpr("id AS doc_id", "'b' AS text"))
+        calls["n"] += 1
+        return orig_latest()
+
+    log.latest = racing_latest
+    with pytest.raises(CommitConflict):
+        log.merge(spark, spark.range(2).selectExpr("id AS doc_id", "'c' AS text"))
+    assert log.read(spark).count() == 8  # nothing lost

@@ -272,3 +272,28 @@ def test_alter_table_add_column_null_fills_old_files(spark):
     # evolution stays append-only: anything but ADD COLUMN refuses
     with pytest.raises(Exception, match="ADD COLUMN|append-only|not supported|Unsupported"):
         spark.sql(f"ALTER TABLE {table} DROP COLUMN name")
+
+
+def test_range_clustered_write_prunes_files(spark):
+    """Data clustering composes with the catalog's min/max file stats:
+    a range-clustered write (repartitionByRange + sortWithinPartitions,
+    the sort-order/Z-order analogue) gives each file a disjoint id
+    range, so a point-range filter plans ~1 file; the same data written
+    round-robin plans every file. One InputPartition per planned file."""
+    _require_catalog(spark)
+    for table, clustered in (("snap.ns.clustered", True),
+                             ("snap.ns.roundrobin", False)):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"CREATE TABLE {table} (id BIGINT, payload STRING)")
+        df = spark.range(4000).selectExpr("id", "repeat('x', 20) AS payload")
+        df = (df.repartitionByRange(8, "id").sortWithinPartitions("id")
+              if clustered else df.repartition(8))
+        df.writeTo(table).append()
+        planned = (spark.table(table)
+                   .where("id >= 100 AND id <= 200")
+                   .rdd.getNumPartitions())
+        if clustered:
+            assert planned <= 2, planned    # file skipping fired
+        else:
+            assert planned == 8, planned    # nothing skippable
+        assert spark.table(table).where("id >= 100 AND id <= 200").count() == 101
