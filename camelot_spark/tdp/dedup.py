@@ -440,20 +440,27 @@ def minhash_neardup_verified(
 
     The verify join ships shingle sets only for CANDIDATE pairs (the
     LSH output), so at 100 TB the expensive exact comparison runs on a
-    vanishing fraction of the n² pair space."""
-    from . import spread
-
-    cand = minhash_lsh_pairs(documents, num_hashes=num_hashes, bands=bands, n=n)
-    d = spread(documents).select(
-        F.col("doc_id").cast("bigint").alias("id"), _shingles(F.col("text"), n).alias("sh")
+    vanishing fraction of the n² pair space. Candidate DOCS are
+    semi-join-filtered before shingling, so the verify stage never
+    re-shingles the corpus (the LSH stage already paid that once) —
+    only the ≪ n docs that appear in some candidate pair; their
+    shingle sets then broadcast to the pair join."""
+    cand = minhash_lsh_pairs(
+        documents, num_hashes=num_hashes, bands=bands, n=n
+    ).select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+    ).localCheckpoint(eager=True)  # small; feeds the id filter AND the join
+    ids = cand.select(F.col("a_id").alias("id")).union(
+        cand.select(F.col("b_id").alias("id"))).distinct()
+    d = (
+        documents.select(F.col("doc_id").cast("bigint").alias("id"), "text")
+        .join(ids, "id", "left_semi")
+        .select("id", _shingles(F.col("text"), n).alias("sh"))
     )
     a = d.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
-    pairs = (
-        cand.select(F.col("a_id").cast("bigint").alias("a_id"),
-                    F.col("b_id").cast("bigint").alias("b_id"))
-        .join(a, "a_id").join(b, "b_id")
-    )
+    pairs = cand.join(F.broadcast(a), "a_id").join(F.broadcast(b), "b_id")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
