@@ -182,3 +182,97 @@ def test_png_roundtrip_property(h, w, channels, filter_type, seed):
         r, g, b = (img[:, :, k].astype(np.int64) for k in range(3))
         want = ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
         assert (got == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    color=st.booleans(),
+    quality=st.integers(min_value=80, max_value=100),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_property(h, w, color, quality, seed):
+    """Baseline JPEG is lossy but bounded: at quality >= 80 every pixel
+    of decode(encode(img)) stays within a small tolerance of the input,
+    for arbitrary shapes (incl. non-multiple-of-8) and random content —
+    the whole Huffman/DCT/quantization loop, both paths."""
+    from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.randint(0, 256, size=shape).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert got.shape == img.shape
+    # quant steps at q>=80 are small; random (worst-case) content stays
+    # within a conservative bound, smooth content much tighter. Color
+    # pays extra for the YCbCr round trip + coarser chroma table.
+    if quality >= 95:
+        tol = 20 if color else 12
+    else:
+        tol = 52 if color else 34
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= tol
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                 min_size=1, max_size=200, unique=True),
+    ppm=st.integers(min_value=0, max_value=1_000_000),
+)
+def test_sampling_acceptance_is_pure_function(ids, ppm):
+    """The stratified-sample acceptance rule is a pure integer function
+    of doc_id: the python transcription here must agree with what the
+    Spark filter computes (same constants), and the acceptance count is
+    monotone in the rate."""
+    KNUTH, M32, PPM = 2654435761, 4294967296, 1_000_000
+    accept = [i for i in ids if (i * KNUTH) % M32 % PPM < ppm]
+    # determinism + monotonicity: a higher rate keeps a superset
+    higher = [i for i in ids if (i * KNUTH) % M32 % PPM < min(PPM, ppm + 50_000)]
+    assert set(accept) <= set(higher)
+    if ppm == 0:
+        assert accept == []
+    if ppm == PPM:
+        assert set(accept) == set(ids)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    k=st.integers(min_value=4, max_value=12),
+    alphabet_size=st.integers(min_value=3, max_value=8),
+)
+def test_substr_reference_merge_invariants(seed, k, alphabet_size):
+    """Invariants of the duplicate-region reference used to pin the
+    Spark operator: regions are disjoint, sorted, at least k wide, and
+    every k-window fully inside a region occurs >= 2 times corpus-wide."""
+    import random
+
+    from tests.test_substr_dedup import _reference_spans
+
+    rng = random.Random(seed)
+    alphabet = "abcdefgh"[:alphabet_size]
+    rows = [(d, "".join(rng.choice(alphabet) for _ in range(rng.randint(5, 80))))
+            for d in range(6)]
+    spans = _reference_spans(rows, k)
+    texts = dict(rows)
+    all_windows = {}
+    for _, text in rows:
+        for p in range(len(text) - k + 1):
+            g = text[p:p + k]
+            all_windows[g] = all_windows.get(g, 0) + 1
+    by_doc = {}
+    for doc_id, s, e, _n in spans:
+        assert e - s >= k
+        by_doc.setdefault(doc_id, []).append((s, e))
+    for doc_id, regions in by_doc.items():
+        regions.sort()
+        for (s1, e1), (s2, e2) in zip(regions, regions[1:]):
+            assert e1 < s2  # disjoint, non-adjacent (else merged)
+        for s, e in regions:
+            # the first and last windows of a merged region are actual
+            # duplicate windows (interior positions may bridge two
+            # overlapping duplicates with a unique window between)
+            text = texts[doc_id]
+            assert all_windows[text[s:s + k]] >= 2
+            assert all_windows[text[e - k:e]] >= 2
