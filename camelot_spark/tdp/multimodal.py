@@ -67,10 +67,12 @@ except ImportError:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8\xff"
+_GIF_MAGIC = b"GIF8"
 
 
 def _looks_like_image(payload: bytes) -> bool:
-    return payload[:8] == _PNG_MAGIC or payload[:3] == _JPEG_MAGIC
+    return (payload[:8] == _PNG_MAGIC or payload[:3] == _JPEG_MAGIC
+            or payload[:4] == _GIF_MAGIC)
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -95,6 +97,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .png_codec import decode_png
 
         return decode_png(payload)
+    if payload[:4] == _GIF_MAGIC:
+        from .gif_codec import decode_gif
+
+        return decode_gif(payload)[0]  # first frame, like PIL's convert
     from .jpeg_codec import decode_jpeg
 
     img = decode_jpeg(payload)
@@ -252,14 +258,24 @@ FRAME_SCHEMA = StructType(
 
 
 def frame_sample(documents: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
-    """Video-style frame sampling: payload = concatenated fixed-size
-    frames; keep every Nth. One input row fans out to many output rows
-    (the real video plan shape — decode stays stubbed)."""
+    """Video-style frame sampling: keep every Nth frame, one input row
+    fanning out to many output rows. A REAL multi-frame container (GIF
+    magic) decodes through ``gif_codec`` and emits its actual frames'
+    raw grayscale bytes; synthetic payloads keep the deterministic
+    fixed-size-chunk route — same schema and plan either way."""
+    from .gif_codec import GIF_MAGIC, decode_gif
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if bytes(payload[:4]) == GIF_MAGIC:
+                    frames = decode_gif(bytes(payload))
+                    for i in range(0, len(frames), every_n):
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["frame"].append(frames[i].tobytes())
+                    continue
                 n_frames = len(payload) // frame_bytes
                 for i in range(0, n_frames, every_n):
                     out["doc_id"].append(doc_id)
