@@ -120,12 +120,15 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
+    from camelot_spark.pipeline import is_table_identifier
     from camelot_spark.snapshots import SnapshotLog
-    from jobs.extract_job import load_documents
 
     spark = SparkSession.builder.appName("camelot-spark-curate").config(
         "spark.sql.adaptive.enabled", "true").getOrCreate()
-    docs = load_documents(spark, args.input)
+    # same table-vs-path rule as extract_job (jobs/ is not packaged in
+    # the --py-files zip, so the loader is inlined here)
+    docs = (spark.read.table(args.input) if is_table_identifier(args.input)
+            else spark.read.parquet(args.input))
     curated, report = apply_steps(spark, docs, args)
     manifest = SnapshotLog(args.output).append(
         curated, metrics={"steps": report})

@@ -72,3 +72,49 @@ def test_curate_strip_substr_step(spark):
     assert lic in texts[1]                    # canonical copy survives
     assert lic not in texts[2]                # duplicate region cut
     assert "totally different tail" in texts[2]
+
+
+def test_spark_submit_curate_end_to_end(spark, tmp_path):
+    """The TDP deployment shape, run for real: `spark-submit --py-files`
+    from a neutral cwd drives the curation job and commits exactly one
+    snapshot with the per-step audit trail."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp, outp = str(tmp_path / "docs"), str(tmp_path / "curated")
+    _corpus(spark).write.parquet(inp)
+
+    subprocess.run([sys.executable, os.path.join(repo, "tools", "package.py")],
+                   check=True, capture_output=True)
+    zip_path = os.path.join(repo, "dist", "camelot_spark.zip")
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__),
+                                    "bin", "spark-submit")
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(repo, "jobs", "curate_job.py"),
+         "--input", inp, "--output", outp,
+         "--steps", "quality,dedup_exact,sample",
+         "--min-quality", "300",
+         "--sample-rates", "en=1000000,fr=0"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    status = json.loads([ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")][-1])
+    assert status["status"] == "ok" and status["version"] == 1
+    assert [s["docs"] for s in status["steps"]] == [23, 22, 21, 20]
+
+    from camelot_spark.snapshots import SnapshotLog
+
+    log = SnapshotLog(outp)
+    assert log.latest()["snapshot_id"] == status["snapshot_id"]
+    assert log.read(spark).count() == 20
