@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
 from camelot_spark.tdp import (cleaning, contamination, dedup, multimodal,
-                               packing, relational, sampling, similarity,
-                               substr_dedup)
+                               packing, ranking, relational, sampling,
+                               similarity, substr_dedup)
 from camelot_spark.tdp import html as tdp_html
 from camelot_spark.tdp import text as tdp_text
 
@@ -270,6 +270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_star": lambda s, d: dedup.dedup_groups(
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
             portable=True, algorithm="star"),
+        # corpus retrieval: capped inverted index + integer-BM25 top-k
+        "inverted_index": lambda s, d: ranking.inverted_index(
+            _load(s, d, "documents")),
+        "bm25_topk": lambda s, d: ranking.bm25_topk(
+            _load(s, d, "documents"), list(ranking._BM25_QUERY_TERMS)),
         # exact duplicate-substring regions (Lee et al.-style fixed-k):
         # verbatim reuse inside otherwise-distinct docs; portable twin
         # groups raw windows so DuckDB reproduces it (prod: xxhash64)
@@ -356,6 +361,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups_portable": dedup.DEDUP_GROUPS_PORTABLE_SQL,
         "dedup_groups_star": dedup.DEDUP_GROUPS_STAR_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
+        "inverted_index": ranking.INVERTED_INDEX_SQL,
+        "bm25_topk": ranking.BM25_TOPK_SQL,
         "dup_substring_spans": substr_dedup.DUP_SUBSTR_SPANS_SQL,
         "dup_substring_stats": substr_dedup.DUP_SUBSTR_STATS_SQL,
         "strip_dup_substrings": substr_dedup.STRIP_DUP_SUBSTR_SQL,

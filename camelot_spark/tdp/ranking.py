@@ -1,0 +1,168 @@
+"""Corpus retrieval operators: inverted index + BM25-shaped ranking.
+
+A curation stack needs lightweight retrieval — "find the documents
+most relevant to these probe terms" powers targeted decontamination,
+eval-set mining, and topic audits. Two operators:
+
+- ``inverted_index``: term → document-frequency + a capped postings
+  list. The explode is scan-local; the groupBy shuffles (term, doc_id)
+  pairs — the same O(corpus tokens) order as any tokenize pass — with
+  map-side partial aggregation. Postings are capped (top-P smallest
+  doc_ids) so a stop-word's row cannot become a multi-GB array: the
+  df count stays exact while the stored list is bounded, exactly how
+  production indexes cap or tier hot postings.
+
+- ``bm25_topk``: rank documents against query terms with a BM25-shaped
+  score computed ENTIRELY in integer micro-units (μ = 1e-6): a linear
+  idf surrogate ``idf_ppm = (N - df) * 1e6 DIV N`` and the standard
+  saturating tf term ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+  folded into one integer division. Transcendental idf (ln) would
+  differ between engines in the last ulp and flip floor() at
+  boundaries — the linear surrogate keeps the oracle exact and the
+  ranking monotone in the same inputs. Aggregation is one partial-agg
+  groupBy on doc_id; the per-term idf table broadcasts.
+
+Scale: the query-terms side is tiny (broadcast); the corpus side
+shuffles only (doc_id, score-component) longs. Top-k is a
+TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MU = 1_000_000
+
+
+def _terms(col):
+    """Lower-cased word tokens (letters only), the shared tokenizer."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z]+"), lambda t: F.length(t) > 0)
+
+
+def inverted_index(documents: DataFrame, max_postings: int = 20) -> DataFrame:
+    """(term, df, postings) — document frequency per term plus the
+    ``max_postings`` smallest doc_ids holding it (bounded row size)."""
+    toks = (
+        documents.select("doc_id", F.explode(F.array_distinct(
+            _terms(F.col("text")))).alias("term"))
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings)
+            .alias("plist"),
+        )
+        # string-encoded postings: oracle compares scalars, and the
+        # string is what a downstream join would broadcast anyway
+        .select("term", "df",
+                F.array_join(F.transform("plist", lambda d: d.cast("string")),
+                             ",").alias("postings"))
+    )
+
+
+def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
+              k1_x1000: int = 1200, b_x1000: int = 750) -> DataFrame:
+    """Top-k (doc_id, score_micro) for the query terms under the
+    integer BM25 variant described in the module docstring. k1 and b
+    arrive in thousandths (defaults 1.2 / 0.75)."""
+    spark = documents.sparkSession
+    qt = spark.createDataFrame([(t,) for t in sorted(set(query_terms))],
+                               "term string")
+    docs = documents.select(
+        "doc_id", _terms(F.col("text")).alias("toks"))
+    # document lengths and the corpus averages (one tiny agg, broadcast
+    # via scalar collection is avoided: cross-join the 1-row aggregate)
+    with_len = docs.select(
+        "doc_id", "toks", F.size("toks").cast("bigint").alias("dl"))
+    totals = with_len.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"))
+    # term frequencies for query terms only: filter before the explode
+    tf = (
+        with_len.select(
+            "doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"),
+             F.first("dl").alias("dl"))
+    )
+    df_tbl = (
+        tf.select("term", "doc_id").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(totals))
+        # idf_ppm = (N - df) * MU DIV N  (linear surrogate, exact ints)
+        # denom_x1000 = tf*1000 + k1 * (1000 - b + b * dl * n_docs DIV total_len) DIV 1000
+        .selectExpr(
+            "doc_id", "term",
+            f"((n_docs - df) * CAST({_MU} AS BIGINT)) DIV n_docs AS idf_ppm",
+            f"tf * (1000 + {int(k1_x1000)}) AS num_x1000",
+            f"tf * 1000 + ({int(k1_x1000)} * (1000 - {int(b_x1000)}"
+            f" + ({int(b_x1000)} * dl * n_docs) DIV total_len)) DIV 1000"
+            " AS den_x1000",
+        )
+        .selectExpr("doc_id",
+                    "(idf_ppm * num_x1000) DIV den_x1000 AS term_score_micro")
+        .groupBy("doc_id")
+        .agg(F.sum("term_score_micro").cast("bigint").alias("score_micro"))
+    )
+    return (
+        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "score_micro")
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> length(x) > 0)) AS t(term))
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(CAST(doc_id AS BIGINT)))[1:20], ',')
+         AS postings
+FROM toks GROUP BY term
+"""
+
+_BM25_QUERY_TERMS = ("data", "join", "vector", "scan")
+
+BM25_TOPK_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+with_len AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM with_len),
+tf AS (
+  SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf, ANY_VALUE(dl) AS dl
+  FROM with_len, LATERAL unnest(toks) AS t(term)
+  WHERE t.term IN ('data', 'join', 'scan', 'vector')
+  GROUP BY doc_id, t.term),
+df_tbl AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ((n_docs - df) * 1000000 // n_docs)
+           * (tf * (1000 + 1200))
+           // (tf * 1000 + (1200 * (1000 - 750
+                + (750 * dl * n_docs) // total_len)) // 1000)
+           AS term_score_micro
+  FROM tf JOIN df_tbl USING (term) CROSS JOIN totals)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(term_score_micro) AS BIGINT) AS score_micro
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT 10
+"""

@@ -114,3 +114,42 @@ def test_span_stats_contract_checks(spark):
     assert out["empty"]["order_contiguous"] == 1 and out["empty"]["n_spans"] == 0
     plan = sinks.span_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bm25_ranking_semantics(spark):
+    """Integer BM25: a doc dense in a rare query term outranks docs
+    with common terms; tf saturates (10x repetitions do not give 10x
+    score); postings index is exact."""
+    from camelot_spark.tdp.ranking import bm25_topk, inverted_index
+
+    rows = [
+        (1, "zebra zebra zebra filler words here"),      # rare term, dense
+        (2, "common common words and more filler text"),  # frequent term
+        (3, "common words here"),
+        (4, "zebra appears once amid many many many many filler words"),
+        (5, "nothing relevant at all"),
+    ] + [(10 + i, "common filler words again %d" % i) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    top = bm25_topk(docs, ["zebra", "common"], k=5).collect()
+    ranked = [r["doc_id"] for r in top]
+    assert ranked[0] == 1                      # rare+dense wins
+    assert 4 in ranked[:3]                     # rare term beats common
+    scores = {r["doc_id"]: r["score_micro"] for r in top}
+    assert scores[1] < 3 * scores[4] * 3       # saturation sanity
+
+    idx = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert idx["zebra"]["df"] == 2
+    assert idx["zebra"]["postings"] == "1,4"
+    assert idx["common"]["df"] == 12
+
+
+def test_inverted_index_caps_hot_postings(spark):
+    from camelot_spark.tdp.ranking import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "hot term everywhere") for i in range(50)],
+        "doc_id long, text string")
+    row = {r["term"]: r for r in inverted_index(docs, max_postings=8).collect()}
+    assert row["hot"]["df"] == 50                       # exact count
+    assert row["hot"]["postings"] == "0,1,2,3,4,5,6,7"  # bounded list
