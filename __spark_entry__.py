@@ -24,9 +24,9 @@ from pyspark.sql import functions as F
 
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
-from camelot_spark.tdp import (cleaning, contamination, dedup, multimodal,
-                               packing, ranking, relational, sampling,
-                               similarity, substr_dedup)
+from camelot_spark.tdp import (bpe, cleaning, contamination, dedup,
+                               multimodal, packing, ranking, relational,
+                               sampling, similarity, substr_dedup)
 from camelot_spark.tdp import html as tdp_html
 from camelot_spark.tdp import text as tdp_text
 
@@ -270,6 +270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_star": lambda s, d: dedup.dedup_groups(
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
             portable=True, algorithm="star"),
+        # iterative tokenizer training: 8 BPE merges learned on a %4
+        # sample — per round one pair-count agg, a 1-row argmax, and a
+        # literal merge replace; the SQL twin replays the whole loop
+        "bpe_train": lambda s, d: bpe.bpe_train(
+            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
         # corpus retrieval: capped inverted index + integer-BM25 top-k
         "inverted_index": lambda s, d: ranking.inverted_index(
             _load(s, d, "documents")),
@@ -361,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups_portable": dedup.DEDUP_GROUPS_PORTABLE_SQL,
         "dedup_groups_star": dedup.DEDUP_GROUPS_STAR_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
+        "bpe_train": bpe.BPE_TRAIN_SQL,
         "inverted_index": ranking.INVERTED_INDEX_SQL,
         "bm25_topk": ranking.BM25_TOPK_SQL,
         "dup_substring_spans": substr_dedup.DUP_SUBSTR_SPANS_SQL,

@@ -1,0 +1,58 @@
+"""BPE merge learning vs a direct Python reference of the same
+contract (word-internal, guard tokens, deterministic tie-break,
+left-to-right literal replacement)."""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from camelot_spark.tdp.bpe import bpe_train
+
+
+def _reference_bpe(texts, n_merges):
+    states = []
+    for t in texts:
+        words = [w for w in re.split("[^a-z]+", t.lower()) if w]
+        states.append(" " + " | ".join(" ".join(w) for w in words) + " ")
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for s in states:
+            toks = [x for x in s.split(" ") if x]
+            for l, r in zip(toks, toks[1:]):
+                if l != "|" and r != "|":
+                    counts[(l, r)] = counts.get((l, r), 0) + 1
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, c))
+        states = [s.replace(f" {l} {r} ", f" {l}{r} ") for s in states]
+    return out
+
+
+def test_bpe_matches_python_reference(spark):
+    texts = [
+        "the theme of the thesis is the theory",
+        "other things gather there then",
+        "the weather rather bothers them",
+        "this is the thin thread of the story",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r["merge_rank"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=10).collect()]
+    want = _reference_bpe(texts, 10)
+    assert got == want
+    # 'th' and then 'the' should be learned early on this corpus
+    merged = ["".join((l, r)) for _, l, r, _ in got]
+    assert "th" in merged[:2] and "the" in merged[:4]
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    docs = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    got = bpe_train(docs, n_merges=5).collect()
+    # one merge (a,b) exhausts every pair (single guard-separated words)
+    assert len(got) == 1
+    assert (got[0]["left"], got[0]["right"], got[0]["pair_count"]) == ("a", "b", 3)
