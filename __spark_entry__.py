@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literal merge replace; the SQL twin replays the whole loop
         "bpe_train": lambda s, d: bpe.bpe_train(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
+        "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(
+            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
         # corpus retrieval: capped inverted index + integer-BM25 top-k
         "inverted_index": lambda s, d: ranking.inverted_index(
             _load(s, d, "documents")),
@@ -367,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups_star": dedup.DEDUP_GROUPS_STAR_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "bpe_train": bpe.BPE_TRAIN_SQL,
+        "bpe_token_counts": bpe.BPE_TOKEN_COUNTS_SQL,
         "inverted_index": ranking.INVERTED_INDEX_SQL,
         "bm25_topk": ranking.BM25_TOPK_SQL,
         "dup_substring_spans": substr_dedup.DUP_SUBSTR_SPANS_SQL,

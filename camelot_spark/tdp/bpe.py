@@ -92,6 +92,35 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
         learned, "merge_rank int, left string, right string, pair_count long")
 
 
+def bpe_token_counts(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Train ``n_merges`` merges on the given corpus, then ENCODE that
+    corpus with them: per document, the number of BPE tokens after all
+    merges apply (guards excluded) — the sequence-length statistic that
+    drives packing/quota decisions once a tokenizer exists. The final
+    training state IS the encoded corpus, so encoding costs nothing
+    beyond the training loop."""
+    spark = documents.sparkSession
+    state = _initial_state(documents).localCheckpoint(eager=False)
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(state)
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r = best[0]["l"], best[0]["r"]
+        state = state.select(
+            "doc_id",
+            F.replace(F.col("s"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")).alias("s"),
+        ).localCheckpoint(eager=False)
+    toks = F.filter(F.split(F.col("s"), " "),
+                    lambda t: (F.length(t) > 0) & (t != "|"))
+    return state.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+
+
 def bpe_sql(n_merges: int = 8, sample_clause: str = "doc_id % 4 = 0") -> str:
     """Generate the DuckDB twin: the same loop as chained CTE rounds."""
     head = f"""
@@ -130,3 +159,14 @@ c{k} AS MATERIALIZED (
 
 
 BPE_TRAIN_SQL = bpe_sql(8)
+
+# encode twin: the training chain's final state c8 IS the encoded
+# corpus; count its non-guard tokens per document
+_BPE_HEAD_AND_ROUNDS = BPE_TRAIN_SQL[:BPE_TRAIN_SQL.rindex("\nSELECT")]
+BPE_TOKEN_COUNTS_SQL = _BPE_HEAD_AND_ROUNDS + """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(s, ' '),
+                            x -> length(x) > 0 AND x != '|')) AS BIGINT)
+         AS n_tokens
+FROM c8
+"""
