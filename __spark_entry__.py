@@ -274,9 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample — per round one pair-count agg, a 1-row argmax, and a
         # literal merge replace; the SQL twin replays the whole loop
         "bpe_train": lambda s, d: bpe.bpe_train(
-            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
+            _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
         "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(
-            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
+            _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
         # corpus retrieval: capped inverted index + integer-BM25 top-k
         "inverted_index": lambda s, d: ranking.inverted_index(
             _load(s, d, "documents")),

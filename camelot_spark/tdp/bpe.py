@@ -22,7 +22,7 @@ groupBy on (left, right) string pairs; the argmax ships ONE row to the
 driver (control flow, not data); the merge application is a codegen
 ``replace`` over the corpus state, checkpointed per round so the plan
 stays linear. Training corpora in practice are samples — the operator
-takes the usual ``doc_id % 4`` sample in the driver query, and a real
+takes a ``doc_id % 8`` sample in the driver query, and a real
 deployment trains on a stratified sample (``tdp.sampling``), never the
 full 100 TB.
 
@@ -121,7 +121,7 @@ def bpe_token_counts(documents: DataFrame, n_merges: int = 8) -> DataFrame:
         "doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
 
 
-def bpe_sql(n_merges: int = 8, sample_clause: str = "doc_id % 4 = 0") -> str:
+def bpe_sql(n_merges: int = 8, sample_clause: str = "doc_id % 8 = 0") -> str:
     """Generate the DuckDB twin: the same loop as chained CTE rounds."""
     head = f"""
 WITH c0 AS MATERIALIZED (
