@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": lambda s, d: relational.asof_join(_load(s, d, "events")),
         "range_join": lambda s, d: relational.range_join_agg(
             _load(s, d, "events"), _load(s, d, "part")),
+        "histogram_quantiles": lambda s, d: relational.histogram_quantiles(
+            _load(s, d, "documents")),
         "time_rollup": lambda s, d: relational.time_rollup(_load(s, d, "events")),
         # --- text analysis ---
         "langid_vote": lambda s, d: tdp_text.langid(_load(s, d, "documents")),
@@ -339,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "range_predicate": relational.RANGE_PREDICATE_SQL,
         "asof_join": relational.ASOF_JOIN_SQL,
         "range_join": relational.RANGE_JOIN_SQL,
+        "histogram_quantiles": relational.HISTOGRAM_QUANTILES_SQL,
         "time_rollup": relational.TIME_ROLLUP_SQL,
         "langid_vote": tdp_text.LANGID_SQL,
         "quality_score": tdp_text.QUALITY_SQL,

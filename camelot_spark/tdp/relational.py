@@ -402,3 +402,89 @@ SELECT 'hour', user_id, strftime(hour_ts, '%Y-%m-%d %H:%M:%S'), n_events, sum_va
 UNION ALL
 SELECT 'day', user_id, strftime(day_ts, '%Y-%m-%d %H:%M:%S'), n_events, sum_value_x100 FROM d
 """
+
+
+def histogram_quantiles(documents, qs_ppm=(500_000, 900_000, 990_000)):
+    """Mergeable histogram-sketch quantiles of ``n_chars`` per source —
+    the scale-correct quantile design: a true per-group quantile needs
+    a full sort per group (the wrong 100-TB shape), and classic sketches
+    (t-digest, GK) are order-dependent so no cross-engine oracle can
+    pin them. A FIXED-BOUNDARY histogram sketch gives up a little
+    resolution for exactly the two properties that matter here:
+    - **mergeable with partial aggregation**: bucket counts combine
+      map-side; the shuffle carries one row per (source, bucket);
+    - **deterministic**: bucket = floor(log2(v+1)) via bin()-length,
+      interpolation in integer thousandths — the DuckDB twin matches
+      bit-for-bit.
+
+    Estimate per requested quantile q (ppm): find the first bucket
+    whose cumulative count reaches ceil(q·n/1e6), then linearly
+    interpolate inside the bucket's value range [2^b - 1, 2^(b+1) - 1)
+    by the position within the bucket (integer x1000).
+
+    Output: (source, q_ppm, est_x1000)."""
+    from pyspark.sql import Window as W
+
+    bucket = (F.length(F.bin(F.col("n_chars") + F.lit(1))) - 1).cast("bigint")
+    hist = (
+        documents.groupBy("source", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = W.partitionBy("source").orderBy("b")
+    cum = hist.select(
+        "source", "b", "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(W.partitionBy("source")).alias("n"),
+    )
+    qdf = documents.sparkSession.createDataFrame(
+        [(int(q),) for q in sorted(qs_ppm)], "q_ppm long")
+    # target rank (1-based, ceil): the first bucket with cum >= target
+    ranked = (
+        cum.crossJoin(F.broadcast(qdf))
+        .selectExpr(
+            "source", "b", "c", "cum", "n", "q_ppm",
+            "(q_ppm * n + 999999) DIV 1000000 AS target",
+        )
+        .where(F.col("cum") >= F.col("target"))
+        .groupBy("source", "q_ppm")
+        .agg(F.min_by(F.struct("b", "c", "cum"), F.col("b")).alias("hit"),
+             F.first("n").alias("n"))
+        .selectExpr("source", "q_ppm", "hit.b AS b", "hit.c AS c",
+                    "hit.cum AS cum", "n")
+    )
+    # bucket b holds values in [2^b - 1, 2^(b+1) - 1); interpolate by
+    # the target's position within the bucket, all integer x1000
+    return ranked.selectExpr(
+        "source", "q_ppm",
+        "( (CAST(POW(2, b) AS BIGINT) - 1) * 1000"
+        "  + ((CAST(POW(2, b) AS BIGINT)) * 1000"
+        "     * ((q_ppm * n + 999999) DIV 1000000 - (cum - c)) ) DIV c"
+        ") AS est_x1000",
+    ).orderBy("source", "q_ppm")
+
+
+HISTOGRAM_QUANTILES_SQL = """
+WITH hist AS (
+  SELECT source,
+         CAST(LENGTH(BIN(n_chars + 1)) - 1 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT source, b, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM hist),
+qs(q_ppm) AS (VALUES (500000), (900000), (990000)),
+hits AS (
+  SELECT source, q_ppm, b, c, cum, n,
+         row_number() OVER (PARTITION BY source, q_ppm ORDER BY b) AS rn
+  FROM cum CROSS JOIN qs
+  WHERE cum >= (q_ppm * n + 999999) // 1000000)
+SELECT source, CAST(q_ppm AS BIGINT) AS q_ppm,
+       CAST(((CAST(POW(2, b) AS BIGINT) - 1) * 1000
+             + ((CAST(POW(2, b) AS BIGINT)) * 1000
+                * ((q_ppm * n + 999999) // 1000000 - (cum - c))) // c)
+         AS BIGINT) AS est_x1000
+FROM hits WHERE rn = 1
+ORDER BY source, q_ppm
+"""

