@@ -218,20 +218,29 @@ class SnapshotLog:
         df = spark.read.parquet(*self.data_paths(parent))
         data_dir = self.new_data_dir()
         df.repartition(target_partitions).write.mode("error").parquet(data_dir)
+        return self._replace_commit(parent, data_dir, metrics, "compaction")
+
+    def _replace_commit(self, parent: dict, data_dir: str,
+                        metrics: dict | None, what: str) -> dict:
+        """Shared serializable-replace tail for compact/merge: publish a
+        snapshot whose data is ONLY ``data_dir``, at exactly
+        parent+1 — a concurrent commit makes the publish fail (version
+        taken / parent moved) instead of its rows being dropped. Legacy
+        files are deliberately not carried: the rewrite read folded
+        them into the new files."""
         manifest = {
             "version": parent["version"] + 1,
             "snapshot_id": uuid.uuid4().hex,
             "parent_id": parent["snapshot_id"],
             "data_dirs": [os.path.relpath(data_dir, self.root)],
             "operation": "replace",
-            # legacy files were folded into the rewrite read: dropped
             "metrics": metrics or {},
             "committed_at_ms": int(time.time() * 1000),
         }
         latest = self.latest()
         if latest["snapshot_id"] != parent["snapshot_id"]:
             raise CommitConflict(
-                "concurrent commit during compaction; re-run on the new state")
+                f"concurrent commit during {what}; re-run on the new state")
         self._publish(manifest["version"], manifest)
         return manifest
 
@@ -256,21 +265,7 @@ class SnapshotLog:
         merged = kept.unionByName(updates)
         data_dir = self.new_data_dir()
         merged.write.mode("error").parquet(data_dir)
-        manifest = {
-            "version": parent["version"] + 1,
-            "snapshot_id": uuid.uuid4().hex,
-            "parent_id": parent["snapshot_id"],
-            "data_dirs": [os.path.relpath(data_dir, self.root)],
-            "operation": "replace",
-            "metrics": metrics or {},
-            "committed_at_ms": int(time.time() * 1000),
-        }
-        latest = self.latest()
-        if latest["snapshot_id"] != parent["snapshot_id"]:
-            raise CommitConflict(
-                "concurrent commit during merge; re-run on the new state")
-        self._publish(manifest["version"], manifest)
-        return manifest
+        return self._replace_commit(parent, data_dir, metrics, "merge")
 
     # -- maintenance (Iceberg expire_snapshots / remove_orphan_files) ----
 

@@ -158,11 +158,21 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         return p + 1
 
     frames: list[np.ndarray] = []
+    # animation compositing state: frames paint onto a persistent
+    # canvas (GIF delta frames cover only their changed sub-rect);
+    # disposal + transparency come from the preceding GCE
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    disposal = 0
+    transparent_idx = -1
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: label + sub-blocks
+            if payload[pos + 1] == 0xF9:  # graphic control: packed,
+                packed = payload[pos + 3]  # delay(2), transparent idx
+                disposal = (packed >> 2) & 0x07
+                transparent_idx = payload[pos + 6] if packed & 0x01 else -1
             pos = skip_subblocks(pos + 2)
             continue
         if b0 != 0x2C:
@@ -191,10 +201,21 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             raise ValueError("truncated GIF frame")
         rgb = table[np.clip(idx, 0, len(table) - 1)].astype(np.int64)
         gray = ((299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2] + 500)
-                // 1000).astype(np.uint8)
-        frame = np.zeros((h, w), dtype=np.uint8)
-        frame[fy:fy + fh, fx:fx + fw] = gray.reshape(fh, fw)
-        frames.append(frame)
+                // 1000).astype(np.uint8).reshape(fh, fw)
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        if transparent_idx >= 0:
+            opaque = idx.reshape(fh, fw) != transparent_idx
+            region[opaque] = gray[opaque]  # transparent pixels show through
+        else:
+            region[:, :] = gray
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background for the next frame
+            canvas[fy:fy + fh, fx:fx + fw] = 0
+        # disposal 0/1: do not dispose — canvas persists (3, restore-to-
+        # previous, is rare; treating it as keep matches most decoders'
+        # fallback)
+        disposal = 0
+        transparent_idx = -1
     if not frames:
         raise ValueError("GIF with no image data")
     return frames

@@ -113,6 +113,12 @@ class _BitWriter:
         if self.n:
             self.put(0x7F, 8 - self.n)  # pad with 1s per spec (use 0111..)
 
+    def restart(self, idx: int):
+        """Byte-align and emit RSTn (no stuffing after the marker)."""
+        self.flush()
+        self.buf.append(0xFF)
+        self.buf.append(0xD0 + (idx % 8))
+
 
 def _category(v: int) -> int:
     return int(abs(v)).bit_length()
@@ -158,9 +164,13 @@ def _dht_payload(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc_th] + bits + vals)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
     """Baseline JPEG bytes from a (h, w) grayscale or (h, w, 3) RGB
-    uint8 array (4:4:4, no subsampling)."""
+    uint8 array (4:4:4, no subsampling). ``restart_interval`` > 0 emits
+    a DRI segment and an RSTn marker every that many MCUs (DC
+    predictors reset, stream byte-aligned) — exercises the decoder's
+    resync path."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -188,6 +198,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     out += _seg(0xC0, sof)  # SOF0 baseline
     out += _seg(0xC4, _dht_payload(0x00, _DC_BITS, _DC_VALS))
     out += _seg(0xC4, _dht_payload(0x10, _AC_BITS, _AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) \
         + bytes([0, 63, 0])
     out += _seg(0xDA, sos)
@@ -202,8 +214,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         padded.append(p - 128.0)
     writer = _BitWriter()
     prev_dc = [0] * len(comps)
+    mcu = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.restart(rst)
+                rst += 1
+                prev_dc = [0] * len(comps)
+            mcu += 1
             for ci, p in enumerate(padded):
                 block = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
                 coef = _C @ block @ _C.T
@@ -235,11 +254,12 @@ class _BitReader:
                 nxt = d[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # restart marker: skip, reader
-                    self.pos += 2          # resync handled by caller
-                    continue
                 else:
-                    # EOI or next segment: feed padding bits
+                    # RSTn, EOI, or next segment: do NOT consume — feed
+                    # padding bits only. Consuming an RSTn here (during
+                    # bit lookahead at the end of a restart interval)
+                    # would make align_restart skip to the NEXT marker
+                    # and silently drop a whole interval of MCUs.
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
                     continue

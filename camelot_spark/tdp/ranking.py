@@ -44,16 +44,27 @@ def _terms(col):
 def inverted_index(documents: DataFrame, max_postings: int = 20) -> DataFrame:
     """(term, df, postings) — document frequency per term plus the
     ``max_postings`` smallest doc_ids holding it (bounded row size)."""
+    from pyspark.sql import Window as W
+
     toks = (
         documents.select("doc_id", F.explode(F.array_distinct(
             _terms(F.col("text")))).alias("term"))
     )
+    # cap BEFORE any list materializes: rank within the term partition
+    # and keep the max_postings smallest doc_ids, with the exact df
+    # taken from the same window — a stop-word's aggregation buffer
+    # holds at most max_postings ids, never the whole df-sized list
+    w = W.partitionBy("term").orderBy("doc_id")
+    ranked = toks.select(
+        "term", "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("term")).alias("df"),
+    ).where(F.col("rn") <= max_postings)
     return (
-        toks.groupBy("term")
+        ranked.groupBy("term")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings)
-            .alias("plist"),
+            F.first("df").cast("bigint").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("plist"),
         )
         # string-encoded postings: oracle compares scalars, and the
         # string is what a downstream join would broadcast anyway
@@ -68,9 +79,14 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
     """Top-k (doc_id, score_micro) for the query terms under the
     integer BM25 variant described in the module docstring. k1 and b
     arrive in thousandths (defaults 1.2 / 0.75)."""
+    import re
+
     spark = documents.sparkSession
-    qt = spark.createDataFrame([(t,) for t in sorted(set(query_terms))],
-                               "term string")
+    # normalize query terms through the SAME tokenizer as documents —
+    # a caller passing "Data" or "JOIN" must match, not silently miss
+    norm = {t for q in query_terms
+            for t in re.split("[^a-z]+", q.lower()) if t}
+    qt = spark.createDataFrame([(t,) for t in sorted(norm)], "term string")
     docs = documents.select(
         "doc_id", _terms(F.col("text")).alias("toks"))
     # document lengths and the corpus averages (one tiny agg, broadcast

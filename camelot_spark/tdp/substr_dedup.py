@@ -63,12 +63,13 @@ def duplicate_substring_spans(documents: DataFrame, k: int = 40,
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("n"),
     ).where(F.col("n") > 1)
+    # no distinct needed: occ has one row per (doc_id, pos) and agg has
+    # exactly one row per gram key, so the join cannot duplicate pairs
     dup_pos = (
         occ.join(agg, "g")
         .where(~((F.col("doc_id") == F.col("first.doc_id"))
                  & (F.col("pos") == F.col("first.pos"))))
         .select("doc_id", "pos")
-        .distinct()
     )
     # island merge: a window starting <= running-max end extends the
     # current region (identical pattern to interval_islands)
@@ -181,7 +182,7 @@ agg AS (
          COUNT(*) AS n
   FROM grams GROUP BY gram HAVING COUNT(*) > 1),
 dup_pos AS (
-  SELECT DISTINCT g.doc_id, g.pos
+  SELECT g.doc_id, g.pos
   FROM grams g JOIN agg a USING (gram)
   WHERE NOT (g.doc_id = a.first.doc_id AND g.pos = a.first.pos)),
 marked AS (
@@ -215,7 +216,7 @@ agg AS (
   SELECT gram, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first, COUNT(*) AS n
   FROM grams GROUP BY gram HAVING COUNT(*) > 1),
 dup_pos AS (
-  SELECT DISTINCT g.doc_id, g.pos
+  SELECT g.doc_id, g.pos
   FROM grams g JOIN agg a USING (gram)
   WHERE NOT (g.doc_id = a.first.doc_id AND g.pos = a.first.pos)),
 marked AS (
@@ -260,7 +261,7 @@ agg AS (
   SELECT gram, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first, COUNT(*) AS n
   FROM grams GROUP BY gram HAVING COUNT(*) > 1),
 dup_pos AS (
-  SELECT DISTINCT g.doc_id, g.pos
+  SELECT g.doc_id, g.pos
   FROM grams g JOIN agg a USING (gram)
   WHERE NOT (g.doc_id = a.first.doc_id AND g.pos = a.first.pos)),
 marked AS (

@@ -397,3 +397,94 @@ def test_frame_sample_decodes_real_gif(spark):
     # decode_image routes GIF too: first frame
     first = mm.decode_image(bytes(bytearray(encode_gif(frames))))
     assert (first == frames[0]).all()
+
+
+def test_gif_delta_frames_composite_onto_canvas():
+    """Real-world animated GIFs send delta frames (a changed sub-rect
+    with 'do not dispose'): frame 2 must composite onto frame 1's
+    canvas, not onto black; transparent pixels show through."""
+    import struct
+
+    from camelot_spark.tdp.gif_codec import _LZWWriter, decode_gif, encode_gif
+
+    base = np.arange(8 * 10, dtype=np.uint8).reshape(8, 10)
+    shell = bytearray(encode_gif([base]))
+    assert shell[-1] == 0x3B
+    body = bytearray(shell[:-1])  # strip trailer, append a delta frame
+
+    # delta: 3x4 patch at (fx=2, fy=1); value 200, one transparent px
+    patch = np.full((3, 4), 200, dtype=np.uint8)
+    tr = 7  # transparent index
+    patch_idx = patch.copy()
+    patch_idx[1, 1] = tr
+    # GCE: disposal=1 (do not dispose), transparency flag set
+    body += b"\x21\xf9\x04" + bytes([0x04 | 0x01]) + b"\x00\x00" + bytes([tr]) + b"\x00"
+    body += b"\x2c" + struct.pack("<HHHH", 2, 1, 4, 3) + b"\x00"
+    body.append(8)
+    lzw = _LZWWriter(8)
+    lzw.put(lzw.clear)
+    for px in patch_idx.reshape(-1):
+        lzw.put(int(px))
+    lzw.put(lzw.eoi)
+    body += lzw.finish()
+    body += b"\x3b"
+
+    frames = decode_gif(bytes(body))
+    assert len(frames) == 2
+    assert (frames[0] == base).all()
+    want = base.copy()
+    want[1:4, 2:6] = 200
+    want[2, 3] = base[2, 3]  # transparent pixel shows frame 1 through
+    assert (frames[1] == want).all()
+
+
+def test_gif_disposal_background_clears_rect():
+    """Disposal 2: after the frame is emitted, its rect restores to
+    background before the next frame composites."""
+    import struct
+
+    from camelot_spark.tdp.gif_codec import _LZWWriter, decode_gif, encode_gif
+
+    base = np.full((6, 6), 50, dtype=np.uint8)
+    shell = bytearray(encode_gif([base]))
+    body = bytearray(shell[:-1])
+
+    def add_frame(fx, fy, fw, fh, val, disposal):
+        nonlocal body
+        body += b"\x21\xf9\x04" + bytes([disposal << 2]) + b"\x00\x00\x00\x00"
+        body += b"\x2c" + struct.pack("<HHHH", fx, fy, fw, fh) + b"\x00"
+        body.append(8)
+        lzw = _LZWWriter(8)
+        lzw.put(lzw.clear)
+        for _ in range(fw * fh):
+            lzw.put(val)
+        lzw.put(lzw.eoi)
+        body += lzw.finish()
+
+    add_frame(1, 1, 2, 2, 200, disposal=2)  # restore-to-background after
+    add_frame(4, 4, 1, 1, 230, disposal=0)
+    body += b"\x3b"
+    frames = decode_gif(bytes(body))
+    assert len(frames) == 3
+    assert frames[1][1, 1] == 200 and frames[1][0, 0] == 50
+    # frame 2's rect was cleared to background (0) before frame 3
+    assert frames[2][1, 1] == 0 and frames[2][4, 4] == 230
+
+
+@pytest.mark.parametrize("interval", [1, 3])
+def test_jpeg_restart_marker_resync(interval):
+    """DRI + RSTn streams: the decoder must not consume a restart
+    marker during bit lookahead (that would skip a whole interval);
+    round trips stay within tolerance with per-interval DC resets."""
+    from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:33, 0:47]
+    img = (128 + 60 * np.sin(xx / 9) + 50 * np.cos(yy / 7)) \
+        .clip(0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=92, restart_interval=interval))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    rgb = np.stack([(128 + 100 * np.sin(xx / 8 + c)).clip(0, 255)
+                    for c in range(3)], axis=-1).astype(np.uint8)
+    dec3 = decode_jpeg(encode_jpeg(rgb, quality=92, restart_interval=interval))
+    assert np.abs(dec3.astype(int) - rgb.astype(int)).max() <= 6
