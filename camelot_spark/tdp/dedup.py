@@ -472,7 +472,7 @@ def minhash_neardup_verified(
     )
 
 
-def connected_components(pairs, rounds: int = 8):
+def connected_components(pairs, rounds: int = 8, check_fixpoint: bool = True):
     """Connected components over an undirected pair list — the step
     that turns near-dup PAIRS into dedup GROUPS (one canonical doc per
     component). Input: (a_id, b_id) rows; output: (doc_id, component)
@@ -506,23 +506,35 @@ def connected_components(pairs, rounds: int = 8):
         edges.select(F.col("src").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))
     )
-    for _ in range(rounds):
+    for rnd in range(rounds):
         neigh = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = labels.join(neigh, labels.id == F.col("nid"), "left").select(
-            "id", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label")
+        stepped = labels.join(neigh, labels.id == F.col("nid"), "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            F.col("label").alias("prev"),
         )
         # each round references `labels` twice; without truncation the
         # logical plan doubles per iteration (2^rounds operators — OOMs
         # the driver around 12 rounds). Iterative Spark algorithms
         # checkpoint per iteration for exactly this reason (GraphX/
-        # GraphFrames do the same). Lazy (eager=False) still truncates
-        # the plan but lets the final action drive all rounds in one
-        # job chain instead of paying 'rounds' eager job submissions.
-        labels = labels.localCheckpoint(eager=False)
+        # GraphFrames do the same).
+        if check_fixpoint:
+            # eager: the materialized round feeds an exact fixpoint
+            # check; min-label propagation is monotone, so once no
+            # label changed every remaining round is a no-op and the
+            # early exit returns EXACTLY the fixed-`rounds` labels
+            stepped = stepped.localCheckpoint(eager=True)
+            changed = stepped.where(F.col("label") != F.col("prev")).count()
+            labels = stepped.drop("prev")
+            if changed == 0:
+                break
+        else:
+            # lazy: one job chain drives all rounds at the final action
+            labels = stepped.drop("prev").localCheckpoint(eager=False)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component")
     )
