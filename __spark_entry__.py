@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(s, d, "events"), _load(s, d, "part")),
         "histogram_quantiles": lambda s, d: relational.histogram_quantiles(
             _load(s, d, "documents")),
+        # semi-structured: JSON props field extracted JVM-side
+        "event_props_stats": lambda s, d: relational.event_props_stats(
+            _load(s, d, "events")),
         "time_rollup": lambda s, d: relational.time_rollup(_load(s, d, "events")),
         # --- text analysis ---
         "langid_vote": lambda s, d: tdp_text.langid(_load(s, d, "documents")),
@@ -342,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": relational.ASOF_JOIN_SQL,
         "range_join": relational.RANGE_JOIN_SQL,
         "histogram_quantiles": relational.HISTOGRAM_QUANTILES_SQL,
+        "event_props_stats": relational.EVENT_PROPS_SQL,
         "time_rollup": relational.TIME_ROLLUP_SQL,
         "langid_vote": tdp_text.LANGID_SQL,
         "quality_score": tdp_text.QUALITY_SQL,

@@ -488,3 +488,36 @@ SELECT source, CAST(q_ppm AS BIGINT) AS q_ppm,
 FROM hits WHERE rn = 1
 ORDER BY source, q_ppm
 """
+
+
+def event_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured column handling: the ``props`` column carries
+    JSON payloads; extract the ``k`` field JVM-side (``get_json_object``
+    stays inside codegen — no Python, no UDF) and aggregate per event
+    type. The scan prunes to (event_type, props); at 100 TB the JSON
+    parse is scan-local and the shuffle carries one row per type.
+    Production schema-on-read would use ``from_json`` with a schema;
+    ``get_json_object`` is the schemaless probe variant."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("k_missing"),
+        )
+    )
+
+
+EVENT_PROPS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(SUM(CASE WHEN props ->> 'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS k_missing
+FROM events GROUP BY event_type
+"""

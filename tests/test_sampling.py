@@ -177,3 +177,20 @@ def test_histogram_quantiles_accuracy_and_merge_shape(spark):
         assert exact / 2.2 <= est <= exact * 2.2, (q, est, exact)
     # monotone in q
     assert out[500_000] <= out[900_000] <= out[990_000]
+
+
+def test_event_props_json_extraction(spark):
+    """JSON props stay JVM-side (get_json_object in codegen): values
+    aggregate correctly and malformed/missing keys count as missing."""
+    from camelot_spark.tdp.relational import event_props_stats
+
+    rows = [(1, "click", '{"k": 10}'), (2, "click", '{"k": 5}'),
+            (3, "click", '{"other": 1}'), (4, "view", "not json"),
+            (5, "view", '{"k": 7}')]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    out = {r["event_type"]: r for r in event_props_stats(df).collect()}
+    assert (out["click"]["n_events"], out["click"]["k_sum"],
+            out["click"]["k_max"], out["click"]["k_missing"]) == (3, 15, 10, 1)
+    assert (out["view"]["k_sum"], out["view"]["k_missing"]) == (7, 1)
+    plan = event_props_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "pythonUDF" not in plan  # stays in codegen
