@@ -114,6 +114,11 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: split the K-wide signature into bands, join
     docs sharing any (band_id, band_signature) bucket. ``portable``
     picks the hash family (see minhash_signatures)."""
+    if num_hashes % bands != 0:
+        # silently truncating the signature would pay for num_hashes
+        # folds while delivering the recall of bands*(num_hashes//bands)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, n, portable=portable)
     banded = sigs.select(

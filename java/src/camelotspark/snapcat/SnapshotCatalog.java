@@ -336,18 +336,23 @@ public class SnapshotCatalog implements TableCatalog {
     @Override
     public void commit(WriterCommitMessage[] messages) {
       long rows = 0;
-      int files = 0;
+      List<String> committed = new ArrayList<>();
       for (WriterCommitMessage m : messages) {
         if (m instanceof FileCommit) {
           rows += ((FileCommit) m).rowCount;
-          files += 1;
+          if (((FileCommit) m).rowCount > 0) {
+            // zero-row partitions never open their file (lazy stream)
+            committed.add(dataDirRel + "/" + new File(((FileCommit) m).path).getName());
+          }
         }
       }
       Map<String, Object> metrics = new HashMap<>();
       metrics.put("rows", rows);
-      metrics.put("files", (long) files);
+      metrics.put("files", (long) committed.size());
       writeSchemaSidecar(tableDir.resolve(dataDirRel), schema);
-      ManifestLog.commit(tableDir, dataDirRel, metrics);
+      // record the committed FILES, not just the dir: a crashed task
+      // attempt's orphan .bin in the same dir must never be scanned
+      ManifestLog.commit(tableDir, dataDirRel, metrics, null, committed);
     }
 
     @Override
@@ -403,9 +408,14 @@ public class SnapshotCatalog implements TableCatalog {
         return; // replayed epoch after restart: already durable
       }
       long rows = 0;
+      List<String> committed = new ArrayList<>();
+      String epochRel = epochDirRel(epochId);
       for (WriterCommitMessage m : messages) {
         if (m instanceof FileCommit) {
           rows += ((FileCommit) m).rowCount;
+          if (((FileCommit) m).rowCount > 0) {
+            committed.add(epochRel + "/" + new File(((FileCommit) m).path).getName());
+          }
         }
       }
       Map<String, Object> metrics = new HashMap<>();
@@ -413,8 +423,8 @@ public class SnapshotCatalog implements TableCatalog {
       Map<String, String> extras = new HashMap<>();
       extras.put("streaming_query", queryId);
       extras.put("streaming_epoch", Long.toString(epochId));
-      writeSchemaSidecar(tableDir.resolve(epochDirRel(epochId)), schema);
-      ManifestLog.commit(tableDir, epochDirRel(epochId), metrics, extras);
+      writeSchemaSidecar(tableDir.resolve(epochRel), schema);
+      ManifestLog.commit(tableDir, epochRel, metrics, extras, committed);
     }
 
     @Override
@@ -516,7 +526,12 @@ public class SnapshotCatalog implements TableCatalog {
         } else if (tn.equals("integer")) {
           v = (Comparable<Object>) (Object) Long.valueOf(row.getInt(ord));
         } else {
-          v = (Comparable<Object>) (Object) row.getUTF8String(ord).toString();
+          // UTF8String compares in UTF-8 BYTE order — the order Spark
+          // evaluates string predicates in. Java String.compareTo
+          // (UTF-16 order) diverges beyond the BMP, which would make
+          // min/max wrong and prune files that contain matching rows.
+          // clone(): the row's backing buffer is reused per record.
+          v = (Comparable<Object>) (Object) row.getUTF8String(ord).clone();
         }
         if (mins[ord] == null || v.compareTo(mins[ord]) < 0) {
           mins[ord] = v;
@@ -686,7 +701,11 @@ public class SnapshotCatalog implements TableCatalog {
           return Long.compare(Long.parseLong(bound), ((Number) value).longValue());
         }
         if (kind.equals("s") && value instanceof String) {
-          int c = bound.compareTo((String) value);
+          // compare in UTF-8 byte order, matching the writer's stats
+          // and Spark's string predicate semantics (not UTF-16 order)
+          int c = org.apache.spark.unsafe.types.UTF8String.fromString(bound)
+              .compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString((String) value));
           return Integer.compare(c, 0);
         }
       } catch (NumberFormatException ignore) {
@@ -790,12 +809,29 @@ public class SnapshotCatalog implements TableCatalog {
       // invisible. Pushed filters prune whole files via the per-file
       // min/max stats sidecars (Iceberg-style data-file skipping);
       // files without stats are never pruned.
-      List<String> dataDirs = ManifestLog.latestDataDirs(tableDir);
+      int latestV = ManifestLog.latestVersion(tableDir);
+      String manifest = latestV == 0 ? "" : ManifestLog.readManifest(tableDir, latestV);
+      List<String> dataDirs = ManifestLog.dataDirs(manifest);
+      List<String> committedFiles = ManifestLog.dataFiles(manifest);
       List<InputPartition> parts = new ArrayList<>();
       for (String rel : dataDirs) {
         Path dirPath = tableDir.resolve(rel);
-        File[] files = dirPath.toFile()
-            .listFiles(f -> f.isFile() && f.getName().endsWith(".bin"));
+        File[] files;
+        List<File> listed = new ArrayList<>();
+        for (String cf : committedFiles) {
+          if (cf.startsWith(rel + "/")) {
+            listed.add(tableDir.resolve(cf).toFile());
+          }
+        }
+        if (!listed.isEmpty()) {
+          // exact committed file set: an orphan .bin from a crashed
+          // task attempt in the same dir is invisible to the scan
+          files = listed.toArray(new File[0]);
+        } else {
+          // pre-data_files manifests: fall back to the dir listing
+          files = dirPath.toFile()
+              .listFiles(f -> f.isFile() && f.getName().endsWith(".bin"));
+        }
         if (files == null) {
           continue;
         }
@@ -1012,32 +1048,74 @@ public class SnapshotCatalog implements TableCatalog {
       return dataDirs(readManifest(tableDir, v));
     }
 
+    /** Per (table, query) incremental-scan state: highest manifest
+     * version already inspected + the committed epochs found there.
+     * Commits for one streaming query come from one driver JVM, so
+     * the cache is authoritative after its first full scan — without
+     * it every epoch commit re-reads the whole manifest chain
+     * (quadratic I/O over a stream's lifetime). */
+    private static final Map<String, long[]> epochScanTop = new java.util.concurrent.ConcurrentHashMap<>();
+    private static final Map<String, Set<Long>> epochSeen = new java.util.concurrent.ConcurrentHashMap<>();
+
     /** True when some committed manifest already records this
      * (streaming query, epoch) pair — the idempotency key for
      * replayed micro-batches. */
-    static boolean epochCommitted(Path tableDir, String queryId, long epochId) {
+    static synchronized boolean epochCommitted(Path tableDir, String queryId, long epochId) {
+      String key = tableDir.toString() + "|" + queryId;
+      Set<Long> seen = epochSeen.computeIfAbsent(key, k -> new java.util.HashSet<>());
+      long scanned = epochScanTop.computeIfAbsent(key, k -> new long[] {0})[0];
       int latest = latestVersion(tableDir);
-      for (int v = latest; v >= 1; v--) {
+      for (int v = latest; v > scanned; v--) {
         String m = readManifest(tableDir, v);
-        if (queryId.equals(stringField(m, "streaming_query"))
-            && Long.toString(epochId).equals(stringField(m, "streaming_epoch"))) {
-          return true;
+        if (queryId.equals(stringField(m, "streaming_query"))) {
+          String epoch = stringField(m, "streaming_epoch");
+          if (epoch != null) {
+            seen.add(Long.parseLong(epoch));
+          }
         }
       }
-      return false;
+      epochScanTop.get(key)[0] = Math.max(scanned, latest);
+      return seen.contains(epochId);
+    }
+
+    static List<String> dataFiles(String json) {
+      List<String> out = new ArrayList<>();
+      String marker = "\"data_files\": [";
+      int i = json.indexOf(marker);
+      if (i < 0) {
+        return out;
+      }
+      int start = i + marker.length();
+      String body = json.substring(start, json.indexOf(']', start)).trim();
+      if (body.isEmpty()) {
+        return out;
+      }
+      for (String part : body.split(",")) {
+        out.add(part.trim().replaceAll("^\"|\"$", ""));
+      }
+      return out;
     }
 
     static void commit(Path tableDir, String newDataDir, Map<String, Object> metrics) {
-      commit(tableDir, newDataDir, metrics, null);
+      commit(tableDir, newDataDir, metrics, null, null);
+    }
+
+    static void commit(Path tableDir, String newDataDir, Map<String, Object> metrics,
+        Map<String, String> extras) {
+      commit(tableDir, newDataDir, metrics, extras, null);
     }
 
     /**
      * Publish one snapshot: parent's data dirs + the new one, via an
      * atomic hard-link (link(2) fails with EEXIST instead of
      * clobbering a racing winner); losers re-read latest and retry.
+     * ``newFiles`` (relative paths) records EXACTLY the files the
+     * committed task attempts wrote — an orphan from a crashed
+     * attempt sits in the same directory but is never listed, so the
+     * scan cannot read it as committed data.
      */
     static void commit(Path tableDir, String newDataDir, Map<String, Object> metrics,
-        Map<String, String> extras) {
+        Map<String, String> extras, List<String> newFiles) {
       Path meta = metaDir(tableDir);
       try {
         Files.createDirectories(meta);
@@ -1048,14 +1126,19 @@ public class SnapshotCatalog implements TableCatalog {
         int parentVersion = latestVersion(tableDir);
         String parentId = null;
         List<String> dirs = new ArrayList<>();
+        List<String> files = new ArrayList<>();
         if (parentVersion > 0) {
           String parent = readManifest(tableDir, parentVersion);
           parentId = stringField(parent, "snapshot_id");
           dirs.addAll(dataDirs(parent));
+          files.addAll(dataFiles(parent));
         }
         dirs.add(newDataDir);
+        if (newFiles != null) {
+          files.addAll(newFiles);
+        }
         int version = parentVersion + 1;
-        String json = renderManifest(version, parentId, dirs, metrics, extras);
+        String json = renderManifest(version, parentId, dirs, files, metrics, extras);
         Path tmp = meta.resolve(".tmp-" + UUID.randomUUID().toString().replace("-", "") + ".json");
         try {
           Files.write(tmp, json.getBytes(StandardCharsets.UTF_8));
@@ -1075,8 +1158,8 @@ public class SnapshotCatalog implements TableCatalog {
     }
 
     static String renderManifest(
-        int version, String parentId, List<String> dirs, Map<String, Object> metrics,
-        Map<String, String> extras) {
+        int version, String parentId, List<String> dirs, List<String> files,
+        Map<String, Object> metrics, Map<String, String> extras) {
       StringBuilder sb = new StringBuilder();
       sb.append("{\n");
       sb.append(" \"committed_at_ms\": ").append(System.currentTimeMillis()).append(",\n");
@@ -1088,6 +1171,16 @@ public class SnapshotCatalog implements TableCatalog {
         sb.append('"').append(dirs.get(i)).append('"');
       }
       sb.append("],\n");
+      if (files != null && !files.isEmpty()) {
+        sb.append(" \"data_files\": [");
+        for (int i = 0; i < files.size(); i++) {
+          if (i > 0) {
+            sb.append(", ");
+          }
+          sb.append('"').append(files.get(i)).append('"');
+        }
+        sb.append("],\n");
+      }
       sb.append(" \"metrics\": {");
       boolean first = true;
       for (Map.Entry<String, Object> e : new java.util.TreeMap<>(metrics).entrySet()) {

@@ -53,8 +53,11 @@ def apply_steps(spark, docs, args):
     report: list[dict] = []
 
     def note(step, df):
-        n = df.count()
-        report.append({"step": step, "docs": n})
+        # checkpoint each step boundary: the audit count and every later
+        # step (and the final write) read the materialized result instead
+        # of re-executing all prior steps' subtrees per action
+        df = df.localCheckpoint(eager=True)
+        report.append({"step": step, "docs": df.count()})
         return df
 
     docs = note("input", docs)
@@ -66,9 +69,13 @@ def apply_steps(spark, docs, args):
                 F.col("quality_x100") >= args.min_quality).select("doc_id")
             docs = docs.join(keep, "doc_id", "left_semi")
         elif step == "dedup_exact":
-            w_first = docs.groupBy(F.xxhash64("text").alias("h")).agg(
-                F.min("doc_id").alias("doc_id"))
-            docs = docs.join(w_first.select("doc_id"), "doc_id", "left_semi")
+            # the library operator's composite (~96-bit) group key — a
+            # bare xxhash64 would silently merge colliding docs at scale
+            from camelot_spark.tdp.dedup import dedup_keep_first
+
+            keep = dedup_keep_first(docs).select(
+                F.col("keep_id").alias("doc_id"))
+            docs = docs.join(keep, "doc_id", "left_semi")
         elif step == "dedup_near":
             from camelot_spark.tdp.dedup import dedup_groups
 

@@ -297,3 +297,33 @@ def test_range_clustered_write_prunes_files(spark):
         else:
             assert planned == 8, planned    # nothing skippable
         assert spark.table(table).where("id >= 100 AND id <= 200").count() == 101
+
+
+def test_orphan_task_file_in_committed_dir_is_not_scanned(spark):
+    """Exactly-once vs crashed task attempts: manifests record the
+    committed FILES, so a leftover .bin in the same data dir (a task
+    attempt that died after writing, before abort) is never read."""
+    import glob
+    import os
+    import shutil
+
+    wh = _require_catalog(spark)
+    table = "snap.ns.orphan_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, name STRING)")
+    spark.range(5).selectExpr("id", "concat('n', id) AS name") \
+        .writeTo(table).append()
+    assert spark.table(table).count() == 5
+
+    # simulate the crashed attempt: duplicate a committed .bin under a
+    # name no manifest lists (same dir, valid contents)
+    data_root = os.path.join(wh, "ns", "orphan_tbl", "data")
+    bins = glob.glob(os.path.join(data_root, "snap-*", "*.bin"))
+    assert bins
+    orphan = os.path.join(os.path.dirname(bins[0]), "part-9-9999.bin")
+    shutil.copyfile(bins[0], orphan)
+
+    # a dir listing would now double-count; the committed-file manifest
+    # must not
+    assert spark.table(table).count() == 5
+    assert {r["id"] for r in spark.table(table).collect()} == set(range(5))
