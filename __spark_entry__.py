@@ -190,7 +190,45 @@ FROM off
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so a budget-truncated driver pass always covers the
+    # least-verified surface first: queries that have never had (or
+    # most recently missed) a driver CORRECTNESS row lead, long-green
+    # families follow. Python dicts preserve insertion order.
     return {
+        # --- never/least driver-verified first (r03 checked 50/70) ---
+        "media_features": lambda s, d: multimodal.media_features_hist(_load(s, d, "documents")),
+        "audio_meta": lambda s, d: multimodal.audio_metadata(_load(s, d, "documents")),
+        "lineage_report": _sink_query("lineage"),
+        # interleaved-output QA: per-kind counts/volume, media-ref
+        # integrity, order contiguity — the span-sequence contract as
+        # an auditable table
+        "span_stats": _sink_query("span_stats"),
+        "parsing_report": _sink_query("report"),
+        "table_export_csv": _sink_query("csv"),
+        # --- multimodal plumbing (r02-verified, missed in r03) ---
+        "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),
+        "frame_sample_counts": lambda s, d: (
+            multimodal.frame_sample(_load(s, d, "documents"))
+            .groupBy("doc_id").count().withColumnRenamed("count", "n_frames")
+        ),
+        "media_resize": lambda s, d: (
+            multimodal.resize_media(_load(s, d, "documents"))
+            .select("doc_id", "width", "height", "pixels_sum", "pixels_poly")
+        ),
+        # --- similarity search (r02-verified, missed in r03) ---
+        "ann_topk": lambda s, d: similarity.cosine_topk(_load(s, d, "embeddings")),
+        "embedding_neardup": lambda s, d: similarity.embedding_neardup_adjacent(_load(s, d, "embeddings")),
+        "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(_load(s, d, "embeddings")),
+        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_load(s, d, "embeddings")),
+        "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
+        "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(_load(s, d, "embeddings")),
+        "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
+        "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
+        "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(
+            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
+        # --- flagship extraction (non-SQL-expressible, rows-only) ---
+        "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
+        "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
         # --- relational skeletons of the extraction kernels (§2.9) ---
         "sessionize_gaps": lambda s, d: relational.sessionize_gaps(_load(s, d, "events")),
         "interval_islands": lambda s, d: relational.interval_islands(_load(s, d, "lineitem")),
@@ -296,40 +334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
         "strip_dup_substrings": lambda s, d: substr_dedup.strip_duplicate_substrings(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
-        "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
-        "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(
-            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
-        # --- similarity search ---
-        "ann_topk": lambda s, d: similarity.cosine_topk(_load(s, d, "embeddings")),
-        "embedding_neardup": lambda s, d: similarity.embedding_neardup_adjacent(_load(s, d, "embeddings")),
-        "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(_load(s, d, "embeddings")),
-        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_load(s, d, "embeddings")),
-        "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
-        "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(_load(s, d, "embeddings")),
-        "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
-        # --- multimodal plumbing ---
-        "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),
-        "frame_sample_counts": lambda s, d: (
-            multimodal.frame_sample(_load(s, d, "documents"))
-            .groupBy("doc_id").count().withColumnRenamed("count", "n_frames")
-        ),
-        "media_resize": lambda s, d: (
-            multimodal.resize_media(_load(s, d, "documents"))
-            .select("doc_id", "width", "height", "pixels_sum", "pixels_poly")
-        ),
-        "media_features": lambda s, d: multimodal.media_features_hist(_load(s, d, "documents")),
-        "audio_meta": lambda s, d: multimodal.audio_metadata(_load(s, d, "documents")),
-        # --- flagship extraction (non-SQL-expressible, rows-only) ---
-        "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
-        "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
-        # --- sinks over the extracted corpus (rows-only) ---
-        "table_export_csv": _sink_query("csv"),
-        "parsing_report": _sink_query("report"),
-        "lineage_report": _sink_query("lineage"),
-        # interleaved-output QA: per-kind counts/volume, media-ref
-        # integrity, order contiguity — the span-sequence contract as
-        # an auditable table
-        "span_stats": _sink_query("span_stats"),
     }
 
 
