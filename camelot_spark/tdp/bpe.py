@@ -148,9 +148,14 @@ p{k} AS MATERIALIZED (
 b{k} AS MATERIALIZED (
   SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
 c{k} AS MATERIALIZED (
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts
+  -- learnable merges early, b{k} is empty and a CROSS JOIN would
+  -- empty every later round (diverging from the Spark loop's break);
+  -- the COALESCE passes state through unchanged instead
   SELECT doc_id,
-         replace(s, ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s
-  FROM {prev} CROSS JOIN b{k} b)""")
+         COALESCE(replace(s, ' ' || b.l || ' ' || b.r || ' ',
+                          ' ' || b.l || b.r || ' '), s) AS s
+  FROM {prev} LEFT JOIN b{k} b ON TRUE)""")
     selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS left, r AS right, "
         f"c AS pair_count FROM b{k}"

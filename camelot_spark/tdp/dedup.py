@@ -436,23 +436,20 @@ FROM documents GROUP BY text
 """
 
 
-def minhash_neardup_verified(
-    documents: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
+def verify_pairs_jaccard(
+    documents: DataFrame, cand: DataFrame, n: int = 3,
     threshold_x10k: int = 3000,
 ) -> DataFrame:
-    """Complete MinHash dedup pipeline: LSH candidates → exact n-gram
-    Jaccard verification → thresholded near-dup pairs.
+    """Exact n-gram Jaccard verification of candidate (a_id, b_id)
+    pairs → thresholded near-dup pairs with ``jaccard_x10k``.
 
-    The verify join ships shingle sets only for CANDIDATE pairs (the
-    LSH output), so at 100 TB the expensive exact comparison runs on a
-    vanishing fraction of the n² pair space. Candidate DOCS are
-    semi-join-filtered before shingling, so the verify stage never
-    re-shingles the corpus (the LSH stage already paid that once) —
-    only the ≪ n docs that appear in some candidate pair; their
-    shingle sets then broadcast to the pair join."""
-    cand = minhash_lsh_pairs(
-        documents, num_hashes=num_hashes, bands=bands, n=n
-    ).select(
+    The verify join ships shingle sets only for CANDIDATE pairs, so at
+    100 TB the expensive exact comparison runs on a vanishing fraction
+    of the n² pair space. Candidate DOCS are semi-join-filtered before
+    shingling, so the verify stage never re-shingles the corpus — only
+    the ≪ n docs that appear in some candidate pair; their shingle
+    sets then broadcast to the pair join."""
+    cand = cand.select(
         F.col("a_id").cast("bigint").alias("a_id"),
         F.col("b_id").cast("bigint").alias("b_id"),
     ).localCheckpoint(eager=True)  # small; feeds the id filter AND the join
@@ -475,6 +472,18 @@ def minhash_neardup_verified(
         )
         .where(F.col("jaccard_x10k") >= threshold_x10k)
     )
+
+
+def minhash_neardup_verified(
+    documents: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
+    threshold_x10k: int = 3000,
+) -> DataFrame:
+    """Complete MinHash dedup pipeline: LSH candidates → exact n-gram
+    Jaccard verification (``verify_pairs_jaccard``) → thresholded
+    near-dup pairs."""
+    cand = minhash_lsh_pairs(documents, num_hashes=num_hashes, bands=bands, n=n)
+    return verify_pairs_jaccard(documents, cand, n=n,
+                                threshold_x10k=threshold_x10k)
 
 
 def connected_components(pairs, rounds: int = 8, check_fixpoint: bool = True):
@@ -600,6 +609,7 @@ def connected_components_star(pairs, max_iters: int = 30):
         return (row["n"], row["s"])
 
     sig = _signature(edges)
+    converged = False
     for _ in range(max_iters):
         # large-star over the symmetric neighborhood view
         sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
@@ -627,11 +637,20 @@ def connected_components_star(pairs, max_iters: int = 30):
         new_sig = _signature(small)
         edges = small
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # labels from a half-contracted graph can silently SPLIT true
+        # components (a node still appearing as both u and v); never
+        # return them as if they were final
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iters} iterations; raise max_iters (components "
+            f"contract in O(log n) rounds, so this indicates either a "
+            f"tiny max_iters or pathological input)")
     # at the fixpoint each non-root node has exactly ONE star edge; the
-    # min-aggregate is a no-op there and guards the (max_iters hit
-    # before convergence) escape hatch against duplicate label rows
+    # min-aggregate is then a no-op
     labels = edges.groupBy(F.col("v").alias("id")).agg(F.min("u").alias("label"))
     return (
         nodes.join(labels, "id", "left")
@@ -644,7 +663,8 @@ def connected_components_star(pairs, max_iters: int = 30):
 
 def dedup_groups(documents, num_hashes: int = 32, bands: int = 8, n: int = 3,
                  portable: bool = False, rounds: int = 8,
-                 algorithm: str = "rounds"):
+                 algorithm: str = "rounds",
+                 verify_threshold_x10k: int | None = None):
     """Full dedup grouping: MinHash-LSH candidate pairs → connected
     components → (doc_id, component, is_canonical). The canonical doc
     of each group is its minimum doc_id (= the component label).
@@ -654,11 +674,22 @@ def dedup_groups(documents, num_hashes: int = 32, bands: int = 8, n: int = 3,
     the DuckDB oracle. ``algorithm="star"`` is the O(log n) large-star/
     small-star contraction for huge-diameter components; it converges
     to TRUE components, so at convergence both agree wherever
-    ``rounds`` covers the component diameter."""
+    ``rounds`` covers the component diameter.
+
+    ``verify_threshold_x10k``: when set, LSH candidate pairs are exact-
+    Jaccard-verified (``verify_pairs_jaccard``) before grouping, so a
+    banding false positive (two genuinely dissimilar docs colliding in
+    one band — ~6% at Jaccard 0.3 with 8 bands of 4) cannot merge
+    unrelated docs into one group. Destructive consumers (curation
+    delete steps) should always set this; None keeps the raw-candidate
+    grouping for analysis/oracle use."""
     from pyspark.sql import functions as F
 
     pairs = minhash_lsh_pairs(documents, num_hashes=num_hashes, bands=bands,
                               n=n, portable=portable)
+    if verify_threshold_x10k is not None:
+        pairs = verify_pairs_jaccard(documents, pairs, n=n,
+                                     threshold_x10k=verify_threshold_x10k)
     if algorithm == "star":
         cc = connected_components_star(pairs)
     elif algorithm == "rounds":

@@ -315,9 +315,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # 0xFF fill bytes are legal padding between segments (T.81
+        # B.1.1.2): a run of 0xFF collapses to one marker prefix
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM/RSTn are standalone (length-less) markers
+            pos += 2
+            continue
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + ln]
         pos += 2 + ln

@@ -239,6 +239,10 @@ public class SnapshotCatalog implements TableCatalog {
       return false;
     }
     deleteRecursively(dir.toFile());
+    // a later table recreated at the same path must not inherit this
+    // table's streaming-epoch idempotency state (a restarted stream
+    // with the same queryId/epochs would silently skip its writes)
+    ManifestLog.invalidateEpochCache(dir);
     return true;
   }
 
@@ -1057,6 +1061,13 @@ public class SnapshotCatalog implements TableCatalog {
     private static final Map<String, long[]> epochScanTop = new java.util.concurrent.ConcurrentHashMap<>();
     private static final Map<String, Set<Long>> epochSeen = new java.util.concurrent.ConcurrentHashMap<>();
 
+    /** Drop all cached epoch state for one table (every queryId). */
+    static synchronized void invalidateEpochCache(Path tableDir) {
+      String prefix = tableDir.toString() + "|";
+      epochScanTop.keySet().removeIf(k -> k.startsWith(prefix));
+      epochSeen.keySet().removeIf(k -> k.startsWith(prefix));
+    }
+
     /** True when some committed manifest already records this
      * (streaming query, epoch) pair — the idempotency key for
      * replayed micro-batches. */
@@ -1065,6 +1076,14 @@ public class SnapshotCatalog implements TableCatalog {
       Set<Long> seen = epochSeen.computeIfAbsent(key, k -> new java.util.HashSet<>());
       long scanned = epochScanTop.computeIfAbsent(key, k -> new long[] {0})[0];
       int latest = latestVersion(tableDir);
+      if (latest < scanned) {
+        // manifest chain regressed below the cached scan top: the table
+        // was dropped and recreated out from under the cache (possibly
+        // by another JVM, which dropTable's invalidation cannot see).
+        // Cached epochs belong to the dead table — rebuild from disk.
+        seen.clear();
+        scanned = 0;
+      }
       for (int v = latest; v > scanned; v--) {
         String m = readManifest(tableDir, v);
         if (queryId.equals(stringField(m, "streaming_query"))) {

@@ -20,8 +20,10 @@ catalog:
 - ``quality``      drop docs below ``--min-quality`` (integer score
                    x100 from tdp.text.quality_score);
 - ``dedup_exact``  keep the first copy of each exact-duplicate text;
-- ``dedup_near``   drop non-canonical docs of each MinHash-LSH near-dup
-                   group (tdp.dedup.dedup_groups);
+- ``dedup_near``   drop non-canonical docs of each near-dup group:
+                   MinHash-LSH candidates, exact-Jaccard-verified at
+                   ``--near-threshold``/10000 before grouping
+                   (tdp.dedup.dedup_groups);
 - ``strip_substr`` cut corpus-wide duplicate substring regions out of
                    the surviving text (tdp.substr_dedup);
 - ``decontaminate`` drop docs overlapping the benchmark n-gram set;
@@ -79,7 +81,14 @@ def apply_steps(spark, docs, args):
         elif step == "dedup_near":
             from camelot_spark.tdp.dedup import dedup_groups
 
-            groups = dedup_groups(docs, algorithm=args.cc_algorithm)
+            # this step DELETES non-canonical docs, so raw LSH candidate
+            # pairs are not enough: a banding false positive would drop a
+            # non-duplicate training document. Verify candidates with
+            # exact n-gram Jaccard (>= --near-threshold/10000) before
+            # grouping; --near-threshold 0 opts out explicitly.
+            groups = dedup_groups(
+                docs, algorithm=args.cc_algorithm,
+                verify_threshold_x10k=(args.near_threshold or None))
             canon = groups.where(F.col("is_canonical") == 1).select("doc_id")
             # docs never seen in any near-dup group pass through
             docs = docs.join(groups.select("doc_id"), "doc_id", "left_anti") \
@@ -121,6 +130,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cc-algorithm", choices=("rounds", "star"), default="star",
                     help="near-dup grouping: fixed-round propagation or "
                          "O(log n) star contraction")
+    ap.add_argument("--near-threshold", type=int, default=7000,
+                    metavar="JACCARD_X10K",
+                    help="dedup_near: exact-Jaccard verification floor for "
+                         "LSH candidate pairs (x10000; 0 = trust raw LSH "
+                         "candidates, accepting banding false positives)")
     ap.add_argument("--sample-rates", default="", metavar="LANG=PPM,...")
     ap.add_argument("--strata-col", default="lang")
     args = ap.parse_args(argv)

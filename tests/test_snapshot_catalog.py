@@ -327,3 +327,33 @@ def test_orphan_task_file_in_committed_dir_is_not_scanned(spark):
     # must not
     assert spark.table(table).count() == 5
     assert {r["id"] for r in spark.table(table).collect()} == set(range(5))
+
+
+def test_drop_and_recreate_does_not_inherit_epoch_state(spark, tmp_path):
+    """Drop table + restart the SAME stream (same queryId, replayed
+    epoch 0 after the checkpoint's commit log is cleared): the recreated
+    table must receive the epoch's rows — stale per-(table, query)
+    idempotency caches in the catalog JVM must not skip the write."""
+    import shutil
+
+    from camelot_spark.streaming import start_extraction_stream
+    from tests.test_streaming import _write_docs
+
+    table = "snap.ns.dropre_v2"
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    b1 = fx.doc_health("dr-1")
+    _write_docs(spark, [b1], inp)
+
+    q = start_extraction_stream(spark, inp, table, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    assert spark.read.table(table).count() == 1
+
+    spark.sql(f"DROP TABLE {table}")
+    # clear the stream's progress (keep metadata => same queryId): the
+    # restarted query replays epoch 0 against the recreated table
+    for sub in ("commits", "offsets", "sources", "state"):
+        shutil.rmtree(os.path.join(ckpt, sub), ignore_errors=True)
+    q = start_extraction_stream(spark, inp, table, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    assert spark.read.table(table).count() == 1, \
+        "recreated table lost the replayed epoch write (stale epoch cache)"
