@@ -106,6 +106,31 @@ def _sink_query(kind: str):
     return q
 
 
+# The three substring-dedup queries share one deterministic k-gram →
+# struct-min → island-merge prefix (the expensive part); persist it
+# once per (process, sf_dir) exactly like the sink corpus above, and
+# feed the region list to stats/strip via their spans= parameter.
+SUBSTR_SPANS_PATH = "/tmp/camelot_spark_substr_spans_oracle"
+_SUBSTR_PERSISTED_FOR: list[str] = []
+
+
+def _substr_query(kind: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+        if _SUBSTR_PERSISTED_FOR != [sf_dir]:
+            substr_dedup.duplicate_substring_spans(docs, portable=True) \
+                .write.mode("overwrite").parquet(SUBSTR_SPANS_PATH)
+            _SUBSTR_PERSISTED_FOR[:] = [sf_dir]
+        spans = spark.read.parquet(SUBSTR_SPANS_PATH)
+        if kind == "spans":
+            return spans
+        if kind == "stats":
+            return substr_dedup.duplicate_substring_stats(docs, spans=spans)
+        return substr_dedup.strip_duplicate_substrings(docs, spans=spans)
+
+    return q
+
+
 PARSING_REPORT_SQL = f"""
 WITH ext AS (SELECT * FROM read_parquet('{ORACLE_EXTRACT_PATH}/*.parquet')),
 t AS (SELECT doc_id, unnest(tables) AS tb FROM ext)
@@ -328,12 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact duplicate-substring regions (Lee et al.-style fixed-k):
         # verbatim reuse inside otherwise-distinct docs; portable twin
         # groups raw windows so DuckDB reproduces it (prod: xxhash64)
-        "dup_substring_spans": lambda s, d: substr_dedup.duplicate_substring_spans(
-            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
-        "dup_substring_stats": lambda s, d: substr_dedup.duplicate_substring_stats(
-            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
-        "strip_dup_substrings": lambda s, d: substr_dedup.strip_duplicate_substrings(
-            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0), portable=True),
+        "dup_substring_spans": _substr_query("spans"),
+        "dup_substring_stats": _substr_query("stats"),
+        "strip_dup_substrings": _substr_query("strip"),
     }
 
 

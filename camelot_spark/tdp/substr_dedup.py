@@ -92,13 +92,20 @@ def duplicate_substring_spans(documents: DataFrame, k: int = 40,
 
 
 def duplicate_substring_stats(documents: DataFrame, k: int = 40,
-                              portable: bool = False) -> DataFrame:
+                              portable: bool = False,
+                              spans: DataFrame | None = None) -> DataFrame:
     """Per-document rollup of the duplicate regions: how much of each
     document is verbatim-duplicated text (the curation signal — drop or
     trim documents past a duplication threshold). Docs with no
     duplicated region are reported with zeros, so the output is a total
-    function of the corpus."""
-    spans = duplicate_substring_spans(documents, k=k, portable=portable)
+    function of the corpus.
+
+    ``spans``: a precomputed ``duplicate_substring_spans`` result for
+    the same (documents, k) — callers running several consumers of the
+    region list (stats + strip + audit) compute/persist it once instead
+    of re-running the k-gram shuffle per consumer."""
+    if spans is None:
+        spans = duplicate_substring_spans(documents, k=k, portable=portable)
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_regions"),
         F.sum(F.col("dup_end") - F.col("dup_start")).cast("bigint").alias("dup_chars"),
@@ -119,7 +126,8 @@ def duplicate_substring_stats(documents: DataFrame, k: int = 40,
 
 
 def strip_duplicate_substrings(documents: DataFrame, k: int = 40,
-                               portable: bool = False) -> DataFrame:
+                               portable: bool = False,
+                               spans: DataFrame | None = None) -> DataFrame:
     """The removal step: cut every duplicate region out of each
     document, keeping the corpus-wide first occurrence — the operator
     that actually PRODUCES the deduplicated training corpus (spans/
@@ -130,8 +138,12 @@ def strip_duplicate_substrings(documents: DataFrame, k: int = 40,
     per doc (sorted, non-overlapping by construction), and the kept
     text is the concatenation of the n+1 gaps around n regions —
     substring arithmetic inside codegen, no Python. One extra shuffle
-    (collect regions per doc) on top of the span pipeline."""
-    spans = duplicate_substring_spans(documents, k=k, portable=portable)
+    (collect regions per doc) on top of the span pipeline.
+
+    ``spans``: optional precomputed region list (see
+    ``duplicate_substring_stats``)."""
+    if spans is None:
+        spans = duplicate_substring_spans(documents, k=k, portable=portable)
     regions = spans.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("dup_start", "dup_end"))).alias("regs"))
     n = F.size("regs")
