@@ -90,7 +90,16 @@ def replicated_keys(spark, sf_dir: str, repl: int, cpus: int):
 
 
 def run_headline(spark, sf_dir: str, cpus: int, repl: int):
-    """Full-corpus extraction (both flavors) → (n_docs, seconds)."""
+    """Full-corpus extraction (both flavors) → (n_docs, seconds, skew).
+
+    ``skew`` is the continuously-measured 100×-scale story: per-doc
+    kernel time percentiles from the lineage struct, collected via
+    ``Observation`` on the same job (no extra pass). One doc = one
+    task's minimum schedulable unit, so max_doc_us bounds the straggler
+    tail a 1000-executor run would see."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from camelot_spark import fixtures as fx
     from camelot_spark.pipeline import synthesize_and_extract
 
@@ -100,11 +109,29 @@ def run_headline(spark, sf_dir: str, cpus: int, repl: int):
     t0 = time.monotonic()
     stream = synthesize_and_extract(keys, "stream", families=fx.STREAM_FAMILIES, fail_fast=True)
     lattice = synthesize_and_extract(keys, "lattice", families=fx.LATTICE_FAMILIES, fail_fast=True)
+    obs = Observation("doc_skew")
+    el = F.col("lineage.elapsed_us")
     # one union job: a single task wave + one straggler tail instead of two
-    _force(stream.unionByName(lattice))
+    _force(stream.unionByName(lattice).observe(
+        obs,
+        F.max(el).alias("max_doc_us"),
+        F.percentile_approx(el, F.lit(0.99), F.lit(10000)).alias("p99_doc_us"),
+        F.sum(el).alias("sum_doc_us"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ))
     elapsed = time.monotonic() - t0
+    got = obs.get
+    mean_us = got["sum_doc_us"] / max(got["n_docs"], 1)
+    skew = {
+        "max_doc_us": int(got["max_doc_us"]),
+        "p99_doc_us": int(got["p99_doc_us"]),
+        "mean_doc_us": round(mean_us, 1),
+        # straggler headroom: how much longer than average the single
+        # worst doc runs — the per-task ceiling at any cluster size
+        "max_over_mean": round(got["max_doc_us"] / max(mean_us, 1e-9), 2),
+    }
     # Each key is extracted under both flavors → 2 documents processed.
-    return 2 * n_docs, elapsed
+    return 2 * n_docs, elapsed, skew
 
 
 def main() -> None:
@@ -123,9 +150,10 @@ def main() -> None:
         if args.headline_only:
             warm_dir = SF_DIR.replace("sf0.1", "sf0.001") if "sf0.1" in SF_DIR else SF_DIR
             run_headline(spark, warm_dir, args.cpus, 1)  # JVM/worker/zip warm-up
-            n_docs, sec = run_headline(spark, SF_DIR, args.cpus, REPL)
+            n_docs, sec, skew = run_headline(spark, SF_DIR, args.cpus, REPL)
             print(json.dumps({"cpus": args.cpus, "docs": n_docs, "sec": round(sec, 3),
-                              "docs_per_sec": round(n_docs / sec, 2)}))
+                              "docs_per_sec": round(n_docs / sec, 2),
+                              "doc_skew": skew}))
             return
 
         import __spark_entry__ as entrymod
@@ -133,8 +161,8 @@ def main() -> None:
         timings: dict[str, float] = {}
 
         # Warm-up: JVM + Arrow + python worker pool + package zip ship.
-        n_warm, _ = run_headline(spark, SF_DIR.replace("sf0.1", "sf0.001")
-                                 if "sf0.1" in SF_DIR else SF_DIR, args.cpus, 1)
+        run_headline(spark, SF_DIR.replace("sf0.1", "sf0.001")
+                     if "sf0.1" in SF_DIR else SF_DIR, args.cpus, 1)
 
         # headline throughput: median of 3 full runs, with dispersion —
         # the quoted number is the median, never the best run (the
@@ -144,8 +172,8 @@ def main() -> None:
         # 80k-doc runs deepen the vCPU throttle and would tax every
         # query timed downstream.
         runs = []
-        n_docs, sec = run_headline(spark, SF_DIR, args.cpus, REPL)
-        runs.append((sec, n_docs))
+        n_docs, sec, skew = run_headline(spark, SF_DIR, args.cpus, REPL)
+        runs.append((sec, n_docs, skew))
         timings["extract_corpus_headline"] = round(sec, 3)
 
         for name, q in entrymod.queries().items():
@@ -159,12 +187,12 @@ def main() -> None:
             timings[name] = round(best, 3)
 
         for _ in range(2):  # headline median runs 2-3 (see above)
-            n, s = run_headline(spark, SF_DIR, args.cpus, REPL)
-            runs.append((s, n))
-        runs.sort()
-        sec, n_docs = runs[1]
+            n, s, sk = run_headline(spark, SF_DIR, args.cpus, REPL)
+            runs.append((s, n, sk))
+        runs.sort(key=lambda r: r[0])
+        sec, n_docs, skew = runs[1]
         docs_per_sec = n_docs / sec
-        tp_runs = sorted(round(n / s, 2) for s, n in runs)
+        tp_runs = sorted(round(n / s, 2) for s, n, _ in runs)
         dispersion = round((tp_runs[-1] - tp_runs[0]) / docs_per_sec, 3)
 
         total = round(sum(timings.values()), 3)
@@ -178,6 +206,9 @@ def main() -> None:
             "docs_per_sec_runs": tp_runs,
             "docs_per_sec_dispersion": dispersion,
             "headline_docs": n_docs,
+            # per-doc kernel-time skew from the median run's lineage:
+            # the one-doc-one-task straggler ceiling, measured each round
+            "doc_skew": skew,
             "cpus": args.cpus,
         }))
     finally:
