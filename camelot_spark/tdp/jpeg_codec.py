@@ -1,15 +1,19 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T.81 sequential DCT, numpy):
-the zero-dependency real-decode path behind ``multimodal.decode_image``
-for JPEG containers, completing what ``png_codec`` did for PNG.
+"""Pure-stdlib JPEG codec (ITU-T.81, numpy): the zero-dependency
+real-decode path behind ``multimodal.decode_image`` for JPEG
+containers, completing what ``png_codec`` did for PNG.
 
-Decoder: generic marker parse (SOI/APPn/DQT/SOF0/DHT/DRI/SOS), Huffman
-tables and quant tables read FROM THE FILE (so real-world baseline
+Decoder: generic marker parse (SOI/APPn/DQT/SOF0/2/DHT/DRI/SOS),
+Huffman tables and quant tables read FROM THE FILE (so real-world
 JPEGs decode, not just our own), byte-unstuffing, restart-marker
 resync, differential DC + run-length AC entropy decode, dequantize,
 exact 8x8 IDCT via a precomputed orthonormal DCT matrix, and JFIF
-YCbCr→RGB for 3-component 4:4:4 scans. Progressive (SOF2) and
-subsampled scans raise NotImplementedError — PIL, when installed,
-takes priority in ``decode_image`` and covers those.
+YCbCr→RGB for 3-component 4:4:4 scans. **Progressive (SOF2)** decodes
+natively: multi-scan spectral selection + successive approximation per
+T.81 Annex G — DC first/refine, AC first with EOB-run accumulation,
+and the G.1.2.3 AC-refinement correction-bit walk — accumulating a
+per-component coefficient store that is dequantized/IDCT'd at EOI.
+Subsampled (non-4:4:4) scans raise NotImplementedError — PIL, when
+installed, takes priority in ``decode_image`` and covers those.
 
 Encoder (the in-test payload generator): grayscale or 4:4:4 YCbCr,
 quality-scaled quant table, and — deliberately — canonical Huffman
@@ -164,13 +168,10 @@ def _dht_payload(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc_th] + bits + vals)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
-    """Baseline JPEG bytes from a (h, w) grayscale or (h, w, 3) RGB
-    uint8 array (4:4:4, no subsampling). ``restart_interval`` > 0 emits
-    a DRI segment and an RSTn marker every that many MCUs (DC
-    predictors reset, stream byte-aligned) — exercises the decoder's
-    resync path."""
+def _forward_blocks(arr: np.ndarray, quality: int):
+    """uint8 image → per-component quantized zigzag coefficient arrays
+    (bh, bw, 64) plus the quant tables — shared by the baseline and
+    progressive encoders so both emit IDENTICAL coefficients."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -185,35 +186,56 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     ql = _quant_table(quality, chroma=False)
     qc = _quant_table(quality, chroma=True)
     qts = [ql] if gray else [ql, qc]
+    bh, bw = -(-h // 8), -(-w // 8)
+    zzs = []
+    for ci, comp in enumerate(comps):
+        p = np.empty((bh * 8, bw * 8))
+        p[:h, :w] = comp
+        p[h:, :w] = comp[h - 1:h, :]  # edge-replicate pad
+        p[:, w:] = p[:, w - 1:w]
+        blocks = (p - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,xyjk,kl->xyil", _C, blocks, _C.T)
+        q = qts[0] if ci == 0 else qts[-1]
+        zzs.append(np.round(coef / q).astype(np.int64)[:, :, _ZZ_ROWS, _ZZ_COLS])
+    return zzs, qts, gray, h, w
 
+
+def _headers(marker_sof: int, zzs, qts, gray: bool, h: int, w: int,
+             ac_bits, ac_vals) -> bytearray:
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for i, q in enumerate(qts):
         out += _seg(0xDB, bytes([i]) + bytes(int(q[_ZZ_ROWS[z], _ZZ_COLS[z]])
                                              for z in range(64)))
-    nc = 1 if gray else 3
+    nc = len(zzs)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else (0 if gray else 1)])
-    out += _seg(0xC0, sof)  # SOF0 baseline
+    out += _seg(marker_sof, sof)
     out += _seg(0xC4, _dht_payload(0x00, _DC_BITS, _DC_VALS))
-    out += _seg(0xC4, _dht_payload(0x10, _AC_BITS, _AC_VALS))
+    out += _seg(0xC4, _dht_payload(0x10, ac_bits, ac_vals))
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JPEG bytes from a (h, w) grayscale or (h, w, 3) RGB
+    uint8 array (4:4:4, no subsampling). ``restart_interval`` > 0 emits
+    a DRI segment and an RSTn marker every that many MCUs (DC
+    predictors reset, stream byte-aligned) — exercises the decoder's
+    resync path."""
+    zzs, qts, gray, h, w = _forward_blocks(arr, quality)
+    out = _headers(0xC0, zzs, qts, gray, h, w, _AC_BITS, _AC_VALS)
+    nc = len(zzs)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) \
         + bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = []
-    for comp in comps:
-        p = np.empty((bh * 8, bw * 8))
-        p[:h, :w] = comp
-        p[h:, :w] = comp[h - 1:h, :]  # edge-replicate pad
-        p[:, w:] = p[:, w - 1:w]
-        padded.append(p - 128.0)
+    bh, bw = zzs[0].shape[:2]
     writer = _BitWriter()
-    prev_dc = [0] * len(comps)
+    prev_dc = [0] * nc
     mcu = 0
     rst = 0
     for by in range(bh):
@@ -221,14 +243,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
             if restart_interval and mcu and mcu % restart_interval == 0:
                 writer.restart(rst)
                 rst += 1
-                prev_dc = [0] * len(comps)
+                prev_dc = [0] * nc
             mcu += 1
-            for ci, p in enumerate(padded):
-                block = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                coef = _C @ block @ _C.T
-                q = qts[0] if ci == 0 else qts[-1]
-                zz = np.round(coef / q).astype(np.int64)[_ZZ_ROWS, _ZZ_COLS]
-                prev_dc[ci] = _encode_block(writer, zz, prev_dc[ci])
+            for ci in range(nc):
+                prev_dc[ci] = _encode_block(writer, zzs[ci][by, bx], prev_dc[ci])
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"  # EOI
@@ -312,6 +330,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coefstore: dict[int, np.ndarray] = {}
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -351,7 +371,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = {(ln_, code): sym
                                   for sym, (code, ln_) in enc.items()}
                 o += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for c in range(nc):
@@ -360,8 +380,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise NotImplementedError("subsampled JPEG needs PIL")
                 comps.append((cid, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
-            raise NotImplementedError("non-baseline (progressive/…) JPEG needs PIL")
+            progressive = marker == 0xC2
+            if progressive:
+                bh, bw = -(-h // 8), -(-w // 8)
+                coefstore = {cid: np.zeros((bh, bw, 64), dtype=np.int64)
+                             for cid, _ in comps}
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise NotImplementedError(
+                "lossless/arithmetic/hierarchical JPEG needs PIL")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -369,9 +395,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
-            return _decode_scan(payload, pos, frame, scan, qts, huff,
-                                restart_interval)
+            if not progressive:
+                return _decode_scan(payload, pos, frame, scan, qts, huff,
+                                    restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos, frame, scan, huff, coefstore,
+                ss, se, ah_al >> 4, ah_al & 0x0F, restart_interval)
         # APPn/COM/etc: skipped
+    if progressive and frame is not None:
+        return _reconstruct_progressive(frame, coefstore, qts)
     raise ValueError("no SOS segment found")
 
 
@@ -417,6 +451,10 @@ def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
                 planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
             mcu += 1
     planes = [p[:h, :w] for p in planes]
+    return _planes_to_image(planes)
+
+
+def _planes_to_image(planes) -> np.ndarray:
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes
@@ -425,3 +463,347 @@ def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
     b = y + 1.772 * (cb - 128)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -- progressive mode (T.81 Annex G) -----------------------------------
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """First real marker at/after pos (skips entropy bytes, stuffed
+    FF00, fill bytes, and RSTn)."""
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(payload, pos, frame, scan, huff, coefstore,
+                             ss, se, ah, al, restart_interval):
+    """Decode ONE progressive SOS into the coefficient store; returns
+    the stream position of the next marker. Four scan kinds: DC
+    first/refine (interleaved allowed), AC first/refine (single
+    component, G.1.2.2/G.1.2.3)."""
+    h, w, comps = frame
+    bh, bw = -(-h // 8), -(-w // 8)
+    reader = _BitReader(payload, pos)
+    if ss == 0 and se != 0:
+        raise ValueError("invalid progressive scan: DC scan requires Se=0")
+    if ss == 0:  # -------------------------------------------- DC scan
+        prev_dc = [0] * len(scan)
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.align_restart()
+                    prev_dc = [0] * len(scan)
+                for ci, (cid, tsel) in enumerate(scan):
+                    blk = coefstore[cid][by, bx]
+                    if ah == 0:  # first pass: diff-coded, shifted left al
+                        s = _huff_decode(reader, huff[(0, tsel >> 4)])
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        blk[0] = prev_dc[ci] << al
+                    else:        # refinement: one bit, OR into bit al
+                        if reader.bits(1):
+                            blk[0] |= (1 << al)
+                mcu += 1
+        return _next_marker(payload, reader.pos)
+    # ------------------------------------------------------- AC scan
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cid, tsel = scan[0]
+    ac_tbl = huff[(1, tsel & 0x0F)]
+    store = coefstore[cid]
+    eobrun = 0
+    blkno = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and blkno and blkno % restart_interval == 0:
+                reader.align_restart()
+                eobrun = 0
+            blkno += 1
+            blk = store[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, ac_tbl, blk, ss, se, al,
+                                         eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, ac_tbl, blk, ss, se, al,
+                                          eobrun)
+    return _next_marker(payload, reader.pos)
+
+
+def _ac_first_block(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC index overrun")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:  # EOBn: run of 2^r + ext blocks ending here
+                eobrun = (1 << r) + (reader.bits(r) if r else 0) - 1
+                break
+            k += 16      # ZRL
+    return eobrun
+
+
+def _ac_refine_block(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
+    """The G.1.2.3 correction-bit walk (cf. libjpeg decode_mcu_AC_refine
+    — independently re-derived from the spec figure)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                # newly-significant coefficient: magnitude 1, sign bit
+                s = p1 if reader.bits(1) else m1
+            elif r != 15:
+                eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                break  # rest of block handled by the EOB logic below
+            # advance past r zero-history positions, refining every
+            # nonzero-history coefficient passed on the way
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bits(1) and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = s
+            k += 1
+    if eobrun > 0:
+        # EOB run covers this block: refine remaining nonzero coeffs
+        while k <= se:
+            if blk[k] != 0:
+                if reader.bits(1) and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coefstore, qts):
+    h, w, comps = frame
+    planes = []
+    for cid, tq in comps:
+        zz = coefstore[cid]                     # (bh, bw, 64)
+        bh, bw = zz.shape[:2]
+        coef = np.zeros((bh, bw, 8, 8))
+        coef[:, :, _ZZ_ROWS, _ZZ_COLS] = zz
+        coef *= qts[tq]                         # broadcast dequantize
+        blocks = np.einsum("ij,xyjk,kl->xyil", _C.T, coef, _C) + 128.0
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w])
+    return _planes_to_image(planes)
+
+
+# -- progressive encoder (test-payload generator) ----------------------
+
+# progressive AC alphabet adds the EOBn symbols (r<<4, r=0..14) for
+# end-of-band run lengths 2^r..2^(r+1)-1 (G.1.2.2)
+_ACP_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
+    r * 16 + s for r in range(16) for s in range(1, 11)]
+_ACP_BITS, _ACP_VALS = _flat_table(_ACP_SYMBOLS, 9)
+_ACP_ENC = _canonical_codes(_ACP_BITS, _ACP_VALS)
+
+
+def _sos_header(comps_sel, ss, se, ah, al) -> bytes:
+    body = bytes([len(comps_sel)])
+    for cid, tsel in comps_sel:
+        body += bytes([cid, tsel])
+    return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def _enc_dc_first(zzs, al: int) -> bytes:
+    w = _BitWriter()
+    bh, bw = zzs[0].shape[:2]
+    prev_dc = [0] * len(zzs)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, zz in enumerate(zzs):
+                v = int(zz[by, bx, 0]) >> al   # arithmetic shift (A.4)
+                diff = v - prev_dc[ci]
+                prev_dc[ci] = v
+                s = _category(diff)
+                code, ln = _DC_ENC[s]
+                w.put(code, ln)
+                if s:
+                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w.flush()
+    return bytes(w.buf)
+
+
+def _enc_dc_refine(zzs, al: int) -> bytes:
+    w = _BitWriter()
+    bh, bw = zzs[0].shape[:2]
+    for by in range(bh):
+        for bx in range(bw):
+            for zz in zzs:
+                w.put((int(zz[by, bx, 0]) >> al) & 1, 1)
+    w.flush()
+    return bytes(w.buf)
+
+
+def _enc_ac_first(zz, ss: int, se: int, al: int) -> bytes:
+    """G.1.2.2: run-length coding of the point-transformed band with
+    cross-block EOB-run accumulation."""
+    w = _BitWriter()
+    bh, bw = zz.shape[:2]
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        while eobrun:
+            run = min(eobrun, 32767)
+            n = run.bit_length() - 1
+            code, ln = _ACP_ENC[n << 4]
+            w.put(code, ln)
+            if n:
+                w.put(run - (1 << n), n)
+            eobrun -= run
+
+    for by in range(bh):
+        for bx in range(bw):
+            blk = zz[by, bx]
+            r = 0
+            any_sym = False
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                a = abs(v) >> al
+                if a == 0:
+                    r += 1
+                    continue
+                flush_eobrun()
+                any_sym = True
+                while r > 15:
+                    code, ln = _ACP_ENC[0xF0]
+                    w.put(code, ln)
+                    r -= 16
+                s = a.bit_length()
+                code, ln = _ACP_ENC[(r << 4) | s]
+                w.put(code, ln)
+                w.put(a if v >= 0 else ((1 << s) - 1 - a), s)
+                r = 0
+            if r > 0 or not any_sym:
+                eobrun += 1
+    flush_eobrun()
+    w.flush()
+    return bytes(w.buf)
+
+
+def _enc_ac_refine(zz, ss: int, se: int, al: int) -> bytes:
+    """G.1.2.3 refinement: newly-significant coefficients coded as
+    (run, 1) + sign, already-significant ones contribute buffered
+    correction bits associated with the next symbol or EOB run (cf.
+    libjpeg encode_mcu_AC_refine — independently re-derived)."""
+    w = _BitWriter()
+    bh, bw = zz.shape[:2]
+    eobrun = 0
+    bebuf: list[int] = []   # correction bits owed to the pending EOB run
+
+    def flush_eobrun():
+        nonlocal eobrun, bebuf
+        if eobrun > 0:
+            run = eobrun
+            n = run.bit_length() - 1
+            code, ln = _ACP_ENC[n << 4]
+            w.put(code, ln)
+            if n:
+                w.put(run - (1 << n), n)
+            for b in bebuf:
+                w.put(b, 1)
+            bebuf = []
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            blk = zz[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            # index (relative to ss) of the last newly-significant coef
+            eob_rel = -1
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob_rel = i
+            r = 0
+            br: list[int] = []  # bits buffered since the last symbol
+            for i, a in enumerate(absv):
+                v = int(blk[ss + i])
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_rel:
+                    flush_eobrun()
+                    code, ln = _ACP_ENC[0xF0]
+                    w.put(code, ln)
+                    r -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if a > 1:
+                    # history coefficient: next magnitude bit
+                    br.append(a & 1)
+                    continue
+                flush_eobrun()
+                code, ln = _ACP_ENC[(r << 4) | 1]
+                w.put(code, ln)
+                w.put(1 if v >= 0 else 0, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                bebuf.extend(br)
+                if eobrun == 32767:
+                    flush_eobrun()
+    flush_eobrun()
+    w.flush()
+    return bytes(w.buf)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive (SOF2) JPEG bytes, 4:4:4 — same quantized
+    coefficients as ``encode_jpeg``, delivered as a spectral-selection
+    + successive-approximation scan script (DC first at Al=1, AC bands
+    1-5 and 6-63 at Al=1, then DC/AC refinement to Al=0), so
+    ``decode_jpeg`` must reproduce the baseline decode EXACTLY."""
+    zzs, qts, gray, h, w = _forward_blocks(arr, quality)
+    out = _headers(0xC2, zzs, qts, gray, h, w, _ACP_BITS, _ACP_VALS)
+    nc = len(zzs)
+    all_comps = [(c + 1, 0x00) for c in range(nc)]
+    bands = ((1, 5), (6, 63))
+    # first passes at Al=1
+    out += _sos_header(all_comps, 0, 0, 0, 1)
+    out += _enc_dc_first(zzs, al=1)
+    for c in range(nc):
+        for ss, se in bands:
+            out += _sos_header([(c + 1, 0x00)], ss, se, 0, 1)
+            out += _enc_ac_first(zzs[c], ss, se, 1)
+    # refinement passes to Al=0
+    out += _sos_header(all_comps, 0, 0, 1, 0)
+    out += _enc_dc_refine(zzs, al=0)
+    for c in range(nc):
+        for ss, se in bands:
+            out += _sos_header([(c + 1, 0x00)], ss, se, 1, 0)
+            out += _enc_ac_refine(zzs[c], ss, se, 0)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

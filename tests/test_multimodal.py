@@ -229,13 +229,17 @@ class TestJpegCodec:
         dec = decode_jpeg(encode_jpeg(img, quality=100))
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
 
-    def test_progressive_raises_not_implemented(self):
+    def test_sof2_with_baseline_scan_params_rejected(self):
+        """Progressive now decodes natively; a baseline stream merely
+        relabeled SOF2 is MALFORMED (its SOS says Ss=0, Se=63, but a
+        progressive DC scan requires Se=0) and must be rejected, not
+        silently misparsed."""
         from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
 
         enc = bytearray(encode_jpeg(self._smooth(8, 8)))
         sof = enc.index(b"\xff\xc0")
         enc[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="progressive"):
             decode_jpeg(bytes(enc))
 
     def test_subsampled_raises_not_implemented(self):
@@ -488,3 +492,64 @@ def test_jpeg_restart_marker_resync(interval):
                     for c in range(3)], axis=-1).astype(np.uint8)
     dec3 = decode_jpeg(encode_jpeg(rgb, quality=92, restart_interval=interval))
     assert np.abs(dec3.astype(int) - rgb.astype(int)).max() <= 6
+
+
+class TestProgressiveJpeg:
+    """SOF2 multi-scan decode (spectral selection + successive
+    approximation): the progressive scan script must reproduce the
+    baseline decode EXACTLY, since both encoders share one quantized
+    coefficient set."""
+
+    def _assert_exact(self, img, quality=85):
+        import numpy as np
+
+        from camelot_spark.tdp.jpeg_codec import (decode_jpeg, encode_jpeg,
+                                                  encode_jpeg_progressive)
+
+        base = decode_jpeg(encode_jpeg(img, quality=quality))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+        assert np.array_equal(prog, base)
+
+    def test_random_gray_and_color_match_baseline(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        for shape, color in [((8, 8), False), ((17, 13), False),
+                             ((16, 16), True), ((23, 31), True)]:
+            full = shape + ((3,) if color else ())
+            self._assert_exact(rng.integers(0, 256, size=full, dtype=np.uint8))
+
+    def test_eob_run_and_zrl_paths(self):
+        """Constant images stress cross-block EOB runs; checkerboards
+        stress ZRL inside refinement scans; an impulse stresses
+        high-band coefficients appearing only in the 6-63 band."""
+        import numpy as np
+
+        const = np.full((40, 56), 200, np.uint8)
+        checker = (np.add.outer(np.arange(32), np.arange(32)) % 2 * 255).astype(np.uint8)
+        impulse = np.zeros((16, 16), np.uint8)
+        impulse[3, 5] = 255
+        for img in (const, checker, impulse, np.full((24, 24, 3), 77, np.uint8)):
+            for q in (30, 70, 100):
+                self._assert_exact(img, quality=q)
+
+    def test_decode_image_routes_progressive(self):
+        import numpy as np
+
+        from camelot_spark.tdp.jpeg_codec import encode_jpeg_progressive
+        from camelot_spark.tdp.multimodal import decode_image
+
+        img = np.arange(0, 256, 2, dtype=np.uint8).reshape(8, 16)
+        out = decode_image(encode_jpeg_progressive(img))
+        assert out.shape == (8, 16)
+
+    def test_smooth_image_close_to_original(self):
+        import numpy as np
+
+        from camelot_spark.tdp.jpeg_codec import (decode_jpeg,
+                                                  encode_jpeg_progressive)
+
+        x = np.linspace(0, 255, 32)
+        img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg_progressive(img, quality=95))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
