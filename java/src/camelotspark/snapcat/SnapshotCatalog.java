@@ -187,17 +187,19 @@ public class SnapshotCatalog implements TableCatalog {
           (StructType) org.apache.spark.sql.types.DataType$.MODULE$.fromJson(json);
       StructType next = schema;
       for (TableChange change : changes) {
-        if (!(change instanceof TableChange.AddColumn)) {
+        if (change instanceof TableChange.AddColumn) {
+          TableChange.AddColumn add = (TableChange.AddColumn) change;
+          // added columns must be nullable: existing rows have no value
+          next = addField(next, add.fieldNames(), 0, add.dataType());
+        } else if (change instanceof TableChange.UpdateColumnType) {
+          TableChange.UpdateColumnType upd = (TableChange.UpdateColumnType) change;
+          next = widenField(next, upd.fieldNames(), 0, upd.newDataType());
+        } else {
           throw new UnsupportedOperationException(
-              "SnapshotCatalog schema evolution supports ADD COLUMN only, got "
+              "SnapshotCatalog schema evolution supports ADD COLUMN and type "
+                  + "widening (ALTER COLUMN TYPE) only, got "
                   + change.getClass().getSimpleName());
         }
-        TableChange.AddColumn add = (TableChange.AddColumn) change;
-        if (add.fieldNames().length != 1) {
-          throw new UnsupportedOperationException("nested ADD COLUMN is not supported");
-        }
-        // added columns must be nullable: existing rows have no value
-        next = next.add(add.fieldNames()[0], add.dataType(), true);
       }
       stampUnversionedDataDirs(dir, json);
       Files.write(schemaFile, next.json().getBytes(StandardCharsets.UTF_8));
@@ -205,6 +207,67 @@ public class SnapshotCatalog implements TableCatalog {
     } catch (IOException e) {
       throw new UncheckedIOException(e);
     }
+  }
+
+  /** Recursive ADD COLUMN: a dotted field path adds a nullable field
+   *  inside nested struct columns (Iceberg-style nested evolution). */
+  private static StructType addField(StructType schema, String[] names, int depth,
+      org.apache.spark.sql.types.DataType type) {
+    if (depth == names.length - 1) {
+      return schema.add(names[depth], type, true);
+    }
+    int idx = schema.fieldIndex(names[depth]);
+    org.apache.spark.sql.types.StructField f = schema.fields()[idx];
+    if (!(f.dataType() instanceof StructType)) {
+      throw new IllegalArgumentException(
+          "cannot add nested field under non-struct column " + names[depth]);
+    }
+    StructType inner = addField((StructType) f.dataType(), names, depth + 1, type);
+    org.apache.spark.sql.types.StructField[] fields = schema.fields().clone();
+    fields[idx] = new org.apache.spark.sql.types.StructField(
+        f.name(), inner, f.nullable(), f.metadata());
+    return new StructType(fields);
+  }
+
+  /** Promotion lattice for lossless type widening: byte → short →
+   *  int → long, float → double. Anything else is rejected — data
+   *  files are immutable, so only reads that cannot lose information
+   *  may reinterpret them. */
+  private static boolean isLosslessWidening(
+      org.apache.spark.sql.types.DataType from, org.apache.spark.sql.types.DataType to) {
+    java.util.List<String> ints = java.util.Arrays.asList("byte", "short", "integer", "long");
+    int fi = ints.indexOf(from.typeName());
+    int ti = ints.indexOf(to.typeName());
+    if (fi >= 0 && ti >= 0) {
+      return fi <= ti;
+    }
+    return from.typeName().equals("float") && to.typeName().equals("double");
+  }
+
+  private static StructType widenField(StructType schema, String[] names, int depth,
+      org.apache.spark.sql.types.DataType type) {
+    int idx = schema.fieldIndex(names[depth]);
+    org.apache.spark.sql.types.StructField f = schema.fields()[idx];
+    org.apache.spark.sql.types.StructField[] fields = schema.fields().clone();
+    if (depth == names.length - 1) {
+      if (!isLosslessWidening(f.dataType(), type)) {
+        throw new UnsupportedOperationException(
+            "unsupported type change " + f.dataType().simpleString() + " -> "
+                + type.simpleString() + " for column " + f.name()
+                + " (only lossless widening: byte/short/int -> long, float -> double)");
+      }
+      fields[idx] = new org.apache.spark.sql.types.StructField(
+          f.name(), type, f.nullable(), f.metadata());
+    } else {
+      if (!(f.dataType() instanceof StructType)) {
+        throw new IllegalArgumentException(
+            "cannot widen nested field under non-struct column " + names[depth]);
+      }
+      fields[idx] = new org.apache.spark.sql.types.StructField(
+          f.name(), widenField((StructType) f.dataType(), names, depth + 1, type),
+          f.nullable(), f.metadata());
+    }
+    return new StructType(fields);
   }
 
   /** Write {@code _schema.json} into every data dir holding .bin files
@@ -930,7 +993,9 @@ public class SnapshotCatalog implements TableCatalog {
         // project the stored-layout UnsafeRow to the pushed-down
         // columns: BoundReference per required field by ordinal in the
         // file's WRITE-TIME schema; a column the file predates (schema
-        // evolution) reads as a typed NULL literal
+        // evolution) reads as a typed NULL literal; a column written
+        // narrower (int before an int->long widening) reads through a
+        // Cast; nested struct evolution rebuilds the struct value
         java.util.List<org.apache.spark.sql.catalyst.expressions.Expression> refs =
             new ArrayList<>();
         for (org.apache.spark.sql.types.StructField f : required.fields()) {
@@ -942,13 +1007,63 @@ public class SnapshotCatalog implements TableCatalog {
                 null, f.dataType()));
             continue;
           }
-          refs.add(new org.apache.spark.sql.catalyst.expressions.BoundReference(
-              ordinal, stored.fields()[ordinal].dataType(),
-              stored.fields()[ordinal].nullable()));
+          refs.add(adaptExpr(
+              new org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  ordinal, stored.fields()[ordinal].dataType(),
+                  stored.fields()[ordinal].nullable()),
+              stored.fields()[ordinal].dataType(), f.dataType()));
         }
         this.prune = UnsafeProjection.create(
             scala.jdk.javaapi.CollectionConverters.asScala(refs).toList());
       }
+    }
+
+    /** Adapt a write-time-typed expression to the current (required)
+     * read type: identity when equal, Cast for lossless widenings,
+     * and a rebuilt named_struct (null-preserving) for struct columns
+     * whose nested layout evolved — added nested fields null-fill,
+     * widened nested fields Cast, recursively. */
+    private static org.apache.spark.sql.catalyst.expressions.Expression adaptExpr(
+        org.apache.spark.sql.catalyst.expressions.Expression src,
+        org.apache.spark.sql.types.DataType stored,
+        org.apache.spark.sql.types.DataType required) {
+      if (stored.sameType(required)) {
+        return src;
+      }
+      if (stored instanceof StructType && required instanceof StructType) {
+        StructType st = (StructType) stored;
+        StructType rt = (StructType) required;
+        java.util.List<org.apache.spark.sql.catalyst.expressions.Expression> kids =
+            new ArrayList<>();
+        for (org.apache.spark.sql.types.StructField f : rt.fields()) {
+          kids.add(org.apache.spark.sql.catalyst.expressions.Literal.create(
+              f.name(), org.apache.spark.sql.types.DataTypes.StringType));
+          int ordinal;
+          try {
+            ordinal = st.fieldIndex(f.name());
+          } catch (IllegalArgumentException missing) {
+            kids.add(org.apache.spark.sql.catalyst.expressions.Literal.create(
+                null, f.dataType()));
+            continue;
+          }
+          org.apache.spark.sql.catalyst.expressions.Expression get =
+              new org.apache.spark.sql.catalyst.expressions.GetStructField(
+                  src, ordinal, scala.Option.apply(f.name()));
+          kids.add(adaptExpr(get, st.fields()[ordinal].dataType(), f.dataType()));
+        }
+        org.apache.spark.sql.catalyst.expressions.Expression rebuilt =
+            new org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+                scala.jdk.javaapi.CollectionConverters.asScala(kids).toList());
+        // a NULL source struct must stay NULL, not become a struct of nulls
+        return new org.apache.spark.sql.catalyst.expressions.If(
+            new org.apache.spark.sql.catalyst.expressions.IsNull(src),
+            org.apache.spark.sql.catalyst.expressions.Literal.create(null, required),
+            rebuilt);
+      }
+      // primitive widening (legality was enforced at alterTable time)
+      return new org.apache.spark.sql.catalyst.expressions.Cast(
+          src, required, scala.Option.empty(),
+          org.apache.spark.sql.catalyst.expressions.Cast.apply$default$4());
     }
 
     @Override

@@ -357,3 +357,58 @@ def test_drop_and_recreate_does_not_inherit_epoch_state(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.table(table).count() == 1, \
         "recreated table lost the replayed epoch write (stale epoch cache)"
+
+
+def test_alter_column_type_widening_int_to_long(spark):
+    """Iceberg-parity type widening: write INT, ALTER COLUMN TYPE
+    BIGINT — old files read back widened (Cast at scan, exact values),
+    new appends store longs natively, filters + file-level min/max
+    pruning still work across the mixed layouts."""
+    _require_catalog(spark)
+    table = "snap.ns.widen_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, v INT)")
+    spark.range(4).selectExpr("id", "CAST(id * 7 AS INT) AS v") \
+        .writeTo(table).append()
+    spark.sql(f"ALTER TABLE {table} ALTER COLUMN v TYPE BIGINT")
+    # post-widening append exceeds int range — the point of widening
+    spark.range(4, 6).selectExpr(
+        "id", "id * 7 + CAST(5e9 AS BIGINT) AS v").writeTo(table).append()
+
+    assert dict(spark.table(table).dtypes)["v"] == "bigint"
+    rows = {r["id"]: r["v"] for r in spark.table(table).collect()}
+    assert rows == {0: 0, 1: 7, 2: 14, 3: 21,
+                    4: 4 * 7 + 5_000_000_000, 5: 5 * 7 + 5_000_000_000}
+    # predicates span both layouts
+    assert {r["id"] for r in spark.table(table).where("v > 10").collect()} \
+        == {2, 3, 4, 5}
+    # min/max stats written as ints still prune against long predicates
+    assert spark.table(table).where("v = 7").count() == 1
+    # narrowing refuses
+    with pytest.raises(Exception, match="widening|not supported|Unsupported"):
+        spark.sql(f"ALTER TABLE {table} ALTER COLUMN id TYPE INT")
+
+
+def test_alter_table_nested_add_column(spark):
+    """Nested evolution: ADD COLUMN into a struct — old rows read the
+    struct with the added field null-filled (null structs stay null),
+    new appends carry it."""
+    _require_catalog(spark)
+    table = "snap.ns.nested_evolve"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, s STRUCT<a: BIGINT, b: STRING>)")
+    spark.range(3).selectExpr(
+        "id", "IF(id = 2, NULL, named_struct('a', id, 'b', concat('x', id))) AS s") \
+        .writeTo(table).append()
+    spark.sql(f"ALTER TABLE {table} ADD COLUMN s.c BIGINT")
+    spark.range(3, 5).selectExpr(
+        "id", "named_struct('a', id, 'b', concat('x', id), 'c', id * 100) AS s") \
+        .writeTo(table).append()
+
+    rows = {r["id"]: r["s"] for r in spark.table(table).collect()}
+    assert rows[0]["a"] == 0 and rows[0]["b"] == "x0" and rows[0]["c"] is None
+    assert rows[2] is None                      # null struct stays null
+    assert rows[4]["c"] == 400 and rows[4]["b"] == "x4"
+    # filter through the evolved nested field across both layouts
+    assert {r["id"] for r in spark.table(table).where("s.c IS NULL").collect()} \
+        == {0, 1, 2}
