@@ -6,10 +6,9 @@ Decoder: header + logical screen descriptor, global/local color
 tables, graphic-control/application/comment extensions (skipped), and
 a full LZW decompressor per image descriptor (variable code width,
 clear/EOI codes, dictionary growth to 12 bits) — so real-world
-non-interlaced GIFs decode, not just our own. Frames map through their
-palette to grayscale via the same integer ITU-R 601 luma as the other
-codecs. Interlaced frames raise NotImplementedError (PIL covers them
-when installed).
+GIFs decode, not just our own — including four-pass INTERLACED frames
+(appendix E row scatter). Frames map through their palette to
+grayscale via the same integer ITU-R 601 luma as the other codecs.
 
 Encoder (the in-test generator): grayscale frames against a 256-entry
 gray global palette. It emits each pixel as a LITERAL LZW code with a
@@ -65,8 +64,19 @@ class _LZWWriter:
         return bytes(out)
 
 
-def encode_gif(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
-    """GIF89a bytes from equal-shaped (H, W) uint8 grayscale frames."""
+def _interlace_order(h: int) -> list[int]:
+    """Raster row index of each successive stream row (GIF89a
+    appendix E four-pass interlace)."""
+    return (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
+def encode_gif(frames: list[np.ndarray], delay_cs: int = 4,
+               interlace: bool = False) -> bytes:
+    """GIF89a bytes from equal-shaped (H, W) uint8 grayscale frames.
+    ``interlace=True`` stores rows in four-pass interlace order and
+    sets the image-descriptor flag — exercises the decoder's
+    de-interlacing scatter."""
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape
@@ -81,12 +91,16 @@ def encode_gif(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
         if frame.shape != (h, w):
             raise ValueError("all frames must share one shape")
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x40 if interlace else 0x00)
         out.append(8)  # LZW minimum code size
         lzw = _LZWWriter(8)
         lzw.put(lzw.clear)
         count = 0
-        for px in np.asarray(frame, dtype=np.uint8).reshape(-1):
+        rows = np.asarray(frame, dtype=np.uint8)
+        if interlace:
+            rows = rows[_interlace_order(h)]
+        for px in rows.reshape(-1):
             if count == 253:  # keep literal codes valid at 9 bits
                 lzw.put(lzw.clear)
                 count = 0
@@ -179,8 +193,6 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
         fx, fy, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos + 1:pos + 10])
         pos += 10
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF needs PIL")
         table = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -199,12 +211,19 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         idx = _lzw_decode(min_code, bytes(data), fw * fh)
         if idx.size < fw * fh:
             raise ValueError("truncated GIF frame")
-        rgb = table[np.clip(idx, 0, len(table) - 1)].astype(np.int64)
+        idx2d = idx.reshape(fh, fw)
+        if iflags & 0x40:
+            # GIF89a interlace: the stream carries rows in 4 passes
+            # (every 8th from 0, every 8th from 4, every 4th from 2,
+            # every 2nd from 1); scatter them back to raster order
+            idx2d = np.empty_like(idx2d)
+            idx2d[_interlace_order(fh)] = idx.reshape(fh, fw)
+        rgb = table[np.clip(idx2d.reshape(-1), 0, len(table) - 1)].astype(np.int64)
         gray = ((299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2] + 500)
                 // 1000).astype(np.uint8).reshape(fh, fw)
         region = canvas[fy:fy + fh, fx:fx + fw]
         if transparent_idx >= 0:
-            opaque = idx.reshape(fh, fw) != transparent_idx
+            opaque = idx2d != transparent_idx
             region[opaque] = gray[opaque]  # transparent pixels show through
         else:
             region[:, :] = gray

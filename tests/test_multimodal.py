@@ -371,16 +371,39 @@ class TestGifCodec:
         dec = decode_gif(gif)
         assert len(dec) == 1 and (dec[0] == frame).all()
 
-    def test_rejects_non_gif_and_interlace(self):
-        from camelot_spark.tdp.gif_codec import decode_gif, encode_gif
+    def test_rejects_non_gif(self):
+        from camelot_spark.tdp.gif_codec import decode_gif
 
         with pytest.raises(ValueError):
             decode_gif(b"not a gif at all....")
-        enc = bytearray(encode_gif(self._frames(1)))
+
+    def test_interlaced_roundtrip_exact(self):
+        """Four-pass interlace (GIF89a app. E) decodes natively: an
+        interlace-encoded stream reproduces the raster exactly, for
+        heights exercising every pass boundary."""
+        from camelot_spark.tdp.gif_codec import decode_gif, encode_gif
+
+        rng = np.random.RandomState(11)
+        for h, w in ((1, 5), (2, 4), (5, 3), (8, 6), (13, 7), (17, 9)):
+            frame = rng.randint(0, 256, (h, w), dtype=np.int64).astype(np.uint8)
+            dec = decode_gif(encode_gif([frame], interlace=True))
+            assert len(dec) == 1 and (dec[0] == frame).all(), (h, w)
+
+    def test_interlace_flag_permutes_rows_deterministically(self):
+        """Flipping the interlace flag on raster-ordered data yields the
+        pass-permuted image (the de-interlace scatter applied to raster
+        rows) — decodes, deterministic, visibly scrambled."""
+        from camelot_spark.tdp.gif_codec import (_interlace_order, decode_gif,
+                                                 encode_gif)
+
+        frame = np.arange(8 * 3, dtype=np.uint8).reshape(8, 3)
+        enc = bytearray(encode_gif([frame]))
         img_at = _image_descriptor_offset(enc)
-        enc[img_at + 9] |= 0x40  # set interlace flag
-        with pytest.raises(NotImplementedError):
-            decode_gif(bytes(enc))
+        enc[img_at + 9] |= 0x40  # claim interlaced over raster data
+        got = decode_gif(bytes(enc))[0]
+        want = np.empty_like(frame)
+        want[_interlace_order(8)] = frame
+        assert (got == want).all()
 
 
 def test_frame_sample_decodes_real_gif(spark):
