@@ -251,6 +251,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
         "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
+        # exact-Jaccard verification of LSH candidates (the guard the
+        # curation delete step uses) and the verified grouping itself,
+        # both hash-oracled on the portable half-corpus
+        "neardup_verified_portable": lambda s, d: dedup.verify_pairs_jaccard(
+            _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+            dedup.minhash_lsh_pairs(
+                _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+                portable=True)),
+        "dedup_groups_verified": lambda s, d: dedup.dedup_groups(
+            _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+            portable=True, algorithm="star", verify_threshold_x10k=3000),
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
@@ -400,6 +411,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_portable": dedup.MINHASH_PORTABLE_SQL,
         "dedup_groups_portable": dedup.DEDUP_GROUPS_PORTABLE_SQL,
         "dedup_groups_star": dedup.DEDUP_GROUPS_STAR_SQL,
+        "neardup_verified_portable": dedup.NEARDUP_VERIFIED_PORTABLE_SQL,
+        "dedup_groups_verified": dedup.DEDUP_GROUPS_VERIFIED_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "bpe_train": bpe.BPE_TRAIN_SQL,
         "bpe_token_counts": bpe.BPE_TOKEN_COUNTS_SQL,

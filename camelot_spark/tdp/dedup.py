@@ -775,6 +775,59 @@ FROM l12
 )
 
 
+# verify_pairs_jaccard oracle (portable twin): banded-LSH candidates
+# re-scored with exact word-3-gram Jaccard, thresholded — the `sh`
+# shingle CTE from the minhash head is the same set Spark's _shingles
+# builds, so jaccard_x10k hash-matches exactly.
+NEARDUP_VERIFIED_PORTABLE_SQL = (
+    _MINHASH_CTE_HEAD
+    + ",\npairs AS MATERIALIZED (SELECT DISTINCT"
+    + _MINHASH_FINAL_SELECT
+    + "),\n"
+    + """verified AS (
+  SELECT p.a_id, p.b_id,
+         CAST(FLOOR(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+               * 10000) AS BIGINT) AS jaccard_x10k
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.a_id
+  JOIN sh b ON b.doc_id = p.b_id)
+SELECT a_id, b_id, jaccard_x10k FROM verified WHERE jaccard_x10k >= 3000
+"""
+)
+
+# dedup_groups(verify_threshold_x10k=3000, algorithm="star") oracle:
+# components over the VERIFIED pair set (the destructive-consumer
+# configuration curate_job uses) — propagation to converged depth as in
+# the star twin above.
+DEDUP_GROUPS_VERIFIED_SQL = (
+    _MINHASH_CTE_HEAD
+    + ",\ncand AS MATERIALIZED (SELECT DISTINCT"
+    + _MINHASH_FINAL_SELECT
+    + "),\n"
+    + """pairs AS MATERIALIZED (
+  SELECT p.a_id, p.b_id
+  FROM cand p
+  JOIN sh a ON a.doc_id = p.a_id
+  JOIN sh b ON b.doc_id = p.b_id
+  WHERE CAST(FLOOR(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+         * 10000) AS BIGINT) >= 3000),
+edges AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+"""
+    + _cc_rounds_sql(12)
+    + """
+SELECT id AS doc_id, label AS component,
+       CAST(CASE WHEN id = label THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM l12
+"""
+)
+
+
 _KMV_M = 1_000_000_007
 
 
