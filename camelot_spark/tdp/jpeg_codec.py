@@ -168,10 +168,23 @@ def _dht_payload(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc_th] + bits + vals)
 
 
-def _forward_blocks(arr: np.ndarray, quality: int):
+def _pad_replicate(comp: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = comp.shape
+    p = np.empty((ph, pw))
+    p[:h, :w] = comp
+    p[h:, :w] = comp[h - 1:h, :]  # edge-replicate pad
+    p[:, w:] = p[:, w - 1:w]
+    return p
+
+
+def _forward_blocks(arr: np.ndarray, quality: int, factors=None):
     """uint8 image → per-component quantized zigzag coefficient arrays
-    (bh, bw, 64) plus the quant tables — shared by the baseline and
-    progressive encoders so both emit IDENTICAL coefficients."""
+    (bh_i, bw_i, 64) plus the quant tables — shared by the baseline and
+    progressive encoders so both emit IDENTICAL coefficients.
+
+    ``factors``: per-component (h_i, v_i) sampling factors (None =
+    4:4:4). Subsampled components are box-averaged down to their
+    native resolution and padded to the MCU-aligned block grid."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -183,16 +196,26 @@ def _forward_blocks(arr: np.ndarray, quality: int):
         cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
         cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
         comps = [y, cb, cr]
+    if factors is None:
+        factors = [(1, 1)] * len(comps)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     ql = _quant_table(quality, chroma=False)
     qc = _quant_table(quality, chroma=True)
     qts = [ql] if gray else [ql, qc]
-    bh, bw = -(-h // 8), -(-w // 8)
     zzs = []
     for ci, comp in enumerate(comps):
-        p = np.empty((bh * 8, bw * 8))
-        p[:h, :w] = comp
-        p[h:, :w] = comp[h - 1:h, :]  # edge-replicate pad
-        p[:, w:] = p[:, w - 1:w]
+        hh, vv = factors[ci]
+        if hh != hmax or vv != vmax:
+            # box-average downsample to the component's native grid
+            fy, fx = vmax // vv, hmax // hh
+            ch = -(-h * vv // vmax)
+            cw = -(-w * hh // hmax)
+            full = _pad_replicate(comp, ch * fy, cw * fx)
+            comp = full.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+        bh, bw = my * vv, mx * hh
+        p = _pad_replicate(comp, bh * 8, bw * 8)
         blocks = (p - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ij,xyjk,kl->xyil", _C, blocks, _C.T)
         q = qts[0] if ci == 0 else qts[-1]
@@ -201,52 +224,77 @@ def _forward_blocks(arr: np.ndarray, quality: int):
 
 
 def _headers(marker_sof: int, zzs, qts, gray: bool, h: int, w: int,
-             ac_bits, ac_vals) -> bytearray:
+             ac_bits, ac_vals, factors=None) -> bytearray:
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for i, q in enumerate(qts):
         out += _seg(0xDB, bytes([i]) + bytes(int(q[_ZZ_ROWS[z], _ZZ_COLS[z]])
                                              for z in range(64)))
     nc = len(zzs)
+    if factors is None:
+        factors = [(1, 1)] * nc
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else (0 if gray else 1)])
+        sof += bytes([c + 1, (factors[c][0] << 4) | factors[c][1],
+                      0 if c == 0 else (0 if gray else 1)])
     out += _seg(marker_sof, sof)
     out += _seg(0xC4, _dht_payload(0x00, _DC_BITS, _DC_VALS))
     out += _seg(0xC4, _dht_payload(0x10, ac_bits, ac_vals))
     return out
 
 
+_SUBSAMPLING = {
+    "4:4:4": None,
+    "4:2:2": [(2, 1), (1, 1), (1, 1)],
+    "4:2:0": [(2, 2), (1, 1), (1, 1)],
+}
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                subsampling: str = "4:4:4") -> bytes:
     """Baseline JPEG bytes from a (h, w) grayscale or (h, w, 3) RGB
-    uint8 array (4:4:4, no subsampling). ``restart_interval`` > 0 emits
-    a DRI segment and an RSTn marker every that many MCUs (DC
-    predictors reset, stream byte-aligned) — exercises the decoder's
-    resync path."""
-    zzs, qts, gray, h, w = _forward_blocks(arr, quality)
-    out = _headers(0xC0, zzs, qts, gray, h, w, _AC_BITS, _AC_VALS)
+    uint8 array. ``subsampling`` picks the chroma layout for color
+    images ('4:4:4', '4:2:2', '4:2:0' — box-average downsample);
+    grayscale is always a single full-resolution component.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (DC predictors reset, stream byte-aligned) —
+    exercises the decoder's resync path."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    factors = None if arr.ndim == 2 else _SUBSAMPLING[subsampling]
+    zzs, qts, gray, h, w = _forward_blocks(arr, quality, factors=factors)
     nc = len(zzs)
+    if factors is None:
+        factors = [(1, 1)] * nc
+    out = _headers(0xC0, zzs, qts, gray, h, w, _AC_BITS, _AC_VALS,
+                   factors=factors)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) \
         + bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    bh, bw = zzs[0].shape[:2]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     writer = _BitWriter()
     prev_dc = [0] * nc
     mcu = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for myi in range(my):
+        for mxi in range(mx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 writer.restart(rst)
                 rst += 1
                 prev_dc = [0] * nc
             mcu += 1
             for ci in range(nc):
-                prev_dc[ci] = _encode_block(writer, zzs[ci][by, bx], prev_dc[ci])
+                hh, vv = factors[ci]
+                for byy in range(vv):
+                    for bxx in range(hh):
+                        prev_dc[ci] = _encode_block(
+                            writer, zzs[ci][myi * vv + byy, mxi * hh + bxx],
+                            prev_dc[ci])
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"  # EOI
@@ -376,15 +424,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + c * 3:9 + c * 3]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG needs PIL")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError("sampling factors > 2 need PIL")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
             progressive = marker == 0xC2
             if progressive:
+                if any(hi != 1 or vi != 1 for _, hi, vi, _ in comps):
+                    raise NotImplementedError(
+                        "subsampled progressive JPEG needs PIL")
                 bh, bw = -(-h // 8), -(-w // 8)
                 coefstore = {cid: np.zeros((bh, bw, 64), dtype=np.int64)
-                             for cid, _ in comps}
+                             for cid, _, _, _ in comps}
         elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(
                 "lossless/arithmetic/hierarchical JPEG needs PIL")
@@ -410,48 +462,67 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
+    """Baseline interleaved scan over the general MCU geometry (A.2.3):
+    each MCU carries h_i x v_i blocks per component; subsampled chroma
+    planes are decoded at their native resolution and replicated back
+    up to the frame grid (4:4:4 degenerates to one block per MCU)."""
     h, w, comps = frame
-    comp_tq = dict(comps)
+    bycid = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     reader = _BitReader(payload, pos)
-    bh, bw = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in scan]
+    scomps = [bycid[cid] for cid, _ in scan]
+    planes = [np.zeros((my * vv * 8, mx * hh * 8)) for _, hh, vv, _ in scomps]
     prev_dc = [0] * len(scan)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for myi in range(my):
+        for mxi in range(mx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.align_restart()
                 prev_dc = [0] * len(scan)
             for ci, (cid, tsel) in enumerate(scan):
+                _, hh, vv, tq = scomps[ci]
                 dc_tbl = huff[(0, tsel >> 4)]
                 ac_tbl = huff[(1, tsel & 0x0F)]
-                s = _huff_decode(reader, dc_tbl)
-                diff = _extend(reader.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(reader, ac_tbl)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    size = rs & 0x0F
-                    if k > 63:
-                        raise ValueError("AC index overrun")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                q = qts[comp_tq[cid]]
-                coef = np.zeros((8, 8))
-                coef[_ZZ_ROWS, _ZZ_COLS] = zz
-                block = _C.T @ (coef * q) @ _C + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+                q = qts[tq]
+                for byy in range(vv):
+                    for bxx in range(hh):
+                        s = _huff_decode(reader, dc_tbl)
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tbl)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        coef = np.zeros((8, 8))
+                        coef[_ZZ_ROWS, _ZZ_COLS] = zz
+                        block = _C.T @ (coef * q) @ _C + 128.0
+                        by = myi * vv + byy
+                        bx = mxi * hh + bxx
+                        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
-    return _planes_to_image(planes)
+    out = []
+    for ci, (cid, hh, vv, tq) in enumerate(scomps):
+        cw = -(-w * hh // hmax)   # component's native pixel dims
+        ch = -(-h * vv // vmax)
+        p = planes[ci][:ch, :cw]
+        if hh != hmax or vv != vmax:
+            p = np.repeat(np.repeat(p, vmax // vv, axis=0), hmax // hh, axis=1)
+        out.append(p[:h, :w])
+    return _planes_to_image(out)
 
 
 def _planes_to_image(planes) -> np.ndarray:
@@ -604,7 +675,7 @@ def _ac_refine_block(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
 def _reconstruct_progressive(frame, coefstore, qts):
     h, w, comps = frame
     planes = []
-    for cid, tq in comps:
+    for cid, _hh, _vv, tq in comps:
         zz = coefstore[cid]                     # (bh, bw, 64)
         bh, bw = zz.shape[:2]
         coef = np.zeros((bh, bw, 8, 8))

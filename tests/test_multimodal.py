@@ -242,16 +242,47 @@ class TestJpegCodec:
         with pytest.raises(ValueError, match="progressive"):
             decode_jpeg(bytes(enc))
 
-    def test_subsampled_raises_not_implemented(self):
+    def test_sampling_factor_above_two_raises_not_implemented(self):
+        """4:2:0/4:2:2 decode natively now; factors > 2 (e.g. 4:1:1)
+        still route to PIL."""
         from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
 
         enc = bytearray(encode_jpeg(self._smooth(8, 8, color=True)))
         sof = enc.index(b"\xff\xc0")
         # component 0 sampling byte: marker(2) + len(2) + prec/h/w/nc(6)
-        # + cid(1) -> sampling at sof+11; set 2x2
-        enc[sof + 11] = 0x22
+        # + cid(1) -> sampling at sof+11; set 4x1
+        enc[sof + 11] = 0x41
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(enc))
+
+    def test_subsampled_roundtrips(self):
+        """4:2:0 and 4:2:2: gray-valued RGB (constant chroma) decodes
+        EXACTLY like 4:4:4; smooth color stays within the chroma
+        box-average tolerance; restart markers + odd sizes compose."""
+        from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(3)
+        g = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+        grgb = np.stack([g, g, g], axis=-1)
+        d444 = decode_jpeg(encode_jpeg(grgb, quality=90))
+        for ss in ("4:2:0", "4:2:2"):
+            got = decode_jpeg(encode_jpeg(grgb, quality=90, subsampling=ss))
+            assert np.array_equal(got, d444), ss
+
+        x = np.linspace(0, 255, 33)
+        y = np.linspace(0, 255, 29)
+        smooth = np.stack(
+            [np.add.outer(y, x) / 2, np.tile(x, (29, 1)),
+             np.tile(y[:, None], (1, 33))], axis=-1).astype(np.uint8)
+        for ss in ("4:2:0", "4:2:2"):
+            dec = decode_jpeg(encode_jpeg(smooth, quality=95, subsampling=ss))
+            assert dec.shape == smooth.shape
+            assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 12, ss
+        dec = decode_jpeg(encode_jpeg(smooth, quality=90,
+                                      subsampling="4:2:0", restart_interval=2))
+        assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 12
+        odd = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+        assert decode_jpeg(encode_jpeg(odd, subsampling="4:2:0")).shape == (9, 11, 3)
 
     def test_decode_image_routes_jpeg(self):
         from camelot_spark.tdp.jpeg_codec import encode_jpeg
