@@ -76,6 +76,79 @@ def windowed_ingest_metrics(df, event_ts_col: str = "event_ts",
     )
 
 
+ASSEMBLE_OUT_SCHEMA = ("doc_id string, text string, n_parts int, "
+                       "n_received int, complete int")
+ASSEMBLE_STATE_SCHEMA = "idxs array<int>, chunks array<string>, n_parts int"
+
+
+def assemble_multipart_stream(parts, timeout_ms: int = 0):
+    """Custom stateful operator (``applyInPandasWithState``): assemble
+    documents that arrive as out-of-order PARTS across micro-batches —
+    the continuous-ingest shape for interleaved multi-part web
+    documents (a crawler ships page chunks as it fetches them; the
+    extractor needs whole documents).
+
+    Input stream rows: (doc_id, part_idx, n_parts, payload, …). Per
+    doc_id the operator accumulates first-seen parts in the state store
+    (re-delivered part_idxs are dropped — at-least-once sources replay);
+    when all ``n_parts`` are present it emits ONE assembled row
+    (payloads concatenated in part order, ``complete=1``) and clears
+    the state. With ``timeout_ms`` > 0, a doc idle that long emits its
+    partial assembly with ``complete=0`` instead of leaking state
+    forever — the bounded-state requirement of a 100 TB stream.
+
+    Built-ins cannot express this: ``dropDuplicatesWithinWatermark``
+    dedups whole rows, windowed aggs cannot emit-on-condition mid-
+    window; this is exactly the arbitrary-stateful-processing seam.
+    State per key is O(parts of one doc), never O(stream)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _emit(doc_id, idxs, chunks, n, complete):
+        seen = {}
+        for i, c in zip(idxs, chunks):
+            if i not in seen:
+                seen[i] = c
+        text = "".join(seen[i] for i in sorted(seen))
+        return pd.DataFrame([{
+            "doc_id": doc_id, "text": text, "n_parts": n,
+            "n_received": len(seen), "complete": complete,
+        }])
+
+    def assemble(key, pdfs, state):
+        (doc_id,) = key
+        if state.hasTimedOut:
+            idxs, chunks, n = state.get
+            state.remove()
+            yield _emit(doc_id, idxs, chunks, n, 0)
+            return
+        idxs, chunks, n = state.get if state.exists else ((), (), 0)
+        idxs, chunks = list(idxs), list(chunks)
+        have = set(idxs)
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                i = int(r.part_idx)
+                if i in have:            # at-least-once re-delivery
+                    continue
+                have.add(i)
+                idxs.append(i)
+                chunks.append("" if r.payload is None else str(r.payload))
+                n = int(r.n_parts)
+        if n > 0 and len(have) >= n:
+            state.remove()
+            yield _emit(doc_id, idxs, chunks, n, 1)
+        else:
+            state.update((idxs, chunks, n))
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
+                    else GroupStateTimeout.NoTimeout)
+    return parts.groupBy("doc_id").applyInPandasWithState(
+        assemble, ASSEMBLE_OUT_SCHEMA, ASSEMBLE_STATE_SCHEMA,
+        "append", timeout_conf)
+
+
 def start_extraction_stream(
     spark,
     input_path: str,

@@ -117,3 +117,124 @@ def test_windowed_metrics_close_on_watermark_and_drop_late(spark, tmp_path):
     again = {r["window_start"]: r for r in drain()}
     assert set(again) == set(out)
     assert (again[t]["n_docs"], again[t]["n_spans"]) == (2, 8)
+
+
+def _write_parts(spark, rows, path):
+    spark.createDataFrame(
+        rows, "doc_id string, part_idx int, n_parts int, payload string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_assembly(spark, inp, outp, ckpt):
+    from camelot_spark.streaming import assemble_multipart_stream
+
+    parts = (spark.readStream
+             .schema("doc_id string, part_idx int, n_parts int, payload string")
+             .parquet(inp))
+    q = (assemble_multipart_stream(parts)
+         .writeStream.option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True)
+         .format("parquet").option("path", outp).start())
+    q.awaitTermination(120)
+
+
+def test_multipart_assembly_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): parts arrive
+    out of order across micro-batches AND checkpointed restarts; a doc
+    emits exactly once, fully assembled in part order, with re-delivered
+    parts dropped. Incomplete docs emit nothing (state persists in the
+    checkpoint's state store)."""
+    import glob
+    import os
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    # batch 1: doc A partial (2 of 3, out of order), doc B complete
+    _write_parts(spark, [("A", 2, 3, "c"), ("A", 0, 3, "a"),
+                         ("B", 0, 2, "x"), ("B", 1, 2, "y")], inp)
+    _run_assembly(spark, inp, outp, ckpt)
+    out1 = ({r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+            if glob.glob(os.path.join(outp, "*.parquet")) else {})
+    assert set(out1) == {"B"}
+    assert out1["B"]["text"] == "xy" and out1["B"]["complete"] == 1
+
+    # batch 2 (restarted query, same checkpoint): A's missing part plus
+    # a re-delivered duplicate of part 0
+    _write_parts(spark, [("A", 1, 3, "b"), ("A", 0, 3, "a-dup")], inp)
+    _run_assembly(spark, inp, outp, ckpt)
+    out2 = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert set(out2) == {"A", "B"}
+    assert out2["A"]["text"] == "abc"          # part order, first delivery wins
+    assert out2["A"]["n_received"] == 3 and out2["A"]["complete"] == 1
+
+    # batch 3: nothing new -> nothing re-emitted (exactly-once)
+    _write_parts(spark, [("C", 0, 2, "only-half")], inp)
+    _run_assembly(spark, inp, outp, ckpt)
+    out3 = spark.read.parquet(outp)
+    assert out3.count() == 2 and set(
+        r["doc_id"] for r in out3.collect()) == {"A", "B"}
+
+
+def test_multipart_assembly_state_machine_unit():
+    """The state-transition logic, driven directly with a stub
+    GroupState: accumulate -> update; complete -> emit + remove;
+    timeout -> partial emit (complete=0) + remove."""
+    import pandas as pd
+
+    from camelot_spark.streaming import assemble_multipart_stream  # noqa: F401
+    from camelot_spark import streaming as st
+
+    class StubState:
+        def __init__(self, value=None, timed_out=False):
+            self.value = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+        def remove(self):
+            self.value, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    # reach the inner function through the operator factory: build it
+    # against a plain DataFrame-free shim by capturing the closure
+    captured = {}
+
+    class FakeGrouped:
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    class FakeDF:
+        def groupBy(self, *_):
+            return FakeGrouped()
+
+    st.assemble_multipart_stream(FakeDF(), timeout_ms=5000)
+    fn = captured["fn"]
+
+    pdf = pd.DataFrame([{"doc_id": "d", "part_idx": 1, "n_parts": 2, "payload": "B"}])
+    state = StubState()
+    assert list(fn(("d",), [pdf], state)) == []          # incomplete: no emit
+    assert state.exists and state.timeout_set == 5000
+
+    pdf2 = pd.DataFrame([{"doc_id": "d", "part_idx": 0, "n_parts": 2, "payload": "A"}])
+    [out] = list(fn(("d",), [pdf2], state))
+    assert out.iloc[0]["text"] == "AB" and out.iloc[0]["complete"] == 1
+    assert state.removed
+
+    # timeout on a half-assembled doc: partial emit, state cleared
+    state = StubState(value=([3], ["tail"], 4), timed_out=True)
+    [out] = list(fn(("d",), [], state))
+    assert out.iloc[0]["complete"] == 0 and out.iloc[0]["n_received"] == 1
+    assert state.removed
