@@ -356,6 +356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
         "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(
             _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
+        # deterministic integer PageRank over the derived doc link
+        # graph (8 fixed rounds; the CTE twin replays them)
+        "link_rank": lambda s, d: ranking.link_rank(
+            ranking.doc_link_edges(_load(s, d, "documents"))),
         # corpus retrieval: capped inverted index + integer-BM25 top-k
         "inverted_index": lambda s, d: ranking.inverted_index(
             _load(s, d, "documents")),
@@ -416,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "bpe_train": bpe.BPE_TRAIN_SQL,
         "bpe_token_counts": bpe.BPE_TOKEN_COUNTS_SQL,
+        "link_rank": ranking.LINK_RANK_SQL,
         "inverted_index": ranking.INVERTED_INDEX_SQL,
         "bm25_topk": ranking.BM25_TOPK_SQL,
         "dup_substring_spans": substr_dedup.DUP_SUBSTR_SPANS_SQL,

@@ -182,3 +182,109 @@ FROM scored GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC
 LIMIT 10
 """
+
+
+def doc_link_edges(documents: DataFrame) -> DataFrame:
+    """Deterministic doc→doc link graph over the corpus keys: every doc
+    links to its binary-tree parent (doc_id DIV 2) and its predecessor
+    (doc_id − 1), semi-joined so only existing docs appear as targets —
+    the synthetic stand-in for an extracted crawl link graph (real
+    deployments feed ``extract_links`` hrefs resolved to doc ids)."""
+    ids = documents.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    cand = (
+        ids.selectExpr("doc_id AS src", "doc_id DIV 2 AS dst")
+        .union(ids.selectExpr("doc_id AS src", "doc_id - 1 AS dst"))
+        .where("dst >= 0 AND dst != src")
+        .distinct()
+    )
+    return cand.join(ids.selectExpr("doc_id AS dst"), "dst", "left_semi") \
+        .select("src", "dst")
+
+
+def link_rank(edges: DataFrame, iters: int = 8,
+              damping_pct: int = 85) -> DataFrame:
+    """Deterministic integer PageRank over a (src, dst) edge list —
+    the classic web-graph quality prior for crawl-corpus curation
+    (rank-weighted sampling, frontier prioritization), kept EXACTLY
+    engine-portable: all arithmetic is integer micro-units with floor
+    division, so the fixed-``iters`` result hash-matches a SQL twin
+    (transcendental/float PageRank cannot — float sums are shuffle-
+    order-dependent; integer sums are not).
+
+    Per iteration: rank_v = base + Σ_{u→v} (rank_u·d DIV 100) DIV
+    outdeg_u with base = 1e6·(100−d) DIV 100; ranks start at 1e6.
+    Dangling mass is dropped (documented deviation from the stochastic
+    normalization — monotone ordering is what curation consumes).
+
+    Plan shape: outdeg/nodes computed once and checkpointed; each round
+    is one edge⋈rank join + one partial-agg groupBy on dst shuffling
+    (long, long) only, plan-truncated per round like the CC loops."""
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).distinct().localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("c")) \
+        .localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = _MU * (100 - damping_pct) // 100
+    ranks = nodes.select("id", F.lit(_MU).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(outdeg, "src")
+            .selectExpr("dst",
+                        f"((rank * {damping_pct}) DIV 100) DIV c AS contrib")
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            nodes.join(agg, nodes.id == F.col("dst"), "left")
+            .select("id",
+                    (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                    .cast("long").alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("id").alias("doc_id"),
+                        F.col("rank").alias("rank_ppm"))
+
+
+def link_rank_sql(iters: int = 8, damping_pct: int = 85) -> str:
+    """Generated DuckDB twin: the same fixed integer-PageRank rounds as
+    chained CTEs over the same derived edge set."""
+    base = _MU * (100 - damping_pct) // 100
+    head = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id // 2 AS dst FROM ids
+    UNION ALL
+    SELECT doc_id AS src, doc_id - 1 AS dst FROM ids)
+  WHERE dst >= 0 AND dst != src),
+edges AS MATERIALIZED (
+  SELECT c.src, c.dst FROM cand c
+  WHERE c.dst IN (SELECT doc_id FROM ids)),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS c FROM edges GROUP BY src),
+nodes AS MATERIALIZED (
+  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+r0 AS (SELECT id, CAST({_MU} AS BIGINT) AS rank FROM nodes)"""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT n.id,
+         CAST({base} + COALESCE(SUM(((r.rank * {damping_pct}) // 100) // o.c), 0)
+              AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN r{k - 1} r ON r.id = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY n.id)""")
+    return (head + "".join(rounds)
+            + f"\nSELECT id AS doc_id, rank AS rank_ppm FROM r{iters}\n")
+
+
+LINK_RANK_SQL = link_rank_sql(8)

@@ -125,3 +125,33 @@ def test_jpeg_marker_scan_handles_fill_bytes_and_standalone_markers():
     patched = payload[:2] + b"\xff\xff\xff\x01" + payload[2:]
     out = decode_jpeg(patched)
     assert np.array_equal(out, base)
+
+
+def test_link_rank_matches_python_reference(spark):
+    """Integer PageRank against a driver-side reference implementation
+    on a small crafted graph, plus ordering sanity (hub outranks
+    leaves)."""
+    from camelot_spark.tdp.ranking import link_rank
+
+    edges = [(1, 0), (2, 0), (3, 0), (4, 2), (0, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["doc_id"]: r["rank_ppm"] for r in link_rank(df, iters=8).collect()}
+
+    MU, d = 1_000_000, 85
+    base = MU * (100 - d) // 100
+    nodes = {0, 1, 2, 3, 4}
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    rank = {n: MU for n in nodes}
+    for _ in range(8):
+        nxt = {n: base for n in nodes}
+        for s, ts in out.items():
+            c = (rank[s] * d // 100) // len(ts)
+            for t in ts:
+                nxt[t] += c
+        rank = nxt
+    assert got == rank
+    # in-cycle nodes (0<->2) accumulate mass; pure leaves sit at base
+    assert min(got[0], got[2]) > 10 * base
+    assert got[1] == got[3] == got[4] == base
