@@ -117,13 +117,15 @@ _SUBSTR_PERSISTED_FOR: list[str] = []
 def _substr_query(kind: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+        if kind == "spans":
+            # the spans query IS the pipeline: return it live so bench
+            # timings and the plan audit see the real k-gram shuffles
+            return substr_dedup.duplicate_substring_spans(docs, portable=True)
         if _SUBSTR_PERSISTED_FOR != [sf_dir]:
             substr_dedup.duplicate_substring_spans(docs, portable=True) \
                 .write.mode("overwrite").parquet(SUBSTR_SPANS_PATH)
             _SUBSTR_PERSISTED_FOR[:] = [sf_dir]
         spans = spark.read.parquet(SUBSTR_SPANS_PATH)
-        if kind == "spans":
-            return spans
         if kind == "stats":
             return substr_dedup.duplicate_substring_stats(docs, spans=spans)
         return substr_dedup.strip_duplicate_substrings(docs, spans=spans)
@@ -258,10 +260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
             dedup.minhash_lsh_pairs(
                 _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
-                portable=True)),
+                portable=True),
+            threshold_x10k=7000),
         "dedup_groups_verified": lambda s, d: dedup.dedup_groups(
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
-            portable=True, algorithm="star", verify_threshold_x10k=3000),
+            portable=True, algorithm="star", verify_threshold_x10k=7000),
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),

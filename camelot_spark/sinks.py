@@ -167,14 +167,17 @@ def _collect_tables(extracted: DataFrame, max_tables: int):
 def _sheet_names(rows):
     """'page-{doc}-table-{order}' per the reference (`core.py:614,650`),
     bounded to Excel's 31-char sheet-name limit with a collision-proof
-    numeric suffix."""
+    numeric suffix (the counter advances every probe, so the loop
+    terminates and the suffix always fits inside the 31 chars)."""
     names = []
     seen = set()
-    for i, r in enumerate(rows):
+    for r in rows:
         base = f"page-{r['doc_id']}-table-{r['table_order']}"[:31]
-        name = base
+        name, k = base, 0
         while name in seen:
-            name = f"{base[:27]}~{i}"
+            k += 1
+            suffix = f"~{k}"
+            name = base[:31 - len(suffix)] + suffix
         seen.add(name)
         names.append(name)
     return names
@@ -190,20 +193,26 @@ def to_sqlite(extracted: DataFrame, path: str, max_tables: int = 10000) -> int:
     rows = _collect_tables(extracted, max_tables)
     names = _sheet_names(rows)
     conn = sqlite3.connect(path)
+    written = 0
     try:
         for name, r in zip(names, rows):
             grid = r["rows"]
             ncols = len(grid[0]) if grid else 0
+            if ncols == 0:
+                # a zero-column CREATE TABLE is a SQLite syntax error;
+                # an empty grid carries no data — skip, don't abort
+                continue
             cols = ", ".join(f'"{i}" TEXT' for i in range(ncols))
             conn.execute(f'DROP TABLE IF EXISTS "{name}"')
             conn.execute(f'CREATE TABLE "{name}" ({cols})')
             ph = ", ".join("?" for _ in range(ncols))
             conn.executemany(f'INSERT INTO "{name}" VALUES ({ph})',
                              [tuple(row) for row in grid])
+            written += 1
         conn.commit()
     finally:
         conn.close()
-    return len(rows)
+    return written
 
 
 def _xml_escape(s: str) -> str:

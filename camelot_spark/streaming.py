@@ -105,14 +105,14 @@ def assemble_multipart_stream(parts, timeout_ms: int = 0):
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def _emit(doc_id, idxs, chunks, n, complete):
-        seen = {}
-        for i, c in zip(idxs, chunks):
-            if i not in seen:
-                seen[i] = c
-        text = "".join(seen[i] for i in sorted(seen))
+        parts = dict(zip(idxs, chunks))  # idxs unique by the `have` guard
+        # a complete doc concatenates exactly parts 0..n-1; stray
+        # out-of-range indices (corrupt part headers) are excluded from
+        # the assembled text but still counted in n_received
+        keep = sorted(i for i in parts if not complete or 0 <= i < n)
         return pd.DataFrame([{
-            "doc_id": doc_id, "text": text, "n_parts": n,
-            "n_received": len(seen), "complete": complete,
+            "doc_id": doc_id, "text": "".join(parts[i] for i in keep),
+            "n_parts": n, "n_received": len(parts), "complete": complete,
         }])
 
     def assemble(key, pdfs, state):
@@ -134,7 +134,9 @@ def assemble_multipart_stream(parts, timeout_ms: int = 0):
                 idxs.append(i)
                 chunks.append("" if r.payload is None else str(r.payload))
                 n = int(r.n_parts)
-        if n > 0 and len(have) >= n:
+        # complete only when parts 0..n-1 are ALL present — a count
+        # check would let a stray out-of-range index mask a missing part
+        if n > 0 and all(i in have for i in range(n)):
             state.remove()
             yield _emit(doc_id, idxs, chunks, n, 1)
         else:

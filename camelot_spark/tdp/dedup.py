@@ -776,9 +776,11 @@ FROM l12
 
 
 # verify_pairs_jaccard oracle (portable twin): banded-LSH candidates
-# re-scored with exact word-3-gram Jaccard, thresholded — the `sh`
-# shingle CTE from the minhash head is the same set Spark's _shingles
-# builds, so jaccard_x10k hash-matches exactly.
+# re-scored with exact word-3-gram Jaccard, thresholded at 7000 — the
+# SAME floor curate_job's destructive dedup_near step defaults to, so
+# the configuration that deletes documents is the one hash-verified.
+# The `sh` shingle CTE from the minhash head is the same set Spark's
+# _shingles builds, so jaccard_x10k hash-matches exactly.
 NEARDUP_VERIFIED_PORTABLE_SQL = (
     _MINHASH_CTE_HEAD
     + ",\npairs AS MATERIALIZED (SELECT DISTINCT"
@@ -792,11 +794,11 @@ NEARDUP_VERIFIED_PORTABLE_SQL = (
   FROM pairs p
   JOIN sh a ON a.doc_id = p.a_id
   JOIN sh b ON b.doc_id = p.b_id)
-SELECT a_id, b_id, jaccard_x10k FROM verified WHERE jaccard_x10k >= 3000
+SELECT a_id, b_id, jaccard_x10k FROM verified WHERE jaccard_x10k >= 7000
 """
 )
 
-# dedup_groups(verify_threshold_x10k=3000, algorithm="star") oracle:
+# dedup_groups(verify_threshold_x10k=7000, algorithm="star") oracle:
 # components over the VERIFIED pair set (the destructive-consumer
 # configuration curate_job uses) — propagation to converged depth as in
 # the star twin above.
@@ -812,7 +814,7 @@ DEDUP_GROUPS_VERIFIED_SQL = (
   JOIN sh b ON b.doc_id = p.b_id
   WHERE CAST(FLOOR(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
-         * 10000) AS BIGINT) >= 3000),
+         * 10000) AS BIGINT) >= 7000),
 edges AS MATERIALIZED (
   SELECT a_id AS src, b_id AS dst FROM pairs
   UNION

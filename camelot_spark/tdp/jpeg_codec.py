@@ -12,8 +12,12 @@ natively: multi-scan spectral selection + successive approximation per
 T.81 Annex G — DC first/refine, AC first with EOB-run accumulation,
 and the G.1.2.3 AC-refinement correction-bit walk — accumulating a
 per-component coefficient store that is dequantized/IDCT'd at EOI.
-Subsampled (non-4:4:4) scans raise NotImplementedError — PIL, when
-installed, takes priority in ``decode_image`` and covers those.
+**Subsampled (4:2:0 / 4:2:2)** baseline scans decode natively too: the
+general MCU geometry (h_i x v_i blocks per component per MCU) with
+box-average-encoded chroma replicated back up at reconstruction.
+Sampling factors above 2, non-interleaved baseline multi-scan layouts,
+and subsampled progressive streams raise NotImplementedError — PIL,
+when installed, takes priority in ``decode_image`` and covers those.
 
 Encoder (the in-test payload generator): grayscale or 4:4:4 YCbCr,
 quality-scaled quant table, and — deliberately — canonical Huffman
@@ -379,6 +383,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     progressive = False
+    saw_scan = False
     coefstore: dict[int, np.ndarray] = {}
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -448,6 +453,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
             if not progressive:
+                if ns != len(frame[2]):
+                    # baseline non-interleaved multi-scan layout (T.81
+                    # A.2.2): legal, rare, and a different block order —
+                    # decoding it with MCU geometry would silently
+                    # produce garbage, so route to PIL instead
+                    raise NotImplementedError(
+                        "non-interleaved baseline scans need PIL")
                 return _decode_scan(payload, pos, frame, scan, qts, huff,
                                     restart_interval)
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
@@ -455,8 +467,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos = _decode_progressive_scan(
                 payload, pos, frame, scan, huff, coefstore,
                 ss, se, ah_al >> 4, ah_al & 0x0F, restart_interval)
+            saw_scan = True
         # APPn/COM/etc: skipped
-    if progressive and frame is not None:
+    if progressive and frame is not None and saw_scan:
         return _reconstruct_progressive(frame, coefstore, qts)
     raise ValueError("no SOS segment found")
 

@@ -1175,12 +1175,19 @@ public class SnapshotCatalog implements TableCatalog {
      * (quadratic I/O over a stream's lifetime). */
     private static final Map<String, long[]> epochScanTop = new java.util.concurrent.ConcurrentHashMap<>();
     private static final Map<String, Set<Long>> epochSeen = new java.util.concurrent.ConcurrentHashMap<>();
+    // identity of the manifest chain the cache was built against:
+    // version 1's snapshot_id (a recreated table starts a fresh chain
+    // with a new v1 id even if it quickly grows past the cached scan
+    // top — the case cross-JVM drops can hit, since another JVM's
+    // dropTable cannot invalidate this JVM's static maps)
+    private static final Map<String, String> epochChainId = new java.util.concurrent.ConcurrentHashMap<>();
 
     /** Drop all cached epoch state for one table (every queryId). */
     static synchronized void invalidateEpochCache(Path tableDir) {
       String prefix = tableDir.toString() + "|";
       epochScanTop.keySet().removeIf(k -> k.startsWith(prefix));
       epochSeen.keySet().removeIf(k -> k.startsWith(prefix));
+      epochChainId.keySet().removeIf(k -> k.startsWith(prefix));
     }
 
     /** True when some committed manifest already records this
@@ -1191,13 +1198,22 @@ public class SnapshotCatalog implements TableCatalog {
       Set<Long> seen = epochSeen.computeIfAbsent(key, k -> new java.util.HashSet<>());
       long scanned = epochScanTop.computeIfAbsent(key, k -> new long[] {0})[0];
       int latest = latestVersion(tableDir);
-      if (latest < scanned) {
-        // manifest chain regressed below the cached scan top: the table
-        // was dropped and recreated out from under the cache (possibly
-        // by another JVM, which dropTable's invalidation cannot see).
-        // Cached epochs belong to the dead table — rebuild from disk.
+      String chain = latest >= 1
+          ? stringField(readManifest(tableDir, 1), "snapshot_id") : null;
+      if (latest < scanned
+          || !java.util.Objects.equals(chain, epochChainId.get(key))) {
+        // the manifest chain regressed below the cached scan top OR its
+        // v1 identity changed: the table was dropped and recreated out
+        // from under the cache (possibly by another JVM, which
+        // dropTable's invalidation cannot see). Cached epochs belong to
+        // the dead table — rebuild from disk.
         seen.clear();
         scanned = 0;
+      }
+      if (chain != null) {
+        epochChainId.put(key, chain);
+      } else {
+        epochChainId.remove(key);
       }
       for (int v = latest; v > scanned; v--) {
         String m = readManifest(tableDir, v);

@@ -155,3 +155,134 @@ def test_link_rank_matches_python_reference(spark):
     # in-cycle nodes (0<->2) accumulate mass; pure leaves sit at base
     assert min(got[0], got[2]) > 10 * base
     assert got[1] == got[3] == got[4] == base
+
+
+def test_jpeg_sof2_without_scans_raises():
+    """A truncated progressive stream (SOF2 + EOI, zero scans) must
+    raise, not return a uniform gray image."""
+    import struct
+
+    from camelot_spark.tdp.jpeg_codec import (_forward_blocks, _headers,
+                                              _ACP_BITS, _ACP_VALS,
+                                              decode_jpeg)
+    import numpy as np
+
+    zzs, qts, gray, h, w = _forward_blocks(np.zeros((8, 8), np.uint8), 90)
+    out = _headers(0xC2, zzs, qts, gray, h, w, _ACP_BITS, _ACP_VALS)
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(bytes(out))
+
+
+def test_jpeg_non_interleaved_baseline_routes_to_pil():
+    """A baseline SOS covering fewer components than the frame (T.81
+    A.2.2 non-interleaved layout) must raise NotImplementedError, not
+    misdecode with MCU geometry."""
+    import numpy as np
+
+    from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+    enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    sos = enc.index(b"\xff\xda")
+    # shrink the scan header to a single component: ns=1, comp 1 only
+    old_len = 2 + 1 + 6 + 3   # len(2) + ns + 3 comps x 2 + Ss/Se/AhAl
+    new_body = bytes([0, 8, 1, 1, 0x00, 0, 63, 0])
+    enc[sos + 2:sos + 2 + old_len] = new_body
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(enc))
+
+
+def test_assembly_stray_part_index_does_not_complete():
+    """An out-of-range part index must not satisfy completeness by
+    count; the doc stays pending (later timeout flushes it partial)."""
+    import pandas as pd
+
+    from camelot_spark import streaming as st
+
+    captured = {}
+
+    class FakeGrouped:
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+
+    class FakeDF:
+        def groupBy(self, *_):
+            return FakeGrouped()
+
+    class StubState:
+        value, hasTimedOut, removed = None, False, False
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+        def remove(self):
+            self.value, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st.assemble_multipart_stream(FakeDF())
+    fn = captured["fn"]
+    state = StubState()
+    pdf = pd.DataFrame([
+        {"doc_id": "d", "part_idx": 0, "n_parts": 3, "payload": "a"},
+        {"doc_id": "d", "part_idx": 1, "n_parts": 3, "payload": "b"},
+        {"doc_id": "d", "part_idx": 5, "n_parts": 3, "payload": "STRAY"},
+    ])
+    assert list(fn(("d",), [pdf], state)) == []     # 3 distinct != complete
+    assert state.exists
+    # the missing part arrives: complete, stray excluded from the text
+    pdf2 = pd.DataFrame([{"doc_id": "d", "part_idx": 2, "n_parts": 3,
+                          "payload": "c"}])
+    [out] = list(fn(("d",), [pdf2], state))
+    assert out.iloc[0]["text"] == "abc"
+    assert out.iloc[0]["complete"] == 1 and out.iloc[0]["n_received"] == 4
+
+
+def test_sqlite_skips_empty_grid_and_sheet_names_stay_bounded(spark, tmp_path):
+    import sqlite3
+
+    from pyspark.sql import functions as F
+
+    from camelot_spark import sinks
+
+    # extracted row with one real table and one zero-cell table
+    df = spark.range(1).select(
+        F.lit("d").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("cell").alias("kind"), F.lit("v").alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).alias("order"))).alias("spans"),
+        F.lit(2).alias("n_tables"),
+        F.lit(100.0).alias("accuracy"), F.lit(0.0).alias("whitespace"),
+        F.array(
+            F.struct(
+                F.lit(1).alias("order"), F.lit(100.0).alias("accuracy"),
+                F.lit(0.0).alias("whitespace"), F.lit(1).alias("nrows"),
+                F.lit(1).alias("ncols"), F.lit(0.0).alias("x0"), F.lit(0.0).alias("y0"),
+                F.lit(0.0).alias("x1"), F.lit(0.0).alias("y1")),
+            F.struct(
+                F.lit(2).alias("order"), F.lit(0.0).alias("accuracy"),
+                F.lit(100.0).alias("whitespace"), F.lit(0).alias("nrows"),
+                F.lit(0).alias("ncols"), F.lit(0.0).alias("x0"), F.lit(0.0).alias("y0"),
+                F.lit(0.0).alias("x1"), F.lit(0.0).alias("y1")),
+        ).alias("tables"),
+    )
+    db = str(tmp_path / "t.db")
+    assert sinks.to_sqlite(df, db) == 1          # empty grid skipped, no crash
+    conn = sqlite3.connect(db)
+    assert [r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")] == ["page-d-table-1"]
+    conn.close()
+
+    # sheet-name collisions terminate and stay within 31 chars
+    rows = [{"doc_id": "x" * 40, "table_order": 1}] * 5
+    names = sinks._sheet_names(rows)
+    assert len(set(names)) == 5 and all(len(n) <= 31 for n in names)
