@@ -363,6 +363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph (8 fixed rounds; the CTE twin replays them)
         "link_rank": lambda s, d: ranking.link_rank(
             ranking.doc_link_edges(_load(s, d, "documents"))),
+        # rank-weighted corpus selection: acceptance proportional to
+        # the link rank, same integer hash as stratified_sample
+        "rank_weighted_sample": lambda s, d: sampling.rank_weighted_sample(
+            _load(s, d, "documents"),
+            ranking.link_rank(ranking.doc_link_edges(_load(s, d, "documents")))),
         # corpus retrieval: capped inverted index + integer-BM25 top-k
         "inverted_index": lambda s, d: ranking.inverted_index(
             _load(s, d, "documents")),
@@ -424,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": bpe.BPE_TRAIN_SQL,
         "bpe_token_counts": bpe.BPE_TOKEN_COUNTS_SQL,
         "link_rank": ranking.LINK_RANK_SQL,
+        "rank_weighted_sample": sampling.RANK_WEIGHTED_SAMPLE_SQL,
         "inverted_index": ranking.INVERTED_INDEX_SQL,
         "bm25_topk": ranking.BM25_TOPK_SQL,
         "dup_substring_spans": substr_dedup.DUP_SUBSTR_SPANS_SQL,

@@ -171,3 +171,48 @@ SELECT source,
 FROM documents
 GROUP BY source, len_bucket
 """
+
+
+def rank_weighted_sample(documents: DataFrame, ranks: DataFrame,
+                         mult: int = 2, base_ppm: int = 150_000) -> DataFrame:
+    """Quality-prior sampling: keep each document with probability
+    proportional to its link-graph rank (``tdp.ranking.link_rank``
+    output) — the rank-weighted corpus-selection step of a web-crawl
+    pipeline (high-authority pages oversampled, low-rank tail thinned).
+
+    accept_ppm = least(1e6, rank_ppm · mult) — all integer math on the
+    same deterministic acceptance hash as ``stratified_sample``, so the
+    DuckDB twin reproduces the kept set exactly. Docs missing from the
+    rank table fall back to ``base_ppm`` (the PageRank floor). One
+    equi-join on doc_id (both sides shuffle 8-byte keys + a long);
+    the filter itself stays a pure scan predicate."""
+    r = ranks.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.col("rank_ppm").cast("bigint").alias("rank_ppm"))
+    d = documents.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                         "lang", "source", "n_chars")
+    eff = F.coalesce("rank_ppm", F.lit(int(base_ppm))).cast("long")
+    accept = F.least(F.lit(_PPM).cast("long"), eff * int(mult))
+    return (
+        d.join(r, "doc_id", "left")
+        .where(_accept_ppm_hash(F.col("doc_id")) < accept)
+        .select("doc_id", "lang", "source", "n_chars",
+                eff.alias("rank_ppm"))
+    )
+
+
+def _rank_weighted_sql(mult: int = 2, base_ppm: int = 150_000) -> str:
+    from .ranking import LINK_RANK_SQL
+
+    return f"""
+WITH ranks AS ({LINK_RANK_SQL}),
+docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, n_chars
+         FROM documents)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       CAST(COALESCE(r.rank_ppm, {base_ppm}) AS BIGINT) AS rank_ppm
+FROM docs d LEFT JOIN ranks r USING (doc_id)
+WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 <
+      LEAST(1000000, COALESCE(r.rank_ppm, {base_ppm}) * {mult})
+"""
+
+
+RANK_WEIGHTED_SAMPLE_SQL = _rank_weighted_sql()

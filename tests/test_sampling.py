@@ -194,3 +194,31 @@ def test_event_props_json_extraction(spark):
     assert (out["view"]["k_sum"], out["view"]["k_missing"]) == (7, 1)
     plan = event_props_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "pythonUDF" not in plan  # stays in codegen
+
+
+def test_rank_weighted_sample_prefers_high_rank(spark):
+    """Acceptance scales with rank: rank 1e6 docs are always kept
+    (accept=100%), rank-0 docs never, and the kept set is exactly the
+    hash-threshold set (deterministic, repartition-invariant)."""
+    from camelot_spark.tdp.ranking import link_rank  # noqa: F401 (family)
+    from camelot_spark.tdp.sampling import _PPM, _accept_ppm_hash, rank_weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en", "web", 100) for i in range(200)],
+        "doc_id long, lang string, source string, n_chars long")
+    ranks = spark.createDataFrame(
+        [(i, 1_000_000 if i % 2 == 0 else 0) for i in range(150)],
+        "doc_id long, rank_ppm long")
+    kept = {r["doc_id"]: r["rank_ppm"]
+            for r in rank_weighted_sample(docs, ranks).collect()}
+    evens = {i for i in range(150) if i % 2 == 0}
+    assert evens <= set(kept)                      # 100% acceptance
+    assert all(k not in kept for k in range(150) if k % 2 == 1)  # 0%
+    # unranked docs (150..199) fall back to base_ppm * mult = 30%
+    unranked_kept = [k for k in kept if k >= 150]
+    assert 0 < len(unranked_kept) < 50
+    assert all(kept[k] == 150_000 for k in unranked_kept)
+    # determinism under different partitioning
+    kept2 = {r["doc_id"] for r in rank_weighted_sample(
+        docs.repartition(7), ranks.repartition(3)).collect()}
+    assert kept2 == set(kept)
