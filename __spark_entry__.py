@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_vote": lambda s, d: tdp_text.langid(_load(s, d, "documents")),
         "quality_score": lambda s, d: tdp_text.quality_score(_load(s, d, "documents")),
         "token_stats": lambda s, d: tdp_text.token_stats(_load(s, d, "documents")),
+        # CCNet-style corpus-frequency quality signal (LM-filter
+        # surrogate kept integer-exact)
+        "token_rarity": lambda s, d: tdp_text.token_rarity(_load(s, d, "documents")),
         "doc_fingerprint": lambda s, d: tdp_text.fingerprint(_load(s, d, "documents")),
         "winnow_fingerprints": lambda s, d: tdp_text.winnow_fingerprints(_load(s, d, "documents")),
         "normalize_text": lambda s, d: tdp_text.normalize_text(_load(s, d, "documents")),
@@ -399,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_vote": tdp_text.LANGID_SQL,
         "quality_score": tdp_text.QUALITY_SQL,
         "token_stats": tdp_text.TOKEN_STATS_SQL,
+        "token_rarity": tdp_text.TOKEN_RARITY_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
         "winnow_fingerprints": tdp_text.WINNOW_SQL,
         "normalize_text": tdp_text.NORMALIZE_SQL,

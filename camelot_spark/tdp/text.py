@@ -423,3 +423,56 @@ SELECT doc_id,
        CAST(COALESCE(list_max(fps), -1) AS BIGINT) AS max_fp
 FROM wins
 """
+
+
+def token_rarity(documents: DataFrame, rare_max_count: int = 2) -> DataFrame:
+    """CCNet-style corpus-frequency quality signal, integer-exact:
+    per document, the mean corpus-wide occurrence count of its word
+    tokens and the fraction (ppm) of tokens that are corpus-rare
+    (count <= ``rare_max_count``). Docs dominated by rare tokens are
+    OCR garbage / boilerplate hashes / non-language — the
+    LM-perplexity-filter surrogate that stays deterministic across
+    engines (a real LM score is float and engine-specific).
+
+    Plan shape: scan-local explode -> corpus term counts (one
+    partial-agg shuffle on the term, the same O(corpus tokens) order as
+    any tokenize pass) -> count join back on the term -> per-doc agg on
+    doc_id. Every shuffled row is (term-hash-sized key, long); the mean
+    uses DIV so the oracle reproduces it bit-for-bit."""
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.length("term") > 0)
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(counts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_c"),
+            F.sum(F.when(F.col("c") <= rare_max_count, 1).otherwise(0))
+            .alias("n_rare"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(sum_c DIV n_tokens AS BIGINT) AS mean_tok_count",
+            "CAST((n_rare * CAST(1000000 AS BIGINT)) DIV n_tokens AS BIGINT)"
+            " AS rare_ppm",
+        )
+    )
+
+
+TOKEN_RARITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tok AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_tok_count,
+       CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS rare_ppm
+FROM tok JOIN counts USING (term)
+GROUP BY doc_id
+"""
