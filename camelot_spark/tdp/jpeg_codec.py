@@ -15,9 +15,11 @@ per-component coefficient store that is dequantized/IDCT'd at EOI.
 **Subsampled (4:2:0 / 4:2:2)** baseline scans decode natively too: the
 general MCU geometry (h_i x v_i blocks per component per MCU) with
 box-average-encoded chroma replicated back up at reconstruction.
-Sampling factors above 2, non-interleaved baseline multi-scan layouts,
-and subsampled progressive streams raise NotImplementedError — PIL,
-when installed, takes priority in ``decode_image`` and covers those.
+**Non-interleaved baseline** layouts (one SOS per component, A.2.2)
+accumulate a coefficient store per scan and reconstruct at EOI.
+Sampling factors above 2, partial multi-component scans, and
+subsampled progressive streams raise NotImplementedError — PIL, when
+installed, takes priority in ``decode_image`` and covers those.
 
 Encoder (the in-test payload generator): grayscale or 4:4:4 YCbCr,
 quality-scaled quant table, and — deliberately — canonical Huffman
@@ -256,7 +258,8 @@ _SUBSAMPLING = {
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 restart_interval: int = 0,
-                subsampling: str = "4:4:4") -> bytes:
+                subsampling: str = "4:4:4",
+                non_interleaved: bool = False) -> bytes:
     """Baseline JPEG bytes from a (h, w) grayscale or (h, w, 3) RGB
     uint8 array. ``subsampling`` picks the chroma layout for color
     images ('4:4:4', '4:2:2', '4:2:0' — box-average downsample);
@@ -274,12 +277,32 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                    factors=factors)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if non_interleaved and nc > 1:
+        # one SOS per component, raster block order over the
+        # component's NATIVE grid (T.81 A.2.2) — same coefficients as
+        # the interleaved stream, different delivery
+        for ci in range(nc):
+            hh, vv = factors[ci]
+            native_w = -(-w * hh // hmax)
+            native_h = -(-h * vv // vmax)
+            bw_i = -(-native_w // 8)
+            bh_i = -(-native_h // 8)
+            out += _sos_header([(ci + 1, 0x00)], 0, 63, 0, 0)
+            writer = _BitWriter()
+            dc = 0
+            for by in range(bh_i):
+                for bx in range(bw_i):
+                    dc = _encode_block(writer, zzs[ci][by, bx], dc)
+            writer.flush()
+            out += writer.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) \
         + bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
     mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     writer = _BitWriter()
     prev_dc = [0] * nc
@@ -453,15 +476,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
             if not progressive:
-                if ns != len(frame[2]):
-                    # baseline non-interleaved multi-scan layout (T.81
-                    # A.2.2): legal, rare, and a different block order —
-                    # decoding it with MCU geometry would silently
-                    # produce garbage, so route to PIL instead
+                if ns == len(frame[2]):
+                    # the common fully-interleaved layout: one scan,
+                    # decode straight to pixels
+                    return _decode_scan(payload, pos, frame, scan, qts,
+                                        huff, restart_interval)
+                if ns != 1:
+                    # partial multi-component scans are not a layout
+                    # T.81 baseline defines meaningfully for us
                     raise NotImplementedError(
-                        "non-interleaved baseline scans need PIL")
-                return _decode_scan(payload, pos, frame, scan, qts, huff,
-                                    restart_interval)
+                        "partial multi-component baseline scans need PIL")
+                # non-interleaved layout (A.2.2): one scan per
+                # component, raster block order over the component's
+                # native grid — accumulate coefficients, IDCT at EOI
+                if not coefstore:
+                    h, w, comps = frame
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                    coefstore = {
+                        cid: np.zeros((my * vv, mx * hh, 64), dtype=np.int64)
+                        for cid, hh, vv, _ in comps}
+                pos = _decode_baseline_noninterleaved_scan(
+                    payload, pos, frame, scan, huff, coefstore,
+                    restart_interval)
+                saw_scan = True
+                continue
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah_al = body[3 + 2 * ns]
             pos = _decode_progressive_scan(
@@ -469,9 +509,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ss, se, ah_al >> 4, ah_al & 0x0F, restart_interval)
             saw_scan = True
         # APPn/COM/etc: skipped
-    if progressive and frame is not None and saw_scan:
-        return _reconstruct_progressive(frame, coefstore, qts)
+    if frame is not None and saw_scan:
+        return _reconstruct_frame(frame, coefstore, qts)
     raise ValueError("no SOS segment found")
+
+
+def _decode_block_zz(reader, dc_tbl, ac_tbl, dc_pred):
+    """One sequential-DCT entropy block → (zigzag coeffs, new DC
+    predictor)."""
+    s = _huff_decode(reader, dc_tbl)
+    diff = _extend(reader.bits(s), s) if s else 0
+    dc_pred += diff
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0] = dc_pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tbl)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        size = rs & 0x0F
+        if k > 63:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    return zz, dc_pred
 
 
 def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
@@ -501,25 +566,8 @@ def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
                 q = qts[tq]
                 for byy in range(vv):
                     for bxx in range(hh):
-                        s = _huff_decode(reader, dc_tbl)
-                        diff = _extend(reader.bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        zz = np.zeros(64, dtype=np.int64)
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tbl)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 0x0F
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
+                        zz, prev_dc[ci] = _decode_block_zz(
+                            reader, dc_tbl, ac_tbl, prev_dc[ci])
                         coef = np.zeros((8, 8))
                         coef[_ZZ_ROWS, _ZZ_COLS] = zz
                         block = _C.T @ (coef * q) @ _C + 128.0
@@ -547,6 +595,62 @@ def _planes_to_image(planes) -> np.ndarray:
     b = y + 1.772 * (cb - 128)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_baseline_noninterleaved_scan(payload, pos, frame, scan, huff,
+                                         coefstore, restart_interval):
+    """One single-component baseline scan (T.81 A.2.2 non-interleaved
+    layout) into the coefficient store: blocks in raster order over the
+    COMPONENT's native block grid (not MCU-padded); the restart
+    interval counts blocks here. Returns the next-marker position."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    (cid, tsel) = scan[0]
+    _, hh, vv, _tq = next(c for c in comps if c[0] == cid)
+    native_w = -(-w * hh // hmax)
+    native_h = -(-h * vv // vmax)
+    bw_i = -(-native_w // 8)
+    bh_i = -(-native_h // 8)
+    reader = _BitReader(payload, pos)
+    dc_tbl = huff[(0, tsel >> 4)]
+    ac_tbl = huff[(1, tsel & 0x0F)]
+    store = coefstore[cid]
+    dc = 0
+    blk = 0
+    for by in range(bh_i):
+        for bx in range(bw_i):
+            if restart_interval and blk and blk % restart_interval == 0:
+                reader.align_restart()
+                dc = 0
+            blk += 1
+            store[by, bx], dc = _decode_block_zz(reader, dc_tbl, ac_tbl, dc)
+    return _next_marker(payload, reader.pos)
+
+
+def _reconstruct_frame(frame, coefstore, qts):
+    """Dequantize + batched IDCT of a per-component coefficient store,
+    with subsampled components replicated back up — shared tail of the
+    progressive and baseline multi-scan paths."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for cid, hh, vv, tq in comps:
+        zz = coefstore[cid]                     # (bh, bw, 64)
+        bh, bw = zz.shape[:2]
+        coef = np.zeros((bh, bw, 8, 8))
+        coef[:, :, _ZZ_ROWS, _ZZ_COLS] = zz
+        coef *= qts[tq]                         # broadcast dequantize
+        blocks = np.einsum("ij,xyjk,kl->xyil", _C.T, coef, _C) + 128.0
+        p = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        cw = -(-w * hh // hmax)
+        ch = -(-h * vv // vmax)
+        p = p[:ch, :cw]
+        if hh != hmax or vv != vmax:
+            p = np.repeat(np.repeat(p, vmax // vv, axis=0), hmax // hh, axis=1)
+        planes.append(p[:h, :w])
+    return _planes_to_image(planes)
 
 
 # -- progressive mode (T.81 Annex G) -----------------------------------
@@ -685,19 +789,8 @@ def _ac_refine_block(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
     return eobrun
 
 
-def _reconstruct_progressive(frame, coefstore, qts):
-    h, w, comps = frame
-    planes = []
-    for cid, _hh, _vv, tq in comps:
-        zz = coefstore[cid]                     # (bh, bw, 64)
-        bh, bw = zz.shape[:2]
-        coef = np.zeros((bh, bw, 8, 8))
-        coef[:, :, _ZZ_ROWS, _ZZ_COLS] = zz
-        coef *= qts[tq]                         # broadcast dequantize
-        blocks = np.einsum("ij,xyjk,kl->xyil", _C.T, coef, _C) + 128.0
-        planes.append(
-            blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w])
-    return _planes_to_image(planes)
+# progressive reconstruction is the same dequant/IDCT tail (progressive
+# frames here are 4:4:4, the general path degenerates to a crop)
 
 
 # -- progressive encoder (test-payload generator) ----------------------

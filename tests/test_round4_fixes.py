@@ -174,21 +174,32 @@ def test_jpeg_sof2_without_scans_raises():
         decode_jpeg(bytes(out))
 
 
-def test_jpeg_non_interleaved_baseline_routes_to_pil():
-    """A baseline SOS covering fewer components than the frame (T.81
-    A.2.2 non-interleaved layout) must raise NotImplementedError, not
-    misdecode with MCU geometry."""
+def test_jpeg_non_interleaved_baseline_decodes_exactly():
+    """T.81 A.2.2 non-interleaved layout (one SOS per component, raster
+    block order over the component's native grid) decodes bit-exactly
+    like the interleaved stream of the same coefficients — including
+    subsampled layouts; partial multi-component scans still route to
+    PIL."""
     import numpy as np
 
     from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
 
+    rng = np.random.default_rng(5)
+    for shape, ss in [((16, 16, 3), "4:4:4"), ((24, 40, 3), "4:2:0"),
+                      ((17, 13, 3), "4:2:2"), ((9, 11, 3), "4:2:0")]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        inter = decode_jpeg(encode_jpeg(img, quality=85, subsampling=ss))
+        nonint = decode_jpeg(encode_jpeg(img, quality=85, subsampling=ss,
+                                         non_interleaved=True))
+        assert np.array_equal(inter, nonint), (shape, ss)
+
+    # a 2-of-3-component scan header is the one layout still unhandled
     enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
     sos = enc.index(b"\xff\xda")
-    # shrink the scan header to a single component: ns=1, comp 1 only
     old_len = 2 + 1 + 6 + 3   # len(2) + ns + 3 comps x 2 + Ss/Se/AhAl
-    new_body = bytes([0, 8, 1, 1, 0x00, 0, 63, 0])
+    new_body = bytes([0, 10, 2, 1, 0x00, 2, 0x00, 0, 63, 0])
     enc[sos + 2:sos + 2 + old_len] = new_body
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(NotImplementedError, match="partial multi-component"):
         decode_jpeg(bytes(enc))
 
 
