@@ -77,6 +77,7 @@ import org.apache.spark.sql.connector.write.DataWriterFactory;
 import org.apache.spark.sql.connector.write.LogicalWriteInfo;
 import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
 import org.apache.spark.sql.connector.write.Write;
+import org.apache.spark.sql.connector.write.SupportsTruncate;
 import org.apache.spark.sql.connector.write.WriteBuilder;
 import org.apache.spark.sql.connector.write.WriterCommitMessage;
 import org.apache.spark.sql.types.DataType;
@@ -351,7 +352,7 @@ public class SnapshotCatalog implements TableCatalog {
     public Set<TableCapability> capabilities() {
       return Collections.unmodifiableSet(
           EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-              TableCapability.STREAMING_WRITE));
+              TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE));
     }
 
     @Override
@@ -362,20 +363,46 @@ public class SnapshotCatalog implements TableCatalog {
     @Override
     public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
       final Path tableDir = dir;
-      return new WriteBuilder() {
-        @Override
-        public Write build() {
-          return new Write() {
-            @Override
-            public BatchWrite toBatch() {
-              return new SnapBatchWrite(tableDir, info.schema());
-            }
+      // SupportsTruncate routes INSERT OVERWRITE / overwrite(lit(true))
+      // here: the commit publishes one REPLACING snapshot (new data
+      // only, parent chain intact) — the write-path primitive that
+      // compaction (read table -> INSERT OVERWRITE itself) rides on.
+      return new SnapWriteBuilder(tableDir, info);
+    }
+  }
 
-            @Override
-            public org.apache.spark.sql.connector.write.streaming.StreamingWrite toStreaming() {
-              return new SnapStreamingWrite(tableDir, info.schema(), info.queryId());
-            }
-          };
+  static class SnapWriteBuilder implements WriteBuilder, SupportsTruncate {
+    private final Path tableDir;
+    private final LogicalWriteInfo info;
+    private boolean replace = false;
+
+    SnapWriteBuilder(Path tableDir, LogicalWriteInfo info) {
+      this.tableDir = tableDir;
+      this.info = info;
+    }
+
+    @Override
+    public WriteBuilder truncate() {
+      this.replace = true;
+      return this;
+    }
+
+    @Override
+    public Write build() {
+      final boolean rep = replace;
+      return new Write() {
+        @Override
+        public BatchWrite toBatch() {
+          return new SnapBatchWrite(tableDir, info.schema(), rep);
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.streaming.StreamingWrite toStreaming() {
+          if (rep) {
+            throw new UnsupportedOperationException(
+                "streaming truncate/overwrite is not supported");
+          }
+          return new SnapStreamingWrite(tableDir, info.schema(), info.queryId());
         }
       };
     }
@@ -387,10 +414,16 @@ public class SnapshotCatalog implements TableCatalog {
     private final Path tableDir;
     private final StructType schema;
     private final String dataDirRel;
+    private final boolean replace;
 
     SnapBatchWrite(Path tableDir, StructType schema) {
+      this(tableDir, schema, false);
+    }
+
+    SnapBatchWrite(Path tableDir, StructType schema, boolean replace) {
       this.tableDir = tableDir;
       this.schema = schema;
+      this.replace = replace;
       this.dataDirRel = "data/snap-" + UUID.randomUUID().toString().replace("-", "");
     }
 
@@ -417,9 +450,12 @@ public class SnapshotCatalog implements TableCatalog {
       metrics.put("rows", rows);
       metrics.put("files", (long) committed.size());
       writeSchemaSidecar(tableDir.resolve(dataDirRel), schema);
+      if (replace) {
+        metrics.put("operation", "replace");
+      }
       // record the committed FILES, not just the dir: a crashed task
       // attempt's orphan .bin in the same dir must never be scanned
-      ManifestLog.commit(tableDir, dataDirRel, metrics, null, committed);
+      ManifestLog.commit(tableDir, dataDirRel, metrics, null, committed, replace);
     }
 
     @Override
@@ -1266,6 +1302,16 @@ public class SnapshotCatalog implements TableCatalog {
      */
     static void commit(Path tableDir, String newDataDir, Map<String, Object> metrics,
         Map<String, String> extras, List<String> newFiles) {
+      commit(tableDir, newDataDir, metrics, extras, newFiles, false);
+    }
+
+    /** ``replace=true`` publishes a snapshot whose live data is ONLY
+     * the new dir/files (parent chain intact — old versions stay
+     * readable for time travel): the INSERT OVERWRITE / compaction
+     * commit. Serializable like appends: the loser of a publish race
+     * retries on top of the new latest. */
+    static void commit(Path tableDir, String newDataDir, Map<String, Object> metrics,
+        Map<String, String> extras, List<String> newFiles, boolean replace) {
       Path meta = metaDir(tableDir);
       try {
         Files.createDirectories(meta);
@@ -1280,8 +1326,10 @@ public class SnapshotCatalog implements TableCatalog {
         if (parentVersion > 0) {
           String parent = readManifest(tableDir, parentVersion);
           parentId = stringField(parent, "snapshot_id");
-          dirs.addAll(dataDirs(parent));
-          files.addAll(dataFiles(parent));
+          if (!replace) {
+            dirs.addAll(dataDirs(parent));
+            files.addAll(dataFiles(parent));
+          }
         }
         dirs.add(newDataDir);
         if (newFiles != null) {
@@ -1338,7 +1386,12 @@ public class SnapshotCatalog implements TableCatalog {
           sb.append(", ");
         }
         first = false;
-        sb.append('"').append(e.getKey()).append("\": ").append(e.getValue());
+        sb.append('"').append(e.getKey()).append("\": ");
+        if (e.getValue() instanceof Number) {
+          sb.append(e.getValue());
+        } else {
+          sb.append('"').append(e.getValue()).append('"');
+        }
       }
       sb.append("},\n");
       sb.append(" \"parent_id\": ")

@@ -412,3 +412,64 @@ def test_alter_table_nested_add_column(spark):
     # filter through the evolved nested field across both layouts
     assert {r["id"] for r in spark.table(table).where("s.c IS NULL").collect()} \
         == {0, 1, 2}
+
+
+def test_insert_overwrite_commits_replacing_snapshot(spark):
+    """INSERT OVERWRITE through the DSv2 write path: one REPLACING
+    snapshot (only the new data live, parent chain intact), previous
+    versions still readable by time travel."""
+    _require_catalog(spark)
+    table = "snap.ns.overwrite_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, v STRING)")
+    spark.range(3).selectExpr("id", "concat('a', id) AS v").writeTo(table).append()
+    spark.range(3, 5).selectExpr("id", "concat('a', id) AS v").writeTo(table).append()
+    assert spark.table(table).count() == 5
+
+    spark.sql(f"INSERT OVERWRITE TABLE {table} VALUES (100, 'x'), (101, 'y')")
+    rows = {r["id"]: r["v"] for r in spark.table(table).collect()}
+    assert rows == {100: "x", 101: "y"}
+
+    log = _table_log(spark, table)
+    hist = log.history()
+    assert [m["version"] for m in hist] == [1, 2, 3]
+    assert hist[2]["parent_id"] == hist[1]["snapshot_id"]
+    assert hist[2]["metrics"].get("operation") == "replace"
+    # time travel: version 2 still references the pre-overwrite data
+    # dirs, the replacing version 3 references ONLY its own, and the
+    # replaced .bin files remain on disk (expiry, not replace, deletes)
+    wh = _require_catalog(spark)
+    v2_dirs = set(log.history()[1]["data_dirs"])
+    v3_dirs = set(log.history()[2]["data_dirs"])
+    assert len(v2_dirs) == 2 and len(v3_dirs) == 1
+    assert not (v2_dirs & v3_dirs)
+    for d in v2_dirs:
+        assert os.path.isdir(os.path.join(wh, "ns", "overwrite_tbl", d))
+    # further appends stack on the replaced state
+    spark.range(200, 201).selectExpr("id", "'z' AS v").writeTo(table).append()
+    assert spark.table(table).count() == 3
+
+
+def test_compaction_through_the_write_path(spark):
+    """rewrite_data_files as a DSv2 write: read the (multi-file) table,
+    INSERT OVERWRITE it with a coalesced SELECT of itself — same rows,
+    one replacing snapshot, fewer planned files."""
+    _require_catalog(spark)
+    table = "snap.ns.compact_v2"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, payload STRING)")
+    for lo in (0, 1000, 2000):
+        (spark.range(lo, lo + 1000).selectExpr("id", "repeat('x', 10) AS payload")
+         .repartition(4).writeTo(table).append())
+    files_before = spark.table(table).rdd.getNumPartitions()
+    assert files_before >= 12
+
+    df = spark.table(table).repartition(1)
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {table} "
+        f"SELECT /*+ REPARTITION(1) */ id, payload FROM {table}")
+    assert spark.table(table).count() == 3000
+    assert spark.table(table).rdd.getNumPartitions() <= 2
+    hist = _table_log(spark, table).history()
+    assert hist[-1]["metrics"].get("operation") == "replace"
+    assert len(hist) == 4
