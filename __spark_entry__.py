@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never/least driver-verified first (r03 checked 50/70) ---
         "media_features": lambda s, d: multimodal.media_features_hist(_load(s, d, "documents")),
         "audio_meta": lambda s, d: multimodal.audio_metadata(_load(s, d, "documents")),
+        # framed DSP features (energy + zero crossings per 50ms frame)
+        "audio_features": lambda s, d: multimodal.audio_features(_load(s, d, "documents")),
         "lineage_report": _sink_query("lineage"),
         # interleaved-output QA: per-kind counts/volume, media-ref
         # integrity, order contiguity — the span-sequence contract as
@@ -452,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": multimodal.MEDIA_RESIZE_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "audio_meta": multimodal.AUDIO_META_SQL,
+        "audio_features": multimodal.AUDIO_FEATURES_SQL,
         "table_export_csv": TABLE_EXPORT_CSV_SQL,
         "parsing_report": PARSING_REPORT_SQL,
         "lineage_report": LINEAGE_REPORT_SQL,

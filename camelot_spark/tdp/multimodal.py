@@ -417,3 +417,77 @@ SELECT doc_id,
        CAST(COALESCE(list_sum(list_transform(pcm, x -> x * x)), 0) AS BIGINT) AS energy
 FROM s
 """
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_energy", LongType()),
+    StructField("zero_crossings", LongType()),
+])
+
+
+def audio_features(documents: DataFrame, frame_len: int = 400,
+                   sample_rate: int = 8000) -> DataFrame:
+    """Framed audio featurization — the classic windowed-DSP plan shape
+    (50 ms frames at 8 kHz with the defaults): per full frame of
+    ``frame_len`` samples, the energy (Σ sample², int64) and the
+    zero-crossing count (sign products < 0) — the features VAD /
+    speech-music discrimination pipelines start from, kept integer so
+    the DuckDB twin hash-matches.
+
+    Same decode seam as ``audio_metadata``: real RIFF payloads decode
+    as-is; synthetic payloads round-trip encode→decode through the
+    codec. Per-row framing is a numpy reshape inside the Arrow batch;
+    trailing partial frames are dropped (both engines)."""
+    from .wav_codec import WAV_MAGIC, decode_wav, encode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:4] == WAV_MAGIC:
+                    wav = bytes(payload)
+                else:
+                    pcm = (np.frombuffer(payload, dtype=np.uint8)
+                           .astype(np.int32) - 97) * 256
+                    pcm = np.clip(pcm, -32768, 32767)
+                    wav = encode_wav(pcm.astype("<i2"), sample_rate=sample_rate)
+                _, _, s = decode_wav(wav)
+                n_frames = s.size // frame_len
+                if n_frames == 0:
+                    continue
+                fr = s[:n_frames * frame_len].astype(np.int64) \
+                    .reshape(n_frames, frame_len)
+                energy = (fr * fr).sum(axis=1)
+                zc = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1)
+                for k in range(n_frames):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(k)
+                    out["frame_energy"].append(int(energy[k]))
+                    out["zero_crossings"].append(int(zc[k]))
+            yield pd.DataFrame(out)
+
+    return attach_fake_payload(documents).mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SQL = """
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(string_split(text, ''),
+                        c -> LEAST(GREATEST((CAST(ord(c) AS BIGINT) - 97) * 256,
+                                            -32768), 32767)) AS pcm
+  FROM documents),
+frames AS (
+  SELECT doc_id, CAST(k.k AS BIGINT) AS frame_idx,
+         pcm[CAST(k.k * 400 + 1 AS INTEGER):CAST(k.k * 400 + 400 AS INTEGER)] AS fr
+  FROM s, LATERAL unnest(range(0, len(pcm) // 400)) AS k(k))
+SELECT doc_id, frame_idx,
+       CAST(COALESCE(list_sum(list_transform(fr, x -> x * x)), 0) AS BIGINT)
+         AS frame_energy,
+       CAST(COALESCE(list_sum(list_transform(range(1, len(fr)),
+              i -> CASE WHEN fr[CAST(i AS INTEGER)] * fr[CAST(i + 1 AS INTEGER)] < 0
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+FROM frames
+"""

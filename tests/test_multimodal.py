@@ -607,3 +607,25 @@ class TestProgressiveJpeg:
         img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
         dec = decode_jpeg(encode_jpeg_progressive(img, quality=95))
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_audio_features_real_wav_payload(spark):
+    """Framed features over a real WAV payload: energy and zero
+    crossings computed from the actual decoded PCM per full frame,
+    trailing partial frame dropped."""
+    from camelot_spark.tdp.wav_codec import encode_wav
+
+    # 900 samples -> 2 full frames of 400, 100 trailing dropped
+    s = np.zeros(900, dtype=np.int64)
+    s[0:400:2], s[1:400:2] = 1000, -1000      # frame 0: alternating signs
+    s[400:800] = 500                          # frame 1: constant positive
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_wav(s.astype("<i2"), sample_rate=8000)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["frame_idx"]: r for r in mm.audio_features(df).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["zero_crossings"] == 399
+    assert rows[0]["frame_energy"] == 400 * 1000 * 1000
+    assert rows[1]["zero_crossings"] == 0
+    assert rows[1]["frame_energy"] == 400 * 500 * 500
