@@ -473,3 +473,53 @@ def test_compaction_through_the_write_path(spark):
     hist = _table_log(spark, table).history()
     assert hist[-1]["metrics"].get("operation") == "replace"
     assert len(hist) == 4
+
+
+def test_externally_recreated_table_does_not_inherit_epoch_state(spark, tmp_path):
+    """Cross-JVM drop simulation: the table directory is removed on
+    DISK (bypassing dropTable, so this JVM's cache invalidation never
+    runs), recreated, and batch-appended past the cached manifest
+    version before the stream replays. The chain-identity check (v1
+    snapshot_id) must reject the stale epoch cache and let the
+    replayed write through."""
+    import shutil
+
+    from camelot_spark.streaming import start_extraction_stream
+    from tests.test_streaming import _write_docs
+
+    table = "snap.ns.extdrop_v2"
+    wh = _require_catalog(spark)
+    tdir = os.path.join(wh, "ns", "extdrop_v2")
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    _write_docs(spark, [fx.doc_health("xd-1")], inp)
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    q = start_extraction_stream(spark, inp, table, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    assert spark.read.table(table).count() == 1
+
+    # "another JVM" drops + recreates: wipe the dir without dropTable
+    spark.catalog.clearCache()
+    shutil.rmtree(tdir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")   # clear catalog entry too
+    spark.sql(
+        "CREATE TABLE snap.ns.extdrop_v2 "
+        "(doc_id STRING, spans ARRAY<STRUCT<kind: STRING, text: STRING, "
+        "media_ref: STRING, `order`: INT>>, n_tables INT, accuracy DOUBLE, "
+        "whitespace DOUBLE, tables ARRAY<STRUCT<`order`: INT, accuracy: DOUBLE, "
+        "whitespace: DOUBLE, nrows: INT, ncols: INT, x0: DOUBLE, y0: DOUBLE, "
+        "x1: DOUBLE, y1: DOUBLE>>, lineage STRUCT<partition_id: INT, "
+        "kernel_version: STRING, salt: INT, attempt: INT, elapsed_us: BIGINT, "
+        "n_input_spans: INT, error: STRING, flavor: STRING>)")
+    # grow the NEW chain past the cached scan top with empty appends
+    empty = spark.read.table(table).limit(0)
+    for _ in range(3):
+        empty.writeTo(table).append()
+
+    # replay epoch 0 from the same checkpoint (same queryId)
+    for sub in ("commits", "offsets", "sources", "state"):
+        shutil.rmtree(os.path.join(ckpt, sub), ignore_errors=True)
+    q = start_extraction_stream(spark, inp, table, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    assert spark.read.table(table).count() == 1, \
+        "replayed epoch write was skipped by a stale cross-JVM epoch cache"
