@@ -17,8 +17,10 @@ general MCU geometry (h_i x v_i blocks per component per MCU) with
 box-average-encoded chroma replicated back up at reconstruction.
 **Non-interleaved baseline** layouts (one SOS per component, A.2.2)
 accumulate a coefficient store per scan and reconstruct at EOI.
-Sampling factors above 2, partial multi-component scans, and
-subsampled progressive streams raise NotImplementedError — PIL, when
+**Progressive subsampled** streams decode too (interleaved DC scans
+over the MCU geometry, single-component DC/AC scans over native
+grids), as do sampling factors up to 4 (4:1:1). Only partial
+multi-component scans raise NotImplementedError — PIL, when
 installed, takes priority in ``decode_image`` and covers those.
 
 Encoder (the in-test payload generator): grayscale or 4:4:4 YCbCr,
@@ -253,6 +255,7 @@ _SUBSAMPLING = {
     "4:4:4": None,
     "4:2:2": [(2, 1), (1, 1), (1, 1)],
     "4:2:0": [(2, 2), (1, 1), (1, 1)],
+    "4:1:1": [(4, 1), (1, 1), (1, 1)],
 }
 
 
@@ -453,18 +456,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, tq = body[6 + c * 3:9 + c * 3]
                 hi, vi = samp >> 4, samp & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
-                    raise NotImplementedError("sampling factors > 2 need PIL")
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                    # the MCU geometry below is general, but T.81 only
+                    # defines factors 1-4 and non-power-of-two ratios
+                    # would break the box-average/replicate pairing
+                    raise NotImplementedError(
+                        "sampling factors must be 1, 2 or 4")
                 comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
             progressive = marker == 0xC2
             if progressive:
-                if any(hi != 1 or vi != 1 for _, hi, vi, _ in comps):
-                    raise NotImplementedError(
-                        "subsampled progressive JPEG needs PIL")
-                bh, bw = -(-h // 8), -(-w // 8)
-                coefstore = {cid: np.zeros((bh, bw, 64), dtype=np.int64)
-                             for cid, _, _, _ in comps}
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                coefstore = {cid: np.zeros((my * vv, mx * hh, 64),
+                                           dtype=np.int64)
+                             for cid, hh, vv, _ in comps}
         elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(
                 "lossless/arithmetic/hierarchical JPEG needs PIL")
@@ -673,47 +680,78 @@ def _next_marker(payload: bytes, pos: int) -> int:
     return n
 
 
+def _native_block_grid(frame, cid):
+    """(bh_i, bw_i): the component's non-interleaved block grid —
+    ceil of its NATIVE pixel dims over 8 (A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, hh, vv, _ = next(c for c in comps if c[0] == cid)
+    native_h = -(-h * vv // vmax)
+    native_w = -(-w * hh // hmax)
+    return -(-native_h // 8), -(-native_w // 8)
+
+
 def _decode_progressive_scan(payload, pos, frame, scan, huff, coefstore,
                              ss, se, ah, al, restart_interval):
     """Decode ONE progressive SOS into the coefficient store; returns
-    the stream position of the next marker. Four scan kinds: DC
-    first/refine (interleaved allowed), AC first/refine (single
-    component, G.1.2.2/G.1.2.3)."""
+    the stream position of the next marker. Scan kinds: DC first/refine
+    (interleaved over the MCU geometry, or single-component over the
+    native grid), AC first/refine (single component, native grid,
+    G.1.2.2/G.1.2.3)."""
     h, w, comps = frame
-    bh, bw = -(-h // 8), -(-w // 8)
+    bycid = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     reader = _BitReader(payload, pos)
     if ss == 0 and se != 0:
         raise ValueError("invalid progressive scan: DC scan requires Se=0")
-    if ss == 0:  # -------------------------------------------- DC scan
+    if ss == 0 and len(scan) > 1:  # ------- interleaved DC scan (MCUs)
+        if len(scan) != len(comps):
+            raise NotImplementedError(
+                "partial multi-component progressive scans need PIL")
         prev_dc = [0] * len(scan)
         mcu = 0
-        for by in range(bh):
-            for bx in range(bw):
+        for myi in range(my):
+            for mxi in range(mx):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     reader.align_restart()
                     prev_dc = [0] * len(scan)
                 for ci, (cid, tsel) in enumerate(scan):
-                    blk = coefstore[cid][by, bx]
-                    if ah == 0:  # first pass: diff-coded, shifted left al
-                        s = _huff_decode(reader, huff[(0, tsel >> 4)])
-                        diff = _extend(reader.bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        blk[0] = prev_dc[ci] << al
-                    else:        # refinement: one bit, OR into bit al
-                        if reader.bits(1):
-                            blk[0] |= (1 << al)
+                    _, hh, vv, _tq = bycid[cid]
+                    for byy in range(vv):
+                        for bxx in range(hh):
+                            blk = coefstore[cid][myi * vv + byy,
+                                                 mxi * hh + bxx]
+                            prev_dc[ci] = _dc_progressive_one(
+                                reader, huff, tsel, blk, ah, al,
+                                prev_dc[ci])
                 mcu += 1
         return _next_marker(payload, reader.pos)
-    # ------------------------------------------------------- AC scan
+    # -------- single-component scan (DC or AC) over the native grid
     if len(scan) != 1:
         raise ValueError("progressive AC scan must be single-component")
     cid, tsel = scan[0]
-    ac_tbl = huff[(1, tsel & 0x0F)]
+    bh_i, bw_i = _native_block_grid(frame, cid)
     store = coefstore[cid]
+    if ss == 0:
+        dc = 0
+        blkno = 0
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                if restart_interval and blkno and blkno % restart_interval == 0:
+                    reader.align_restart()
+                    dc = 0
+                blkno += 1
+                dc = _dc_progressive_one(reader, huff, tsel, store[by, bx],
+                                         ah, al, dc)
+        return _next_marker(payload, reader.pos)
+    ac_tbl = huff[(1, tsel & 0x0F)]
     eobrun = 0
     blkno = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for by in range(bh_i):
+        for bx in range(bw_i):
             if restart_interval and blkno and blkno % restart_interval == 0:
                 reader.align_restart()
                 eobrun = 0
@@ -726,6 +764,18 @@ def _decode_progressive_scan(payload, pos, frame, scan, huff, coefstore,
                 eobrun = _ac_refine_block(reader, ac_tbl, blk, ss, se, al,
                                           eobrun)
     return _next_marker(payload, reader.pos)
+
+
+def _dc_progressive_one(reader, huff, tsel, blk, ah, al, dc_pred):
+    if ah == 0:  # first pass: diff-coded, shifted left al
+        s = _huff_decode(reader, huff[(0, tsel >> 4)])
+        diff = _extend(reader.bits(s), s) if s else 0
+        dc_pred += diff
+        blk[0] = dc_pred << al
+    else:        # refinement: one bit, OR into bit al
+        if reader.bits(1):
+            blk[0] |= (1 << al)
+    return dc_pred
 
 
 def _ac_first_block(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
@@ -810,41 +860,55 @@ def _sos_header(comps_sel, ss, se, ah, al) -> bytes:
     return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
 
-def _enc_dc_first(zzs, al: int) -> bytes:
+def _enc_dc_first(zzs, al: int, factors=None) -> bytes:
     w = _BitWriter()
-    bh, bw = zzs[0].shape[:2]
+    if factors is None:
+        factors = [(1, 1)] * len(zzs)
+    my = zzs[0].shape[0] // factors[0][1]
+    mx = zzs[0].shape[1] // factors[0][0]
     prev_dc = [0] * len(zzs)
-    for by in range(bh):
-        for bx in range(bw):
+    for myi in range(my):
+        for mxi in range(mx):
             for ci, zz in enumerate(zzs):
-                v = int(zz[by, bx, 0]) >> al   # arithmetic shift (A.4)
-                diff = v - prev_dc[ci]
-                prev_dc[ci] = v
-                s = _category(diff)
-                code, ln = _DC_ENC[s]
-                w.put(code, ln)
-                if s:
-                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                hh, vv = factors[ci]
+                for byy in range(vv):
+                    for bxx in range(hh):
+                        v = int(zz[myi * vv + byy, mxi * hh + bxx, 0]) >> al
+                        diff = v - prev_dc[ci]   # arithmetic shift (A.4)
+                        prev_dc[ci] = v
+                        s = _category(diff)
+                        code, ln = _DC_ENC[s]
+                        w.put(code, ln)
+                        if s:
+                            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
     w.flush()
     return bytes(w.buf)
 
 
-def _enc_dc_refine(zzs, al: int) -> bytes:
+def _enc_dc_refine(zzs, al: int, factors=None) -> bytes:
     w = _BitWriter()
-    bh, bw = zzs[0].shape[:2]
-    for by in range(bh):
-        for bx in range(bw):
-            for zz in zzs:
-                w.put((int(zz[by, bx, 0]) >> al) & 1, 1)
+    if factors is None:
+        factors = [(1, 1)] * len(zzs)
+    my = zzs[0].shape[0] // factors[0][1]
+    mx = zzs[0].shape[1] // factors[0][0]
+    for myi in range(my):
+        for mxi in range(mx):
+            for ci, zz in enumerate(zzs):
+                hh, vv = factors[ci]
+                for byy in range(vv):
+                    for bxx in range(hh):
+                        w.put((int(zz[myi * vv + byy, mxi * hh + bxx, 0])
+                               >> al) & 1, 1)
     w.flush()
     return bytes(w.buf)
 
 
-def _enc_ac_first(zz, ss: int, se: int, al: int) -> bytes:
+def _enc_ac_first(zz, ss: int, se: int, al: int, grid=None) -> bytes:
     """G.1.2.2: run-length coding of the point-transformed band with
-    cross-block EOB-run accumulation."""
+    cross-block EOB-run accumulation. ``grid`` bounds the block raster
+    to the component's NATIVE grid (non-interleaved AC scans)."""
     w = _BitWriter()
-    bh, bw = zz.shape[:2]
+    bh, bw = grid if grid is not None else zz.shape[:2]
     eobrun = 0
 
     def flush_eobrun():
@@ -887,13 +951,13 @@ def _enc_ac_first(zz, ss: int, se: int, al: int) -> bytes:
     return bytes(w.buf)
 
 
-def _enc_ac_refine(zz, ss: int, se: int, al: int) -> bytes:
+def _enc_ac_refine(zz, ss: int, se: int, al: int, grid=None) -> bytes:
     """G.1.2.3 refinement: newly-significant coefficients coded as
     (run, 1) + sign, already-significant ones contribute buffered
     correction bits associated with the next symbol or EOB run (cf.
     libjpeg encode_mcu_AC_refine — independently re-derived)."""
     w = _BitWriter()
-    bh, bw = zz.shape[:2]
+    bh, bw = grid if grid is not None else zz.shape[:2]
     eobrun = 0
     bebuf: list[int] = []   # correction bits owed to the pending EOB run
 
@@ -957,30 +1021,45 @@ def _enc_ac_refine(zz, ss: int, se: int, al: int) -> bytes:
     return bytes(w.buf)
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
-    """Progressive (SOF2) JPEG bytes, 4:4:4 — same quantized
-    coefficients as ``encode_jpeg``, delivered as a spectral-selection
-    + successive-approximation scan script (DC first at Al=1, AC bands
-    1-5 and 6-63 at Al=1, then DC/AC refinement to Al=0), so
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
+                            subsampling: str = "4:4:4") -> bytes:
+    """Progressive (SOF2) JPEG bytes — same quantized coefficients as
+    ``encode_jpeg`` (any ``subsampling``), delivered as a spectral-
+    selection + successive-approximation scan script (DC first at Al=1,
+    AC bands 1-5 and 6-63 at Al=1, then DC/AC refinement to Al=0), so
     ``decode_jpeg`` must reproduce the baseline decode EXACTLY."""
-    zzs, qts, gray, h, w = _forward_blocks(arr, quality)
-    out = _headers(0xC2, zzs, qts, gray, h, w, _ACP_BITS, _ACP_VALS)
+    arr = np.asarray(arr, dtype=np.uint8)
+    factors = None if arr.ndim == 2 else _SUBSAMPLING[subsampling]
+    zzs, qts, gray, h, w = _forward_blocks(arr, quality, factors=factors)
     nc = len(zzs)
+    if factors is None:
+        factors = [(1, 1)] * nc
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    def grid(c):
+        hh, vv = factors[c]
+        native_h = -(-h * vv // vmax)
+        native_w = -(-w * hh // hmax)
+        return -(-native_h // 8), -(-native_w // 8)
+
+    out = _headers(0xC2, zzs, qts, gray, h, w, _ACP_BITS, _ACP_VALS,
+                   factors=factors)
     all_comps = [(c + 1, 0x00) for c in range(nc)]
     bands = ((1, 5), (6, 63))
     # first passes at Al=1
     out += _sos_header(all_comps, 0, 0, 0, 1)
-    out += _enc_dc_first(zzs, al=1)
+    out += _enc_dc_first(zzs, al=1, factors=factors)
     for c in range(nc):
         for ss, se in bands:
             out += _sos_header([(c + 1, 0x00)], ss, se, 0, 1)
-            out += _enc_ac_first(zzs[c], ss, se, 1)
+            out += _enc_ac_first(zzs[c], ss, se, 1, grid=grid(c))
     # refinement passes to Al=0
     out += _sos_header(all_comps, 0, 0, 1, 0)
-    out += _enc_dc_refine(zzs, al=0)
+    out += _enc_dc_refine(zzs, al=0, factors=factors)
     for c in range(nc):
         for ss, se in bands:
             out += _sos_header([(c + 1, 0x00)], ss, se, 1, 0)
-            out += _enc_ac_refine(zzs[c], ss, se, 0)
+            out += _enc_ac_refine(zzs[c], ss, se, 0, grid=grid(c))
     out += b"\xff\xd9"  # EOI
     return bytes(out)

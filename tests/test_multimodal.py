@@ -242,16 +242,17 @@ class TestJpegCodec:
         with pytest.raises(ValueError, match="progressive"):
             decode_jpeg(bytes(enc))
 
-    def test_sampling_factor_above_two_raises_not_implemented(self):
-        """4:2:0/4:2:2 decode natively now; factors > 2 (e.g. 4:1:1)
-        still route to PIL."""
+    def test_non_power_of_two_sampling_factor_rejected(self):
+        """Factors 1/2/4 decode natively; a non-power-of-two factor
+        (3) would break the box-average/replicate pairing and must
+        route to PIL."""
         from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
 
         enc = bytearray(encode_jpeg(self._smooth(8, 8, color=True)))
         sof = enc.index(b"\xff\xc0")
         # component 0 sampling byte: marker(2) + len(2) + prec/h/w/nc(6)
-        # + cid(1) -> sampling at sof+11; set 4x1
-        enc[sof + 11] = 0x41
+        # + cid(1) -> sampling at sof+11; set 3x1
+        enc[sof + 11] = 0x31
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(enc))
 
@@ -629,3 +630,27 @@ def test_audio_features_real_wav_payload(spark):
     assert rows[0]["frame_energy"] == 400 * 1000 * 1000
     assert rows[1]["zero_crossings"] == 0
     assert rows[1]["frame_energy"] == 400 * 500 * 500
+
+
+def test_progressive_subsampled_and_411_match_baseline():
+    """Round-4 closing coverage: progressive scans over SUBSAMPLED
+    frames (interleaved DC over MCU geometry, single-component AC over
+    native grids) and 4:1:1 sampling decode bit-exactly like their
+    baseline twins."""
+    from camelot_spark.tdp.jpeg_codec import (decode_jpeg, encode_jpeg,
+                                              encode_jpeg_progressive)
+
+    rng = np.random.RandomState(11)
+    for shape, ss in [((24, 40, 3), "4:2:0"), ((17, 29, 3), "4:2:2"),
+                      ((9, 35, 3), "4:1:1"), ((23, 23, 3), "4:2:0")]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=ss))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=85,
+                                                   subsampling=ss))
+        assert np.array_equal(prog, base), (shape, ss)
+    # 4:1:1 baseline: gray-valued RGB matches 4:4:4 exactly
+    g = rng.randint(0, 256, (16, 64)).astype(np.uint8)
+    grgb = np.stack([g, g, g], axis=-1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(grgb, quality=90, subsampling="4:1:1")),
+        decode_jpeg(encode_jpeg(grgb, quality=90)))
