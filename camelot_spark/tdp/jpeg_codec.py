@@ -18,10 +18,11 @@ box-average-encoded chroma replicated back up at reconstruction.
 **Non-interleaved baseline** layouts (one SOS per component, A.2.2)
 accumulate a coefficient store per scan and reconstruct at EOI.
 **Progressive subsampled** streams decode too (interleaved DC scans
-over the MCU geometry, single-component DC/AC scans over native
-grids), as do sampling factors up to 4 (4:1:1). Only partial
-multi-component scans raise NotImplementedError — PIL, when
-installed, takes priority in ``decode_image`` and covers those.
+over the MCU geometry — full OR component subsets — and
+single-component DC/AC scans over native grids), as do sampling
+factors up to 4 (4:1:1) and baseline subset-interleaved scans. Only
+non-power-of-two sampling factors raise NotImplementedError — PIL,
+when installed, takes priority in ``decode_image`` and covers those.
 
 Encoder (the in-test payload generator): grayscale or 4:4:4 YCbCr,
 quality-scaled quant table, and — deliberately — canonical Huffman
@@ -262,7 +263,8 @@ _SUBSAMPLING = {
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 restart_interval: int = 0,
                 subsampling: str = "4:4:4",
-                non_interleaved: bool = False) -> bytes:
+                non_interleaved: bool = False,
+                split_scans: bool = False) -> bytes:
     """Baseline JPEG bytes from a (h, w) grayscale or (h, w, 3) RGB
     uint8 array. ``subsampling`` picks the chroma layout for color
     images ('4:4:4', '4:2:2', '4:2:0' — box-average downsample);
@@ -282,6 +284,37 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
+    if split_scans and nc > 1:
+        # luma alone (non-interleaved) + chroma subset (interleaved
+        # MCU walk) — exercises the decoder's subset-scan path
+        hh, vv = factors[0]
+        native_h = -(-h * vv // vmax)
+        native_w = -(-w * hh // hmax)
+        out += _sos_header([(1, 0x00)], 0, 63, 0, 0)
+        writer = _BitWriter()
+        dc = 0
+        for by in range(-(-native_h // 8)):
+            for bx in range(-(-native_w // 8)):
+                dc = _encode_block(writer, zzs[0][by, bx], dc)
+        writer.flush()
+        out += writer.buf
+        mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        out += _sos_header([(c + 1, 0x00) for c in range(1, nc)], 0, 63, 0, 0)
+        writer = _BitWriter()
+        prev = [0] * nc
+        for myi in range(my):
+            for mxi in range(mx):
+                for ci in range(1, nc):
+                    chh, cvv = factors[ci]
+                    for byy in range(cvv):
+                        for bxx in range(chh):
+                            prev[ci] = _encode_block(
+                                writer, zzs[ci][myi * cvv + byy, mxi * chh + bxx],
+                                prev[ci])
+        writer.flush()
+        out += writer.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     if non_interleaved and nc > 1:
         # one SOS per component, raster block order over the
         # component's NATIVE grid (T.81 A.2.2) — same coefficients as
@@ -488,14 +521,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     # decode straight to pixels
                     return _decode_scan(payload, pos, frame, scan, qts,
                                         huff, restart_interval)
-                if ns != 1:
-                    # partial multi-component scans are not a layout
-                    # T.81 baseline defines meaningfully for us
-                    raise NotImplementedError(
-                        "partial multi-component baseline scans need PIL")
-                # non-interleaved layout (A.2.2): one scan per
-                # component, raster block order over the component's
-                # native grid — accumulate coefficients, IDCT at EOI
+                # multi-scan layouts (A.2.2): ns==1 scans walk the
+                # component's native grid; ns>1 subset scans walk the
+                # MCU geometry over just the scan's components —
+                # accumulate coefficients, IDCT at EOI
                 if not coefstore:
                     h, w, comps = frame
                     hmax = max(c[1] for c in comps)
@@ -504,9 +533,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     coefstore = {
                         cid: np.zeros((my * vv, mx * hh, 64), dtype=np.int64)
                         for cid, hh, vv, _ in comps}
-                pos = _decode_baseline_noninterleaved_scan(
-                    payload, pos, frame, scan, huff, coefstore,
-                    restart_interval)
+                if ns == 1:
+                    pos = _decode_baseline_noninterleaved_scan(
+                        payload, pos, frame, scan, huff, coefstore,
+                        restart_interval)
+                else:
+                    pos = _decode_baseline_interleaved_to_store(
+                        payload, pos, frame, scan, huff, coefstore,
+                        restart_interval)
                 saw_scan = True
                 continue
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
@@ -635,6 +669,38 @@ def _decode_baseline_noninterleaved_scan(payload, pos, frame, scan, huff,
     return _next_marker(payload, reader.pos)
 
 
+def _decode_baseline_interleaved_to_store(payload, pos, frame, scan, huff,
+                                          coefstore, restart_interval):
+    """One interleaved baseline scan (all components or a subset) into
+    the coefficient store: MCU walk over the scan's components with
+    h_i x v_i blocks each (A.2.3). Returns the next-marker position."""
+    h, w, comps = frame
+    bycid = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    reader = _BitReader(payload, pos)
+    prev_dc = [0] * len(scan)
+    mcu = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.align_restart()
+                prev_dc = [0] * len(scan)
+            for ci, (cid, tsel) in enumerate(scan):
+                _, hh, vv, _tq = bycid[cid]
+                dc_tbl = huff[(0, tsel >> 4)]
+                ac_tbl = huff[(1, tsel & 0x0F)]
+                store = coefstore[cid]
+                for byy in range(vv):
+                    for bxx in range(hh):
+                        zz, prev_dc[ci] = _decode_block_zz(
+                            reader, dc_tbl, ac_tbl, prev_dc[ci])
+                        store[myi * vv + byy, mxi * hh + bxx] = zz
+            mcu += 1
+    return _next_marker(payload, reader.pos)
+
+
 def _reconstruct_frame(frame, coefstore, qts):
     """Dequantize + batched IDCT of a per-component coefficient store,
     with subsampled components replicated back up — shared tail of the
@@ -708,9 +774,8 @@ def _decode_progressive_scan(payload, pos, frame, scan, huff, coefstore,
     if ss == 0 and se != 0:
         raise ValueError("invalid progressive scan: DC scan requires Se=0")
     if ss == 0 and len(scan) > 1:  # ------- interleaved DC scan (MCUs)
-        if len(scan) != len(comps):
-            raise NotImplementedError(
-                "partial multi-component progressive scans need PIL")
+        # a SUBSET of components is legal too (A.2.3): the MCU walk
+        # covers just the scan's components with their own factors
         prev_dc = [0] * len(scan)
         mcu = 0
         for myi in range(my):
@@ -1021,8 +1086,60 @@ def _enc_ac_refine(zz, ss: int, se: int, al: int, grid=None) -> bytes:
     return bytes(w.buf)
 
 
+def _enc_dc_scan(zzs_sel, factors_sel, grids_sel, al: int,
+                 first: bool) -> bytes:
+    """Entropy bits for one progressive DC scan over SELECTED
+    components: native-grid raster when single-component
+    (non-interleaved by definition), MCU walk when several."""
+    w = _BitWriter()
+    if len(zzs_sel) == 1:
+        zz = zzs_sel[0]
+        bh, bw = grids_sel[0]
+        dc = 0
+        for by in range(bh):
+            for bx in range(bw):
+                v = int(zz[by, bx, 0])
+                if first:
+                    t = v >> al
+                    diff = t - dc
+                    dc = t
+                    sz = _category(diff)
+                    code, ln = _DC_ENC[sz]
+                    w.put(code, ln)
+                    if sz:
+                        w.put(diff if diff >= 0 else diff + (1 << sz) - 1, sz)
+                else:
+                    w.put((v >> al) & 1, 1)
+    else:
+        my = zzs_sel[0].shape[0] // factors_sel[0][1]
+        mx = zzs_sel[0].shape[1] // factors_sel[0][0]
+        prev = [0] * len(zzs_sel)
+        for myi in range(my):
+            for mxi in range(mx):
+                for ci, zz in enumerate(zzs_sel):
+                    hh, vv = factors_sel[ci]
+                    for byy in range(vv):
+                        for bxx in range(hh):
+                            v = int(zz[myi * vv + byy, mxi * hh + bxx, 0])
+                            if first:
+                                t = v >> al
+                                diff = t - prev[ci]
+                                prev[ci] = t
+                                sz = _category(diff)
+                                code, ln = _DC_ENC[sz]
+                                w.put(code, ln)
+                                if sz:
+                                    w.put(diff if diff >= 0
+                                          else diff + (1 << sz) - 1, sz)
+                            else:
+                                w.put((v >> al) & 1, 1)
+    w.flush()
+    return bytes(w.buf)
+
+
 def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
-                            subsampling: str = "4:4:4") -> bytes:
+                            subsampling: str = "4:4:4",
+                            dc_split: bool = False) -> bytes:
     """Progressive (SOF2) JPEG bytes — same quantized coefficients as
     ``encode_jpeg`` (any ``subsampling``), delivered as a spectral-
     selection + successive-approximation scan script (DC first at Al=1,
@@ -1045,18 +1162,33 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
 
     out = _headers(0xC2, zzs, qts, gray, h, w, _ACP_BITS, _ACP_VALS,
                    factors=factors)
-    all_comps = [(c + 1, 0x00) for c in range(nc)]
     bands = ((1, 5), (6, 63))
+    if dc_split and nc > 1:
+        # luma-alone + chroma-subset DC scans (the common libjpeg
+        # "split DC" script shape) — exercises single-component and
+        # SUBSET interleaved DC decode paths
+        dc_groups = [[0], list(range(1, nc))]
+    else:
+        dc_groups = [list(range(nc))]
+
+    def dc_scan(group, al, first):
+        hdr = _sos_header([(c + 1, 0x00) for c in group], 0, 0,
+                          0 if first else 1, al)
+        bits = _enc_dc_scan([zzs[c] for c in group],
+                            [factors[c] for c in group],
+                            [grid(c) for c in group], al, first)
+        return hdr + bits
+
     # first passes at Al=1
-    out += _sos_header(all_comps, 0, 0, 0, 1)
-    out += _enc_dc_first(zzs, al=1, factors=factors)
+    for group in dc_groups:
+        out += dc_scan(group, 1, True)
     for c in range(nc):
         for ss, se in bands:
             out += _sos_header([(c + 1, 0x00)], ss, se, 0, 1)
             out += _enc_ac_first(zzs[c], ss, se, 1, grid=grid(c))
     # refinement passes to Al=0
-    out += _sos_header(all_comps, 0, 0, 1, 0)
-    out += _enc_dc_refine(zzs, al=0, factors=factors)
+    for group in dc_groups:
+        out += dc_scan(group, 0, False)
     for c in range(nc):
         for ss, se in bands:
             out += _sos_header([(c + 1, 0x00)], ss, se, 1, 0)

@@ -654,3 +654,21 @@ def test_progressive_subsampled_and_411_match_baseline():
     assert np.array_equal(
         decode_jpeg(encode_jpeg(grgb, quality=90, subsampling="4:1:1")),
         decode_jpeg(encode_jpeg(grgb, quality=90)))
+
+
+def test_split_dc_and_subset_scan_scripts_match_baseline():
+    """Luma-alone + chroma-subset DC scans (the common libjpeg split-DC
+    progressive script) decode bit-exactly like the baseline twin —
+    covers single-component DC scans and SUBSET interleaved MCU
+    walks."""
+    from camelot_spark.tdp.jpeg_codec import (decode_jpeg, encode_jpeg,
+                                              encode_jpeg_progressive)
+
+    rng = np.random.RandomState(13)
+    for shape, ss in [((16, 16, 3), "4:4:4"), ((24, 40, 3), "4:2:0"),
+                      ((9, 35, 3), "4:1:1")]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=ss))
+        split = decode_jpeg(encode_jpeg_progressive(
+            img, quality=85, subsampling=ss, dc_split=True))
+        assert np.array_equal(split, base), (shape, ss)

@@ -193,14 +193,15 @@ def test_jpeg_non_interleaved_baseline_decodes_exactly():
                                          non_interleaved=True))
         assert np.array_equal(inter, nonint), (shape, ss)
 
-    # a 2-of-3-component scan header is the one layout still unhandled
-    enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
-    sos = enc.index(b"\xff\xda")
-    old_len = 2 + 1 + 6 + 3   # len(2) + ns + 3 comps x 2 + Ss/Se/AhAl
-    new_body = bytes([0, 10, 2, 1, 0x00, 2, 0x00, 0, 63, 0])
-    enc[sos + 2:sos + 2 + old_len] = new_body
-    with pytest.raises(NotImplementedError, match="partial multi-component"):
-        decode_jpeg(bytes(enc))
+    # subset-interleaved scripts (luma alone, then the chroma pair as
+    # one interleaved subset scan) decode exactly too
+    rng2 = np.random.default_rng(17)
+    for shape, ss in [((16, 16, 3), "4:4:4"), ((24, 40, 3), "4:2:0")]:
+        img = rng2.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=ss))
+        split = decode_jpeg(encode_jpeg(img, quality=85, subsampling=ss,
+                                        split_scans=True))
+        assert np.array_equal(split, base), (shape, ss)
 
 
 def test_assembly_stray_part_index_does_not_complete():
