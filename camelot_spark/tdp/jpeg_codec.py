@@ -177,6 +177,15 @@ def _dht_payload(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc_th] + bits + vals)
 
 
+def _native_grid(h, w, hh, vv, hmax, vmax):
+    """(bh_i, bw_i): a component's non-interleaved block grid — ceil
+    of its native pixel dims (frame dims scaled by its sampling
+    factors) over 8. The single home of the A.2.2 geometry."""
+    native_h = -(-h * vv // vmax)
+    native_w = -(-w * hh // hmax)
+    return -(-native_h // 8), -(-native_w // 8)
+
+
 def _pad_replicate(comp: np.ndarray, ph: int, pw: int) -> np.ndarray:
     h, w = comp.shape
     p = np.empty((ph, pw))
@@ -284,35 +293,63 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
+
+    def _comp_grid(ci):
+        hh, vv = factors[ci]
+        return _native_grid(h, w, hh, vv, hmax, vmax)
+
+    def _noninterleaved_scan(ci):
+        """One single-component scan: blocks in native-grid raster
+        order; the restart interval counts BLOCKS here (per-scan RSTn
+        numbering, DC predictor reset)."""
+        bh_i, bw_i = _comp_grid(ci)
+        writer = _BitWriter()
+        dc = 0
+        rst = 0
+        blk = 0
+        for by in range(bh_i):
+            for bx in range(bw_i):
+                if restart_interval and blk and blk % restart_interval == 0:
+                    writer.restart(rst)
+                    rst += 1
+                    dc = 0
+                blk += 1
+                dc = _encode_block(writer, zzs[ci][by, bx], dc)
+        writer.flush()
+        return _sos_header([(ci + 1, 0x00)], 0, 63, 0, 0) + bytes(writer.buf)
+
+    def _interleaved_scan(group):
+        """One interleaved scan over the component subset ``group``:
+        MCU walk with each comp's h x v blocks; restart counts MCUs."""
+        mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        writer = _BitWriter()
+        prev = [0] * nc
+        mcu = 0
+        rst = 0
+        for myi in range(my):
+            for mxi in range(mx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    writer.restart(rst)
+                    rst += 1
+                    for ci in group:
+                        prev[ci] = 0
+                mcu += 1
+                for ci in group:
+                    hh, vv = factors[ci]
+                    for byy in range(vv):
+                        for bxx in range(hh):
+                            prev[ci] = _encode_block(
+                                writer, zzs[ci][myi * vv + byy, mxi * hh + bxx],
+                                prev[ci])
+        writer.flush()
+        return (_sos_header([(ci + 1, 0x00) for ci in group], 0, 63, 0, 0)
+                + bytes(writer.buf))
+
     if split_scans and nc > 1:
         # luma alone (non-interleaved) + chroma subset (interleaved
         # MCU walk) — exercises the decoder's subset-scan path
-        hh, vv = factors[0]
-        native_h = -(-h * vv // vmax)
-        native_w = -(-w * hh // hmax)
-        out += _sos_header([(1, 0x00)], 0, 63, 0, 0)
-        writer = _BitWriter()
-        dc = 0
-        for by in range(-(-native_h // 8)):
-            for bx in range(-(-native_w // 8)):
-                dc = _encode_block(writer, zzs[0][by, bx], dc)
-        writer.flush()
-        out += writer.buf
-        mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-        out += _sos_header([(c + 1, 0x00) for c in range(1, nc)], 0, 63, 0, 0)
-        writer = _BitWriter()
-        prev = [0] * nc
-        for myi in range(my):
-            for mxi in range(mx):
-                for ci in range(1, nc):
-                    chh, cvv = factors[ci]
-                    for byy in range(cvv):
-                        for bxx in range(chh):
-                            prev[ci] = _encode_block(
-                                writer, zzs[ci][myi * cvv + byy, mxi * chh + bxx],
-                                prev[ci])
-        writer.flush()
-        out += writer.buf
+        out += _noninterleaved_scan(0)
+        out += _interleaved_scan(list(range(1, nc)))
         out += b"\xff\xd9"  # EOI
         return bytes(out)
     if non_interleaved and nc > 1:
@@ -320,46 +357,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         # component's NATIVE grid (T.81 A.2.2) — same coefficients as
         # the interleaved stream, different delivery
         for ci in range(nc):
-            hh, vv = factors[ci]
-            native_w = -(-w * hh // hmax)
-            native_h = -(-h * vv // vmax)
-            bw_i = -(-native_w // 8)
-            bh_i = -(-native_h // 8)
-            out += _sos_header([(ci + 1, 0x00)], 0, 63, 0, 0)
-            writer = _BitWriter()
-            dc = 0
-            for by in range(bh_i):
-                for bx in range(bw_i):
-                    dc = _encode_block(writer, zzs[ci][by, bx], dc)
-            writer.flush()
-            out += writer.buf
+            out += _noninterleaved_scan(ci)
         out += b"\xff\xd9"  # EOI
         return bytes(out)
-    sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) \
-        + bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
-
-    mx, my = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    writer = _BitWriter()
-    prev_dc = [0] * nc
-    mcu = 0
-    rst = 0
-    for myi in range(my):
-        for mxi in range(mx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.restart(rst)
-                rst += 1
-                prev_dc = [0] * nc
-            mcu += 1
-            for ci in range(nc):
-                hh, vv = factors[ci]
-                for byy in range(vv):
-                    for bxx in range(hh):
-                        prev_dc[ci] = _encode_block(
-                            writer, zzs[ci][myi * vv + byy, mxi * hh + bxx],
-                            prev_dc[ci])
-    writer.flush()
-    out += writer.buf
+    out += _interleaved_scan(list(range(nc)))
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -648,11 +649,7 @@ def _decode_baseline_noninterleaved_scan(payload, pos, frame, scan, huff,
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     (cid, tsel) = scan[0]
-    _, hh, vv, _tq = next(c for c in comps if c[0] == cid)
-    native_w = -(-w * hh // hmax)
-    native_h = -(-h * vv // vmax)
-    bw_i = -(-native_w // 8)
-    bh_i = -(-native_h // 8)
+    bh_i, bw_i = _native_block_grid(frame, cid)
     reader = _BitReader(payload, pos)
     dc_tbl = huff[(0, tsel >> 4)]
     ac_tbl = huff[(1, tsel & 0x0F)]
@@ -747,15 +744,12 @@ def _next_marker(payload: bytes, pos: int) -> int:
 
 
 def _native_block_grid(frame, cid):
-    """(bh_i, bw_i): the component's non-interleaved block grid —
-    ceil of its NATIVE pixel dims over 8 (A.2.2)."""
+    """Frame-level wrapper of ``_native_grid`` for a component id."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     _, hh, vv, _ = next(c for c in comps if c[0] == cid)
-    native_h = -(-h * vv // vmax)
-    native_w = -(-w * hh // hmax)
-    return -(-native_h // 8), -(-native_w // 8)
+    return _native_grid(h, w, hh, vv, hmax, vmax)
 
 
 def _decode_progressive_scan(payload, pos, frame, scan, huff, coefstore,
@@ -923,49 +917,6 @@ def _sos_header(comps_sel, ss, se, ah, al) -> bytes:
     for cid, tsel in comps_sel:
         body += bytes([cid, tsel])
     return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
-
-
-def _enc_dc_first(zzs, al: int, factors=None) -> bytes:
-    w = _BitWriter()
-    if factors is None:
-        factors = [(1, 1)] * len(zzs)
-    my = zzs[0].shape[0] // factors[0][1]
-    mx = zzs[0].shape[1] // factors[0][0]
-    prev_dc = [0] * len(zzs)
-    for myi in range(my):
-        for mxi in range(mx):
-            for ci, zz in enumerate(zzs):
-                hh, vv = factors[ci]
-                for byy in range(vv):
-                    for bxx in range(hh):
-                        v = int(zz[myi * vv + byy, mxi * hh + bxx, 0]) >> al
-                        diff = v - prev_dc[ci]   # arithmetic shift (A.4)
-                        prev_dc[ci] = v
-                        s = _category(diff)
-                        code, ln = _DC_ENC[s]
-                        w.put(code, ln)
-                        if s:
-                            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    w.flush()
-    return bytes(w.buf)
-
-
-def _enc_dc_refine(zzs, al: int, factors=None) -> bytes:
-    w = _BitWriter()
-    if factors is None:
-        factors = [(1, 1)] * len(zzs)
-    my = zzs[0].shape[0] // factors[0][1]
-    mx = zzs[0].shape[1] // factors[0][0]
-    for myi in range(my):
-        for mxi in range(mx):
-            for ci, zz in enumerate(zzs):
-                hh, vv = factors[ci]
-                for byy in range(vv):
-                    for bxx in range(hh):
-                        w.put((int(zz[myi * vv + byy, mxi * hh + bxx, 0])
-                               >> al) & 1, 1)
-    w.flush()
-    return bytes(w.buf)
 
 
 def _enc_ac_first(zz, ss: int, se: int, al: int, grid=None) -> bytes:
@@ -1156,9 +1107,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
 
     def grid(c):
         hh, vv = factors[c]
-        native_h = -(-h * vv // vmax)
-        native_w = -(-w * hh // hmax)
-        return -(-native_h // 8), -(-native_w // 8)
+        return _native_grid(h, w, hh, vv, hmax, vmax)
 
     out = _headers(0xC2, zzs, qts, gray, h, w, _ACP_BITS, _ACP_VALS,
                    factors=factors)

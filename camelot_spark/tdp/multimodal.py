@@ -366,6 +366,21 @@ AUDIO_META_SCHEMA = StructType(
 )
 
 
+def _payload_to_wav(payload, sample_rate: int) -> bytes:
+    """The shared audio decode seam: a RIFF/WAVE payload passes
+    through as-is; any other payload synthesizes deterministic PCM
+    ((byte-97)*256, clipped to int16) and STILL round-trips through
+    encode_wav — one definition of the cross-engine contract the
+    audio oracles mirror."""
+    from .wav_codec import WAV_MAGIC, encode_wav
+
+    if payload[:4] == WAV_MAGIC:
+        return bytes(payload)
+    pcm = (np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 97) * 256
+    pcm = np.clip(pcm, -32768, 32767)  # valid int16 PCM
+    return encode_wav(pcm.astype("<i2"), sample_rate=sample_rate)
+
+
 def audio_metadata(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
     """Audio stats per payload: (sample_rate, n_samples, duration_ms,
     peak_abs, energy=Σ sample²) — the audio-modality decode/feature
@@ -377,19 +392,13 @@ def audio_metadata(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
     and STILL round-trips through encode_wav → decode_wav, so the
     codec executes on every row and the DuckDB oracle verifies the
     whole encode→decode→stats loop from the text bytes."""
-    from .wav_codec import WAV_MAGIC, decode_wav, encode_wav
+    from .wav_codec import decode_wav
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload[:4] == WAV_MAGIC:
-                    wav = bytes(payload)
-                else:
-                    pcm = (np.frombuffer(payload, dtype=np.uint8).astype(np.int32) - 97) * 256
-                    pcm = np.clip(pcm, -32768, 32767)  # valid int16 PCM
-                    wav = encode_wav(pcm.astype("<i2"), sample_rate=sample_rate)
-                sr, _, s = decode_wav(wav)
+                sr, _, s = decode_wav(_payload_to_wav(payload, sample_rate))
                 s64 = s.astype(np.int64)
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(sr)
@@ -402,13 +411,17 @@ def audio_metadata(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
     return attach_fake_payload(documents).mapInPandas(batches, schema=AUDIO_META_SCHEMA)
 
 
-AUDIO_META_SQL = """
+# the SQL mirror of _payload_to_wav's synthetic branch — shared by
+# both audio oracles so the cross-engine contract has one definition
+_AUDIO_PCM_CTE = """
 WITH s AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          list_transform(string_split(text, ''),
                         c -> LEAST(GREATEST((CAST(ord(c) AS BIGINT) - 97) * 256,
                                             -32768), 32767)) AS pcm
-  FROM documents)
+  FROM documents)"""
+
+AUDIO_META_SQL = _AUDIO_PCM_CTE + """
 SELECT doc_id,
        CAST(8000 AS INTEGER) AS sample_rate,
        CAST(len(pcm) AS BIGINT) AS n_samples,
@@ -440,20 +453,13 @@ def audio_features(documents: DataFrame, frame_len: int = 400,
     as-is; synthetic payloads round-trip encode→decode through the
     codec. Per-row framing is a numpy reshape inside the Arrow batch;
     trailing partial frames are dropped (both engines)."""
-    from .wav_codec import WAV_MAGIC, decode_wav, encode_wav
+    from .wav_codec import decode_wav
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload[:4] == WAV_MAGIC:
-                    wav = bytes(payload)
-                else:
-                    pcm = (np.frombuffer(payload, dtype=np.uint8)
-                           .astype(np.int32) - 97) * 256
-                    pcm = np.clip(pcm, -32768, 32767)
-                    wav = encode_wav(pcm.astype("<i2"), sample_rate=sample_rate)
-                _, _, s = decode_wav(wav)
+                _, _, s = decode_wav(_payload_to_wav(payload, sample_rate))
                 n_frames = s.size // frame_len
                 if n_frames == 0:
                     continue
@@ -472,13 +478,7 @@ def audio_features(documents: DataFrame, frame_len: int = 400,
         batches, schema=AUDIO_FEATURES_SCHEMA)
 
 
-AUDIO_FEATURES_SQL = """
-WITH s AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         list_transform(string_split(text, ''),
-                        c -> LEAST(GREATEST((CAST(ord(c) AS BIGINT) - 97) * 256,
-                                            -32768), 32767)) AS pcm
-  FROM documents),
+AUDIO_FEATURES_SQL = _AUDIO_PCM_CTE + """,
 frames AS (
   SELECT doc_id, CAST(k.k AS BIGINT) AS frame_idx,
          pcm[CAST(k.k * 400 + 1 AS INTEGER):CAST(k.k * 400 + 400 AS INTEGER)] AS fr

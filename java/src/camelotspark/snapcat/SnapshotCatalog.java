@@ -398,11 +398,10 @@ public class SnapshotCatalog implements TableCatalog {
 
         @Override
         public org.apache.spark.sql.connector.write.streaming.StreamingWrite toStreaming() {
-          if (rep) {
-            throw new UnsupportedOperationException(
-                "streaming truncate/overwrite is not supported");
-          }
-          return new SnapStreamingWrite(tableDir, info.schema(), info.queryId());
+          // Complete output mode: Spark calls truncate() and expects
+          // every epoch to replace the table — one replacing snapshot
+          // per micro-batch (the streaming-aggregation sink shape)
+          return new SnapStreamingWrite(tableDir, info.schema(), info.queryId(), rep);
         }
       };
     }
@@ -449,10 +448,19 @@ public class SnapshotCatalog implements TableCatalog {
       Map<String, Object> metrics = new HashMap<>();
       metrics.put("rows", rows);
       metrics.put("files", (long) committed.size());
-      writeSchemaSidecar(tableDir.resolve(dataDirRel), schema);
       if (replace) {
         metrics.put("operation", "replace");
       }
+      if (committed.isEmpty()) {
+        // zero committed files: reference NO data dir — otherwise the
+        // scan's legacy per-dir fallback would list the directory and
+        // expose crashed-attempt orphan .bin files as committed data
+        // (an empty INSERT OVERWRITE is the standard truncate idiom)
+        deleteRecursively(tableDir.resolve(dataDirRel).toFile());
+        ManifestLog.commit(tableDir, null, metrics, null, null, replace);
+        return;
+      }
+      writeSchemaSidecar(tableDir.resolve(dataDirRel), schema);
       // record the committed FILES, not just the dir: a crashed task
       // attempt's orphan .bin in the same dir must never be scanned
       ManifestLog.commit(tableDir, dataDirRel, metrics, null, committed, replace);
@@ -481,11 +489,18 @@ public class SnapshotCatalog implements TableCatalog {
     private final StructType schema;
     private final String queryId;
     private final String runBase;
+    private final boolean replace;
 
     SnapStreamingWrite(Path tableDir, StructType schema, String queryId) {
+      this(tableDir, schema, queryId, false);
+    }
+
+    SnapStreamingWrite(Path tableDir, StructType schema, String queryId,
+        boolean replace) {
       this.tableDir = tableDir;
       this.schema = schema;
       this.queryId = queryId;
+      this.replace = replace;
       this.runBase = "data/stream-" + UUID.randomUUID().toString().replace("-", "");
     }
 
@@ -523,11 +538,19 @@ public class SnapshotCatalog implements TableCatalog {
       }
       Map<String, Object> metrics = new HashMap<>();
       metrics.put("rows", rows);
+      if (replace) {
+        metrics.put("operation", "replace");
+      }
       Map<String, String> extras = new HashMap<>();
       extras.put("streaming_query", queryId);
       extras.put("streaming_epoch", Long.toString(epochId));
+      if (committed.isEmpty()) {
+        deleteRecursively(tableDir.resolve(epochDirRel(epochId)).toFile());
+        ManifestLog.commit(tableDir, null, metrics, extras, null, replace);
+        return;
+      }
       writeSchemaSidecar(tableDir.resolve(epochRel), schema);
-      ManifestLog.commit(tableDir, epochRel, metrics, extras, committed);
+      ManifestLog.commit(tableDir, epochRel, metrics, extras, committed, replace);
     }
 
     @Override
@@ -1331,7 +1354,9 @@ public class SnapshotCatalog implements TableCatalog {
             files.addAll(dataFiles(parent));
           }
         }
-        dirs.add(newDataDir);
+        if (newDataDir != null) {
+          dirs.add(newDataDir);
+        }
         if (newFiles != null) {
           files.addAll(newFiles);
         }
@@ -1390,7 +1415,10 @@ public class SnapshotCatalog implements TableCatalog {
         if (e.getValue() instanceof Number) {
           sb.append(e.getValue());
         } else {
-          sb.append('"').append(e.getValue()).append('"');
+          sb.append('"')
+              .append(String.valueOf(e.getValue())
+                  .replace("\\", "\\\\").replace("\"", "\\\""))
+              .append('"');
         }
       }
       sb.append("},\n");

@@ -178,8 +178,7 @@ def test_jpeg_non_interleaved_baseline_decodes_exactly():
     """T.81 A.2.2 non-interleaved layout (one SOS per component, raster
     block order over the component's native grid) decodes bit-exactly
     like the interleaved stream of the same coefficients — including
-    subsampled layouts; partial multi-component scans still route to
-    PIL."""
+    subsampled layouts and subset-interleaved (split) scan scripts."""
     import numpy as np
 
     from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
@@ -298,3 +297,22 @@ def test_sqlite_skips_empty_grid_and_sheet_names_stay_bounded(spark, tmp_path):
     rows = [{"doc_id": "x" * 40, "table_order": 1}] * 5
     names = sinks._sheet_names(rows)
     assert len(set(names)) == 5 and all(len(n) <= 31 for n in names)
+
+
+def test_jpeg_restart_markers_in_all_scan_layouts():
+    """restart_interval must compose with every scan layout (the DRI
+    segment promises RSTn markers; missing ones crash the decoder's
+    resync scan): interleaved counts MCUs, non-interleaved and split
+    scans count blocks per scan."""
+    import numpy as np
+
+    from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for ss in ("4:4:4", "4:2:0"):
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=ss))
+        for kw in ({"non_interleaved": True}, {"split_scans": True}, {}):
+            got = decode_jpeg(encode_jpeg(img, quality=85, subsampling=ss,
+                                          restart_interval=3, **kw))
+            assert np.array_equal(got, base), (ss, kw)

@@ -464,7 +464,6 @@ def test_compaction_through_the_write_path(spark):
     files_before = spark.table(table).rdd.getNumPartitions()
     assert files_before >= 12
 
-    df = spark.table(table).repartition(1)
     spark.sql(
         f"INSERT OVERWRITE TABLE {table} "
         f"SELECT /*+ REPARTITION(1) */ id, payload FROM {table}")
@@ -523,3 +522,62 @@ def test_externally_recreated_table_does_not_inherit_epoch_state(spark, tmp_path
     q.awaitTermination(120)
     assert spark.read.table(table).count() == 1, \
         "replayed epoch write was skipped by a stale cross-JVM epoch cache"
+
+
+def test_empty_overwrite_truncates_without_orphan_exposure(spark):
+    """INSERT OVERWRITE ... WHERE false (the truncate idiom): the
+    replacing snapshot references NO data dir, so the legacy per-dir
+    scan fallback cannot resurrect crashed-attempt orphan files."""
+    _require_catalog(spark)
+    table = "snap.ns.truncate_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, v STRING)")
+    spark.range(4).selectExpr("id", "'x' AS v").writeTo(table).append()
+    assert spark.table(table).count() == 4
+
+    spark.sql(f"INSERT OVERWRITE TABLE {table} SELECT id, v FROM {table} WHERE false")
+    assert spark.table(table).count() == 0
+    hist = _table_log(spark, table).history()
+    assert hist[-1]["metrics"].get("operation") == "replace"
+    assert hist[-1]["data_dirs"] == []
+    # appends resume on the truncated state
+    spark.range(9, 10).selectExpr("id", "'y' AS v").writeTo(table).append()
+    assert spark.table(table).count() == 1
+
+
+def test_complete_mode_streaming_aggregation(spark, tmp_path):
+    """outputMode('complete') streaming aggregation into a catalog
+    table: each epoch commits a REPLACING snapshot, so the table always
+    holds the latest full aggregate (the TRUNCATE-capability streaming
+    contract)."""
+    _require_catalog(spark)
+    table = "snap.ns.agg_complete"
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (lang STRING, n BIGINT)")
+
+    def run_batch():
+        from pyspark.sql import functions as F
+
+        stream = (spark.readStream.schema("doc_id long, lang string")
+                  .parquet(inp))
+        q = (stream.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+             .writeStream.option("checkpointLocation", ckpt)
+             .outputMode("complete").trigger(availableNow=True)
+             .toTable(table))
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "en"), (2, "en"), (3, "fr")],
+                          "doc_id long, lang string") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    run_batch()
+    got = {r["lang"]: r["n"] for r in spark.table(table).collect()}
+    assert got == {"en": 2, "fr": 1}
+
+    spark.createDataFrame([(4, "en"), (5, "de")], "doc_id long, lang string") \
+        .coalesce(1).write.mode("append").parquet(inp)
+    run_batch()
+    got = {r["lang"]: r["n"] for r in spark.table(table).collect()}
+    assert got == {"en": 3, "fr": 1, "de": 1}   # replaced, not stacked
+    hist = _table_log(spark, table).history()
+    assert hist[-1]["metrics"].get("operation") == "replace"
