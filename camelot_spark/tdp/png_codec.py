@@ -30,56 +30,18 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # channels per pixel by PNG color type (bit depth 8 only)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-
-def _chunks(payload: bytes):
-    pos = 8
-    while pos + 8 <= len(payload):
-        (length,), kind = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        yield kind, data
-        pos += 12 + length  # length + kind + data + crc
-        if kind == b"IEND":
-            return
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → (H, W) uint8 grayscale (luma for color images).
-
-    Supports bit depth 8, color types 0/2/4/6, no interlacing — the
-    formats the encoder below and ordinary screenshot/scan tooling
-    produce. Luma = (299·R + 587·G + 114·B + 500) // 1000 (ITU-R 601
-    integer form; alpha is ignored, matching a white-less flatten).
-    """
-    if payload[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG container")
-    width = height = None
-    channels = None
-    idat = bytearray()
-    for kind, data in _chunks(payload):
-        if kind == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-            if color not in _CHANNELS:
-                raise NotImplementedError(f"PNG color type {color}")
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG")
-            channels = _CHANNELS[color]
-        elif kind == b"IDAT":
-            idat.extend(data)
-    if width is None or not idat:
-        raise ValueError("truncated PNG (missing IHDR or IDAT)")
-
-    raw = zlib.decompress(bytes(idat))
+def _unfilter(raw: bytes, height: int, width: int, channels: int) -> np.ndarray:
+    """Reconstruct one filtered scanline block (RFC 2083 §6) →
+    (height, width*channels) int array."""
     stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG scanline data has unexpected length")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = rows[:, 0]
     data = rows[:, 1:].astype(np.int32)
-
     out = np.zeros((height, stride), dtype=np.int32)
     bpp = channels
     for y in range(height):
@@ -120,8 +82,75 @@ def decode_png(payload: bytes) -> np.ndarray:
             out[y] = cur_row
         else:
             raise ValueError(f"invalid PNG filter type {f}")
+    return out
 
-    px = out.reshape(height, width, channels)
+
+def _chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,), kind = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        yield kind, data
+        pos += 12 + length  # length + kind + data + crc
+        if kind == b"IEND":
+            return
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W) uint8 grayscale (luma for color images).
+
+    Supports bit depth 8, color types 0/2/4/6, both interlace methods
+    (none + Adam7 seven-pass) — the formats the encoder below and
+    ordinary screenshot/scan tooling produce. Luma = (299·R + 587·G +
+    114·B + 500) // 1000 (ITU-R 601 integer form; alpha is ignored,
+    matching a white-less flatten).
+    """
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG container")
+    width = height = None
+    channels = None
+    idat = bytearray()
+    for kind, data in _chunks(payload):
+        if kind == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+            if color not in _CHANNELS:
+                raise NotImplementedError(f"PNG color type {color}")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
+            channels = _CHANNELS[color]
+        elif kind == b"IDAT":
+            idat.extend(data)
+    if width is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR or IDAT)")
+
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG scanline data has unexpected length")
+        out = _unfilter(raw, height, width, channels)
+        px = out.reshape(height, width, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered back
+        # onto the full raster by (start, step) per axis
+        full = np.zeros((height, width, channels), dtype=np.int32)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            w_p = (width - xs + xstep - 1) // xstep
+            h_p = (height - ys + ystep - 1) // ystep
+            if w_p <= 0 or h_p <= 0:
+                continue
+            nbytes = h_p * (w_p * channels + 1)
+            sub = _unfilter(raw[pos:pos + nbytes], h_p, w_p, channels)
+            pos += nbytes
+            full[ys::ystep, xs::xstep] = sub.reshape(h_p, w_p, channels)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced data has unexpected length")
+        px = full
     if channels == 1:
         gray = px[:, :, 0]
     elif channels == 2:  # gray + alpha
@@ -141,27 +170,54 @@ def _chunk(kind: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(array: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(array: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
     """(H, W) or (H, W, 3|4) uint8 → valid PNG bytes.
 
     ``filter_type`` applies one PNG filter to every scanline (0-4) —
     useful for exercising each reconstruction branch of the decoder;
     real encoders choose per-row, which changes size, not semantics.
-    """
+    ``interlace=True`` emits the Adam7 seven-pass layout (each pass
+    filtered independently, per the spec)."""
     arr = np.asarray(array, dtype=np.uint8)
     if arr.ndim == 2:
         height, width = arr.shape
         channels, color = 1, 0
         flat = arr.reshape(height, width)
+        arr = arr.reshape(height, width, 1)
     elif arr.ndim == 3 and arr.shape[2] in (3, 4):
         height, width, channels = arr.shape
         color = 2 if channels == 3 else 6
         flat = arr.reshape(height, width * channels)
     else:
         raise ValueError("expected (H, W) grayscale or (H, W, 3|4) color array")
-    stride = width * channels
-    bpp = channels
+    px = arr.reshape(height, width, channels)
+    if interlace:
+        lines = bytearray()
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = px[ys::ystep, xs::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _filter_block(
+                    sub.reshape(sub.shape[0], sub.shape[1] * channels),
+                    channels, filter_type)
+    else:
+        lines = _filter_block(flat, channels, filter_type)
 
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0,
+                       1 if interlace else 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _filter_block(flat: np.ndarray, channels: int, filter_type: int) -> bytearray:
+    """Apply one PNG filter to every scanline of a (rows, stride)
+    block → filtered bytes with per-row filter tags."""
+    height, stride = flat.shape
+    bpp = channels
     lines = bytearray()
     recon = flat.astype(np.int32)
     for y in range(height):
@@ -188,11 +244,4 @@ def encode_png(array: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f"invalid PNG filter type {filter_type}")
         lines.append(filter_type)
         lines.extend(enc.astype(np.uint8).tobytes())
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    return (
-        PNG_MAGIC
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + _chunk(b"IEND", b"")
-    )
+    return lines

@@ -672,3 +672,35 @@ def test_split_dc_and_subset_scan_scripts_match_baseline():
         split = decode_jpeg(encode_jpeg_progressive(
             img, quality=85, subsampling=ss, dc_split=True))
         assert np.array_equal(split, base), (shape, ss)
+
+
+class TestPngInterlace:
+    """Adam7 seven-pass interlace: independently filtered sub-images
+    scattered back to the raster — exact round trips for every filter,
+    color type, and pass-boundary size."""
+
+    def test_gray_all_filters_and_sizes(self):
+        from camelot_spark.tdp.png_codec import decode_png, encode_png
+
+        rng = np.random.RandomState(23)
+        for shape in [(1, 1), (3, 5), (7, 11), (8, 8), (9, 17), (16, 16)]:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            for ft in range(5):
+                got = decode_png(encode_png(img, filter_type=ft, interlace=True))
+                assert np.array_equal(got, img), (shape, ft)
+
+    def test_color_types_match_sequential(self):
+        from camelot_spark.tdp.png_codec import decode_png, encode_png
+
+        rng = np.random.RandomState(29)
+        for c in (3, 4):
+            img = rng.randint(0, 256, (9, 13, c)).astype(np.uint8)
+            want = decode_png(encode_png(img))
+            got = decode_png(encode_png(img, filter_type=4, interlace=True))
+            assert np.array_equal(got, want), c
+
+    def test_decode_image_routes_interlaced(self):
+        from camelot_spark.tdp.png_codec import encode_png
+
+        img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        assert np.array_equal(mm.decode_image(encode_png(img, interlace=True)), img)
