@@ -352,6 +352,7 @@ public class SnapshotCatalog implements TableCatalog {
     public Set<TableCapability> capabilities() {
       return Collections.unmodifiableSet(
           EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+              TableCapability.MICRO_BATCH_READ,
               TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE));
     }
 
@@ -937,6 +938,38 @@ public class SnapshotCatalog implements TableCatalog {
       // files without stats are never pruned.
       int latestV = ManifestLog.latestVersion(tableDir);
       String manifest = latestV == 0 ? "" : ManifestLog.readManifest(tableDir, latestV);
+      return partitionsForManifest(manifest, java.util.Collections.emptySet());
+    }
+
+    /** Absolute paths of every committed .bin under a manifest (the
+     * per-dir legacy fallback included) — the file set a snapshot
+     * version exposes. */
+    static java.util.Set<String> filesOfManifest(Path tableDir, String manifest) {
+      java.util.Set<String> out = new java.util.HashSet<>();
+      List<String> committed = ManifestLog.dataFiles(manifest);
+      for (String rel : ManifestLog.dataDirs(manifest)) {
+        boolean any = false;
+        for (String cf : committed) {
+          if (cf.startsWith(rel + "/")) {
+            out.add(tableDir.resolve(cf).toFile().getAbsolutePath());
+            any = true;
+          }
+        }
+        if (!any) {
+          File[] listed = tableDir.resolve(rel).toFile()
+              .listFiles(f -> f.isFile() && f.getName().endsWith(".bin"));
+          if (listed != null) {
+            for (File f : listed) {
+              out.add(f.getAbsolutePath());
+            }
+          }
+        }
+      }
+      return out;
+    }
+
+    InputPartition[] partitionsForManifest(String manifest,
+        java.util.Set<String> excludePaths) {
       List<String> dataDirs = ManifestLog.dataDirs(manifest);
       List<String> committedFiles = ManifestLog.dataFiles(manifest);
       List<InputPartition> parts = new ArrayList<>();
@@ -975,6 +1008,9 @@ public class SnapshotCatalog implements TableCatalog {
         }
         Arrays.sort(files);
         for (File f : files) {
+          if (excludePaths.contains(f.getAbsolutePath())) {
+            continue;  // streamed in an earlier micro-batch
+          }
           if (filters.length > 0) {
             FileStats stats = FileStats.read(f);
             if (stats != null) {
@@ -999,6 +1035,89 @@ public class SnapshotCatalog implements TableCatalog {
     @Override
     public PartitionReaderFactory createReaderFactory() {
       return new BlobReaderFactory(fullSchema.json(), schema.json());
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+        toMicroBatchStream(String checkpointLocation) {
+      return new SnapMicroBatchStream(this, tableDir);
+    }
+  }
+
+  /** Incremental streaming SOURCE over the snapshot chain (the
+   * Iceberg streaming-read analogue): offsets are manifest versions;
+   * each micro-batch plans exactly the files version (start, end]
+   * ADDED (additions-only semantics — files removed by a replacing
+   * compaction are simply absent from later file sets, never
+   * re-streamed). Exactly-once comes from the stream checkpoint
+   * persisting the version offsets. */
+  static class SnapMicroBatchStream
+      implements org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    private final SnapScan scan;
+    private final Path tableDir;
+
+    SnapMicroBatchStream(SnapScan scan, Path tableDir) {
+      this.scan = scan;
+      this.tableDir = tableDir;
+    }
+
+    static class VOffset extends org.apache.spark.sql.connector.read.streaming.Offset {
+      final long v;
+
+      VOffset(long v) {
+        this.v = v;
+      }
+
+      @Override
+      public String json() {
+        return Long.toString(v);
+      }
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.read.streaming.Offset initialOffset() {
+      return new VOffset(0);  // stream-from-beginning
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.read.streaming.Offset latestOffset() {
+      return new VOffset(ManifestLog.latestVersion(tableDir));
+    }
+
+    @Override
+    public org.apache.spark.sql.connector.read.streaming.Offset deserializeOffset(String json) {
+      return new VOffset(Long.parseLong(json.trim()));
+    }
+
+    @Override
+    public InputPartition[] planInputPartitions(
+        org.apache.spark.sql.connector.read.streaming.Offset start,
+        org.apache.spark.sql.connector.read.streaming.Offset end) {
+      long sv = ((VOffset) start).v;
+      long ev = ((VOffset) end).v;
+      if (ev <= sv) {
+        return new InputPartition[0];
+      }
+      String endManifest = ManifestLog.readManifest(tableDir, (int) ev);
+      java.util.Set<String> prior = sv == 0
+          ? java.util.Collections.emptySet()
+          : SnapScan.filesOfManifest(
+              tableDir, ManifestLog.readManifest(tableDir, (int) sv));
+      return scan.partitionsForManifest(endManifest, prior);
+    }
+
+    @Override
+    public PartitionReaderFactory createReaderFactory() {
+      return scan.createReaderFactory();
+    }
+
+    @Override
+    public void commit(org.apache.spark.sql.connector.read.streaming.Offset end) {
+      // the stream checkpoint owns offset durability
+    }
+
+    @Override
+    public void stop() {
     }
   }
 

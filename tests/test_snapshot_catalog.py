@@ -581,3 +581,40 @@ def test_complete_mode_streaming_aggregation(spark, tmp_path):
     assert got == {"en": 3, "fr": 1, "de": 1}   # replaced, not stacked
     hist = _table_log(spark, table).history()
     assert hist[-1]["metrics"].get("operation") == "replace"
+
+
+def test_streaming_read_consumes_snapshots_incrementally(spark, tmp_path):
+    """The catalog as a streaming SOURCE (Iceberg streaming-read
+    analogue): offsets are snapshot versions, each micro-batch reads
+    exactly the files the version range added, and a checkpointed
+    restart resumes from the committed version — appends between runs
+    flow through exactly once."""
+    _require_catalog(spark)
+    table = "snap.ns.stream_src"
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, v STRING)")
+    spark.range(3).selectExpr("id", "concat('a', id) AS v").writeTo(table).append()
+    spark.range(3, 5).selectExpr("id", "concat('a', id) AS v").writeTo(table).append()
+
+    def drain():
+        q = (spark.readStream.table(table)
+             .writeStream.option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .format("parquet").option("path", outp).start())
+        q.awaitTermination(120)
+
+    drain()
+    got = {r["id"] for r in spark.read.parquet(outp).collect()}
+    assert got == {0, 1, 2, 3, 4}
+
+    # appends between runs: only the NEW snapshot's rows flow through
+    spark.range(10, 12).selectExpr("id", "concat('b', id) AS v").writeTo(table).append()
+    drain()
+    rows = spark.read.parquet(outp).collect()
+    assert len(rows) == 7                       # exactly once, no re-reads
+    assert {r["id"] for r in rows} == {0, 1, 2, 3, 4, 10, 11}
+
+    # no new snapshots: nothing re-emitted
+    drain()
+    assert spark.read.parquet(outp).count() == 7
