@@ -20,8 +20,15 @@ from .schema import DOCUMENTS_SCHEMA
 
 
 def read_document_stream(spark, input_path: str, max_files_per_trigger: int | None = None):
-    """File-source stream of documents rows (parquet dirs; an Iceberg
-    streaming read drops in behind the same schema)."""
+    """Stream of documents rows: a catalog TABLE identifier reads
+    through the DSv2 incremental micro-batch source (the `snap`
+    catalog streams snapshot-by-snapshot — the Iceberg streaming-read
+    shape; see java/SnapshotCatalog), a PATH reads the parquet file
+    source. Both resume exactly-once from the stream checkpoint."""
+    from .pipeline import is_table_identifier
+
+    if is_table_identifier(input_path):
+        return spark.readStream.table(input_path)
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -618,3 +618,45 @@ def test_streaming_read_consumes_snapshots_incrementally(spark, tmp_path):
     # no new snapshots: nothing re-emitted
     drain()
     assert spark.read.parquet(outp).count() == 7
+
+
+def test_catalog_to_catalog_streaming_extraction(spark, tmp_path):
+    """The fully catalog-native continuous pipeline: documents land in
+    a snapshot table, the extraction stream reads it INCREMENTALLY
+    through the DSv2 micro-batch source and appends extracted rows to
+    another snapshot table — new document snapshots flow through on
+    the next trigger, exactly once."""
+    from camelot_spark.streaming import start_extraction_stream
+    from camelot_spark.schema import DOCUMENTS_SCHEMA
+
+    src, dst = "snap.ns.docs_in", "snap.ns.extracted_out"
+    ckpt = str(tmp_path / "ckpt")
+    _require_catalog(spark)
+    for t in (src, dst):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def put(builders):
+        rows = [(b.doc_id, [tuple(s.values()) for s in b.spans]) for b in builders]
+        spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA).writeTo(src).append()
+
+    b1 = fx.doc_health("cc-1")
+    spark.createDataFrame([], schema=DOCUMENTS_SCHEMA).writeTo(src).create()
+    put([b1])
+    q = start_extraction_stream(spark, src, dst, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.table(dst).select("doc_id").collect()}
+    assert got == {"cc-1"}
+    row = spark.read.table(dst).collect()[0]
+    assert [(s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in row["spans"]] == b1.golden()
+
+    # a second documents snapshot flows through incrementally
+    put([fx.doc_twotables("cc-2")])
+    q = start_extraction_stream(spark, src, dst, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    assert spark.read.table(dst).count() == 2
+
+    # no new snapshots -> nothing re-extracted
+    q = start_extraction_stream(spark, src, dst, ckpt, flavor="stream", fail_fast=True)
+    q.awaitTermination(120)
+    assert spark.read.table(dst).count() == 2
