@@ -28,6 +28,13 @@ def read_document_stream(spark, input_path: str, max_files_per_trigger: int | No
     from .pipeline import is_table_identifier
 
     if is_table_identifier(input_path):
+        if max_files_per_trigger is not None:
+            # the snapshot source batches per snapshot version, not per
+            # file — silently ignoring the cap would defeat the
+            # backpressure the caller asked for
+            raise ValueError(
+                "max_files_per_trigger applies to file sources; the "
+                "catalog streaming source batches per snapshot")
         return spark.readStream.table(input_path)
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger is not None:

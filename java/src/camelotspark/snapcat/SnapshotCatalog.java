@@ -941,27 +941,38 @@ public class SnapshotCatalog implements TableCatalog {
       return partitionsForManifest(manifest, java.util.Collections.emptySet());
     }
 
-    /** Absolute paths of every committed .bin under a manifest (the
-     * per-dir legacy fallback included) — the file set a snapshot
-     * version exposes. */
+    /** The ONE per-dir committed-file resolution rule: the manifest's
+     * exact file list when it carries entries for the dir, else the
+     * legacy dir-listing fallback (pre-data_files manifests; safe
+     * because every write commits into a fresh UUID dir, so legacy
+     * dirs are immutable). Shared by the batch scan and the streaming
+     * source so their file sets can never desynchronize. */
+    static File[] resolveDirFiles(Path tableDir, String rel, List<String> committed) {
+      List<File> listed = new ArrayList<>();
+      for (String cf : committed) {
+        if (cf.startsWith(rel + "/")) {
+          listed.add(tableDir.resolve(cf).toFile());
+        }
+      }
+      if (!listed.isEmpty()) {
+        // exact committed file set: an orphan .bin from a crashed
+        // task attempt in the same dir is invisible to the scan
+        return listed.toArray(new File[0]);
+      }
+      return tableDir.resolve(rel).toFile()
+          .listFiles(f -> f.isFile() && f.getName().endsWith(".bin"));
+    }
+
+    /** Absolute paths of every committed .bin a snapshot version
+     * exposes (via {@link #resolveDirFiles}). */
     static java.util.Set<String> filesOfManifest(Path tableDir, String manifest) {
       java.util.Set<String> out = new java.util.HashSet<>();
       List<String> committed = ManifestLog.dataFiles(manifest);
       for (String rel : ManifestLog.dataDirs(manifest)) {
-        boolean any = false;
-        for (String cf : committed) {
-          if (cf.startsWith(rel + "/")) {
-            out.add(tableDir.resolve(cf).toFile().getAbsolutePath());
-            any = true;
-          }
-        }
-        if (!any) {
-          File[] listed = tableDir.resolve(rel).toFile()
-              .listFiles(f -> f.isFile() && f.getName().endsWith(".bin"));
-          if (listed != null) {
-            for (File f : listed) {
-              out.add(f.getAbsolutePath());
-            }
+        File[] files = resolveDirFiles(tableDir, rel, committed);
+        if (files != null) {
+          for (File f : files) {
+            out.add(f.getAbsolutePath());
           }
         }
       }
@@ -975,22 +986,7 @@ public class SnapshotCatalog implements TableCatalog {
       List<InputPartition> parts = new ArrayList<>();
       for (String rel : dataDirs) {
         Path dirPath = tableDir.resolve(rel);
-        File[] files;
-        List<File> listed = new ArrayList<>();
-        for (String cf : committedFiles) {
-          if (cf.startsWith(rel + "/")) {
-            listed.add(tableDir.resolve(cf).toFile());
-          }
-        }
-        if (!listed.isEmpty()) {
-          // exact committed file set: an orphan .bin from a crashed
-          // task attempt in the same dir is invisible to the scan
-          files = listed.toArray(new File[0]);
-        } else {
-          // pre-data_files manifests: fall back to the dir listing
-          files = dirPath.toFile()
-              .listFiles(f -> f.isFile() && f.getName().endsWith(".bin"));
-        }
+        File[] files = resolveDirFiles(tableDir, rel, committedFiles);
         if (files == null) {
           continue;
         }
@@ -1045,12 +1041,13 @@ public class SnapshotCatalog implements TableCatalog {
   }
 
   /** Incremental streaming SOURCE over the snapshot chain (the
-   * Iceberg streaming-read analogue): offsets are manifest versions;
-   * each micro-batch plans exactly the files version (start, end]
-   * ADDED (additions-only semantics — files removed by a replacing
-   * compaction are simply absent from later file sets, never
-   * re-streamed). Exactly-once comes from the stream checkpoint
-   * persisting the version offsets. */
+   * Iceberg streaming-read analogue): offsets are (version, snapshot
+   * id) pairs; each micro-batch plans exactly the files the version
+   * range ADDED. Replacing snapshots (compaction / INSERT OVERWRITE)
+   * fail the stream loudly — their files rewrite existing rows and
+   * streaming them would duplicate data (Iceberg's default stance).
+   * Exactly-once comes from the stream checkpoint persisting the
+   * offsets; the snapshot id pins them to one manifest chain. */
   static class SnapMicroBatchStream
       implements org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
     private final SnapScan scan;
@@ -1061,49 +1058,98 @@ public class SnapshotCatalog implements TableCatalog {
       this.tableDir = tableDir;
     }
 
+    /** Version + that version's snapshot id: the id pins the offset to
+     * ONE manifest chain, so a checkpoint from a dropped/recreated
+     * table fails loudly instead of silently misreading the new
+     * chain's coincidentally-matching version numbers. */
     static class VOffset extends org.apache.spark.sql.connector.read.streaming.Offset {
       final long v;
+      final String snapshotId;  // "" for version 0
 
-      VOffset(long v) {
+      VOffset(long v, String snapshotId) {
         this.v = v;
+        this.snapshotId = snapshotId == null ? "" : snapshotId;
       }
 
       @Override
       public String json() {
-        return Long.toString(v);
+        return v + ":" + snapshotId;
       }
     }
 
     @Override
     public org.apache.spark.sql.connector.read.streaming.Offset initialOffset() {
-      return new VOffset(0);  // stream-from-beginning
+      return new VOffset(0, "");  // stream-from-beginning
     }
 
     @Override
     public org.apache.spark.sql.connector.read.streaming.Offset latestOffset() {
-      return new VOffset(ManifestLog.latestVersion(tableDir));
+      int v = ManifestLog.latestVersion(tableDir);
+      String id = v == 0 ? "" : ManifestLog.stringField(
+          ManifestLog.readManifest(tableDir, v), "snapshot_id");
+      return new VOffset(v, id);
     }
 
     @Override
     public org.apache.spark.sql.connector.read.streaming.Offset deserializeOffset(String json) {
-      return new VOffset(Long.parseLong(json.trim()));
+      int sep = json.indexOf(':');
+      if (sep < 0) {  // pre-chain-id offset format
+        return new VOffset(Long.parseLong(json.trim()), "");
+      }
+      return new VOffset(Long.parseLong(json.substring(0, sep).trim()),
+          json.substring(sep + 1).trim());
+    }
+
+    private String manifestAt(long v) {
+      if (!Files.isRegularFile(
+          ManifestLog.metaDir(tableDir).resolve("v" + v + ".json"))) {
+        throw new IllegalStateException(
+            "stream checkpoint references snapshot version " + v
+                + " which does not exist under " + tableDir
+                + " — the table history does not match the checkpoint"
+                + " (table dropped/recreated?); restart the stream from a"
+                + " fresh checkpoint");
+      }
+      return ManifestLog.readManifest(tableDir, (int) v);
     }
 
     @Override
     public InputPartition[] planInputPartitions(
         org.apache.spark.sql.connector.read.streaming.Offset start,
         org.apache.spark.sql.connector.read.streaming.Offset end) {
-      long sv = ((VOffset) start).v;
+      VOffset so = (VOffset) start;
+      long sv = so.v;
       long ev = ((VOffset) end).v;
       if (ev <= sv) {
         return new InputPartition[0];
       }
-      String endManifest = ManifestLog.readManifest(tableDir, (int) ev);
-      java.util.Set<String> prior = sv == 0
-          ? java.util.Collections.emptySet()
-          : SnapScan.filesOfManifest(
-              tableDir, ManifestLog.readManifest(tableDir, (int) sv));
-      return scan.partitionsForManifest(endManifest, prior);
+      java.util.Set<String> prior = java.util.Collections.emptySet();
+      if (sv > 0) {
+        String startManifest = manifestAt(sv);
+        if (!so.snapshotId.isEmpty()
+            && !so.snapshotId.equals(
+                ManifestLog.stringField(startManifest, "snapshot_id"))) {
+          throw new IllegalStateException(
+              "stream checkpoint snapshot id does not match version " + sv
+                  + " under " + tableDir + " — the table was dropped and"
+                  + " recreated; restart the stream from a fresh checkpoint");
+        }
+        prior = SnapScan.filesOfManifest(tableDir, startManifest);
+      }
+      // a replacing snapshot (compaction / INSERT OVERWRITE) rewrites
+      // rows into new files; streaming them as additions would emit
+      // duplicates downstream. Match Iceberg's default: fail loudly.
+      for (long v = sv + 1; v <= ev; v++) {
+        String m = manifestAt(v);
+        if (m.contains("\"operation\": \"replace\"")) {
+          throw new UnsupportedOperationException(
+              "streaming read cannot cross the replacing snapshot v" + v
+                  + " (compaction / INSERT OVERWRITE rewrites rows; streaming"
+                  + " its files would duplicate them) — restart the stream"
+                  + " from a fresh checkpoint after the rewrite");
+        }
+      }
+      return scan.partitionsForManifest(manifestAt(ev), prior);
     }
 
     @Override

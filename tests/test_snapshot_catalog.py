@@ -660,3 +660,73 @@ def test_catalog_to_catalog_streaming_extraction(spark, tmp_path):
     q = start_extraction_stream(spark, src, dst, ckpt, flavor="stream", fail_fast=True)
     q.awaitTermination(120)
     assert spark.read.table(dst).count() == 2
+
+
+def test_streaming_read_fails_loudly_across_replacing_snapshot(spark, tmp_path):
+    """A replacing snapshot (compaction / INSERT OVERWRITE) rewrites
+    rows into new files; streaming them as additions would duplicate
+    data. The source must fail the query loudly (Iceberg's default
+    stance), not silently re-emit."""
+    _require_catalog(spark)
+    table = "snap.ns.stream_replace"
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT, v STRING)")
+    spark.range(3).selectExpr("id", "'a' AS v").writeTo(table).append()
+
+    def drain():
+        q = (spark.readStream.table(table)
+             .writeStream.option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .format("parquet").option("path", outp).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(outp).count() == 3
+
+    spark.sql(f"INSERT OVERWRITE TABLE {table} "
+              f"SELECT /*+ REPARTITION(1) */ id, v FROM {table}")
+    with pytest.raises(Exception, match="replacing snapshot|replace"):
+        drain()
+    # nothing duplicated by the failed attempt
+    assert spark.read.parquet(outp).count() == 3
+
+
+def test_streaming_read_rejects_foreign_checkpoint(spark, tmp_path):
+    """A checkpoint whose (version, snapshot id) offset belongs to a
+    dropped table's chain must fail with a clear history-mismatch
+    error when the recreated chain reaches the same version."""
+    import shutil
+
+    _require_catalog(spark)
+    wh = _require_catalog(spark)
+    table = "snap.ns.stream_chain"
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT)")
+    spark.range(2).writeTo(table).append()
+
+    def drain():
+        q = (spark.readStream.table(table)
+             .writeStream.option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .format("parquet").option("path", outp).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(outp).count() == 2
+
+    # drop + recreate (new chain) and grow it past the old offset
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT)")
+    spark.range(10, 12).writeTo(table).append()
+    spark.range(12, 14).writeTo(table).append()
+    with pytest.raises(Exception, match="checkpoint|history|recreated"):
+        drain()
+
+
+def test_table_stream_rejects_max_files_per_trigger(spark):
+    from camelot_spark.streaming import read_document_stream
+
+    with pytest.raises(ValueError, match="snapshot"):
+        read_document_stream(spark, "snap.ns.whatever", max_files_per_trigger=5)
