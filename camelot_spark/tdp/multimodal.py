@@ -259,18 +259,25 @@ FRAME_SCHEMA = StructType(
 
 def frame_sample(documents: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
     """Video-style frame sampling: keep every Nth frame, one input row
-    fanning out to many output rows. A REAL multi-frame container (GIF
-    magic) decodes through ``gif_codec`` and emits its actual frames'
-    raw grayscale bytes; synthetic payloads keep the deterministic
-    fixed-size-chunk route — same schema and plan either way."""
+    fanning out to many output rows. REAL multi-frame containers
+    decode for real — GIF magic through ``gif_codec``, AVI (RIFF)
+    MJPEG through ``avi_codec`` (each frame an independent JPEG) —
+    and emit their actual frames' raw grayscale bytes; synthetic
+    payloads keep the deterministic fixed-size-chunk route — same
+    schema and plan either way."""
+    from .avi_codec import AVI_MAGIC, decode_avi
     from .gif_codec import GIF_MAGIC, decode_gif
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if bytes(payload[:4]) == GIF_MAGIC:
-                    frames = decode_gif(bytes(payload))
+                head = bytes(payload[:4])
+                if head == GIF_MAGIC or (
+                    head == AVI_MAGIC and bytes(payload[8:12]) == b"AVI "
+                ):
+                    frames = (decode_gif(bytes(payload)) if head == GIF_MAGIC
+                              else decode_avi(bytes(payload)))
                     for i in range(0, len(frames), every_n):
                         out["doc_id"].append(doc_id)
                         out["frame_idx"].append(i)

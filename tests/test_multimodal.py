@@ -704,3 +704,57 @@ class TestPngInterlace:
 
         img = np.arange(48, dtype=np.uint8).reshape(6, 8)
         assert np.array_equal(mm.decode_image(encode_png(img, interlace=True)), img)
+
+
+class TestAviCodec:
+    """Pure-stdlib AVI (RIFF) MJPEG demuxer built on the full-coverage
+    JPEG codec — the real video container behind frame_sample."""
+
+    def _frames(self, n=5):
+        x = np.linspace(0, 255, 24)
+        return [np.clip(np.add.outer(x, x) / 2 + 10 * k, 0, 255).astype(np.uint8)
+                for k in range(n)]
+
+    def test_gray_roundtrip_within_jpeg_tolerance(self):
+        from camelot_spark.tdp.avi_codec import decode_avi, encode_avi
+
+        frames = self._frames()
+        dec = decode_avi(encode_avi(frames, fps=5, quality=95))
+        assert len(dec) == 5
+        for f, d in zip(frames, dec):
+            assert d.shape == f.shape
+            assert np.abs(d.astype(int) - f.astype(int)).max() <= 3
+
+    def test_color_frames_become_luma(self):
+        from camelot_spark.tdp.avi_codec import decode_avi, encode_avi
+
+        rng = np.random.RandomState(31)
+        cframes = [rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+                   for _ in range(3)]
+        dec = decode_avi(encode_avi(cframes, quality=90))
+        assert len(dec) == 3 and dec[0].shape == (16, 16)
+
+    def test_rejects_non_avi_and_non_mjpeg(self):
+        from camelot_spark.tdp.avi_codec import decode_avi, encode_avi
+
+        with pytest.raises(ValueError):
+            decode_avi(b"RIFF\x00\x00\x00\x00WAVE....")
+        avi = bytearray(encode_avi(self._frames(1)))
+        at = bytes(avi).index(b"00dc") + 8
+        avi[at:at + 3] = b"\x00\x00\x00"   # corrupt the JPEG magic
+        with pytest.raises(NotImplementedError, match="non-MJPEG"):
+            decode_avi(bytes(avi))
+
+    def test_frame_sample_routes_avi(self, spark):
+        from camelot_spark.tdp.avi_codec import encode_avi
+
+        frames = self._frames()
+        df = spark.createDataFrame(
+            [(9, bytearray(encode_avi(frames, quality=95)))],
+            "doc_id long, payload binary")
+        rows = mm.frame_sample(df, every_n=2).collect()
+        assert sorted(r["frame_idx"] for r in rows) == [0, 2, 4]
+        f0 = np.frombuffer(
+            [r for r in rows if r["frame_idx"] == 0][0]["frame"], np.uint8)
+        assert np.abs(f0.reshape(24, 24).astype(int)
+                      - frames[0].astype(int)).max() <= 3
