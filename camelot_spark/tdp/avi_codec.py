@@ -106,3 +106,30 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10,
     movi = _list(b"movi", b"".join(_chunk(b"00dc", j) for j in jpegs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_metadata(payload: bytes) -> dict:
+    """Header-only peek: (width, height, n_frames, fps) from the avih
+    main header — no frame decode, the O(header-bytes) metadata scan a
+    large pipeline runs before deciding what to decode."""
+    if payload[:4] != AVI_MAGIC or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    def find_avih(pos: int, end: int):
+        for fourcc, body, size in _chunks(payload, pos, end):
+            if fourcc == b"LIST":
+                got = find_avih(body + 4, body + size)
+                if got is not None:
+                    return got
+            elif fourcc == b"avih":
+                return payload[body:body + size]
+        return None
+
+    avih = find_avih(12, len(payload))
+    if avih is None or len(avih) < 40:
+        raise ValueError("AVI without an avih header")
+    vals = struct.unpack("<10I", avih[:40])
+    usec_per_frame, _, _, _, n_frames, _, _, _, width, height = vals
+    fps = 1_000_000 // usec_per_frame if usec_per_frame else 0
+    return {"width": width, "height": height, "n_frames": n_frames,
+            "fps": fps}

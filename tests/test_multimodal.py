@@ -758,3 +758,15 @@ class TestAviCodec:
             [r for r in rows if r["frame_idx"] == 0][0]["frame"], np.uint8)
         assert np.abs(f0.reshape(24, 24).astype(int)
                       - frames[0].astype(int)).max() <= 3
+
+
+def test_avi_metadata_header_peek():
+    """Header-only metadata (no frame decode): dims/frames/fps from
+    avih."""
+    from camelot_spark.tdp.avi_codec import avi_metadata, encode_avi
+
+    frames = [np.zeros((12, 20), np.uint8)] * 7
+    assert avi_metadata(encode_avi(frames, fps=25)) == {
+        "width": 20, "height": 12, "n_frames": 7, "fps": 25}
+    with pytest.raises(ValueError):
+        avi_metadata(b"RIFF\x08\x00\x00\x00WAVEdata")
