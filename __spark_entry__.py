@@ -227,6 +227,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": lambda s, d: multimodal.audio_metadata(_load(s, d, "documents")),
         # framed DSP features (energy + zero crossings per 50ms frame)
         "audio_features": lambda s, d: multimodal.audio_features(_load(s, d, "documents")),
+        # CCNet-style corpus-frequency quality signal (LM-filter
+        # surrogate kept integer-exact)
+        "token_rarity": lambda s, d: tdp_text.token_rarity(_load(s, d, "documents")),
+        # deterministic integer PageRank over the derived doc link
+        # graph (8 fixed rounds; the CTE twin replays them)
+        "link_rank": lambda s, d: ranking.link_rank(
+            ranking.doc_link_edges(_load(s, d, "documents"))),
+        # rank-weighted corpus selection: acceptance proportional to
+        # the link rank, same integer hash as stratified_sample
+        "rank_weighted_sample": lambda s, d: sampling.rank_weighted_sample(
+            _load(s, d, "documents"),
+            ranking.link_rank(ranking.doc_link_edges(_load(s, d, "documents")))),
         "lineage_report": _sink_query("lineage"),
         # interleaved-output QA: per-kind counts/volume, media-ref
         # integrity, order contiguity — the span-sequence contract as
@@ -291,9 +303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_vote": lambda s, d: tdp_text.langid(_load(s, d, "documents")),
         "quality_score": lambda s, d: tdp_text.quality_score(_load(s, d, "documents")),
         "token_stats": lambda s, d: tdp_text.token_stats(_load(s, d, "documents")),
-        # CCNet-style corpus-frequency quality signal (LM-filter
-        # surrogate kept integer-exact)
-        "token_rarity": lambda s, d: tdp_text.token_rarity(_load(s, d, "documents")),
         "doc_fingerprint": lambda s, d: tdp_text.fingerprint(_load(s, d, "documents")),
         "winnow_fingerprints": lambda s, d: tdp_text.winnow_fingerprints(_load(s, d, "documents")),
         "normalize_text": lambda s, d: tdp_text.normalize_text(_load(s, d, "documents")),
@@ -364,15 +373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
         "bpe_token_counts": lambda s, d: bpe.bpe_token_counts(
             _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
-        # deterministic integer PageRank over the derived doc link
-        # graph (8 fixed rounds; the CTE twin replays them)
-        "link_rank": lambda s, d: ranking.link_rank(
-            ranking.doc_link_edges(_load(s, d, "documents"))),
-        # rank-weighted corpus selection: acceptance proportional to
-        # the link rank, same integer hash as stratified_sample
-        "rank_weighted_sample": lambda s, d: sampling.rank_weighted_sample(
-            _load(s, d, "documents"),
-            ranking.link_rank(ranking.doc_link_edges(_load(s, d, "documents")))),
         # corpus retrieval: capped inverted index + integer-BM25 top-k
         "inverted_index": lambda s, d: ranking.inverted_index(
             _load(s, d, "documents")),
