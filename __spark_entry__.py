@@ -110,8 +110,19 @@ def _sink_query(kind: str):
 # struct-min → island-merge prefix (the expensive part); persist it
 # once per (process, sf_dir) exactly like the sink corpus above, and
 # feed the region list to stats/strip via their spans= parameter.
-SUBSTR_SPANS_PATH = "/tmp/camelot_spark_substr_spans_oracle"
+# The cache path is keyed on (pid, sf_dir-hash) so concurrent bench /
+# driver processes — or two sf_dirs in one process — can never read
+# each other's (or a stale corpus's) spans.
 _SUBSTR_PERSISTED_FOR: list[str] = []
+
+
+def _substr_spans_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return (f"/tmp/camelot_spark_substr_spans_oracle_"
+            f"{os.getpid()}_{digest}")
 
 
 def _substr_query(kind: str):
@@ -121,11 +132,12 @@ def _substr_query(kind: str):
             # the spans query IS the pipeline: return it live so bench
             # timings and the plan audit see the real k-gram shuffles
             return substr_dedup.duplicate_substring_spans(docs, portable=True)
+        path = _substr_spans_path(sf_dir)
         if _SUBSTR_PERSISTED_FOR != [sf_dir]:
             substr_dedup.duplicate_substring_spans(docs, portable=True) \
-                .write.mode("overwrite").parquet(SUBSTR_SPANS_PATH)
+                .write.mode("overwrite").parquet(path)
             _SUBSTR_PERSISTED_FOR[:] = [sf_dir]
-        spans = spark.read.parquet(SUBSTR_SPANS_PATH)
+        spans = spark.read.parquet(path)
         if kind == "stats":
             return substr_dedup.duplicate_substring_stats(docs, spans=spans)
         return substr_dedup.strip_duplicate_substrings(docs, spans=spans)

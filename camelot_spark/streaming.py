@@ -92,10 +92,12 @@ def windowed_ingest_metrics(df, event_ts_col: str = "event_ts",
 
 ASSEMBLE_OUT_SCHEMA = ("doc_id string, text string, n_parts int, "
                        "n_received int, complete int")
-ASSEMBLE_STATE_SCHEMA = "idxs array<int>, chunks array<string>, n_parts int"
+ASSEMBLE_STATE_SCHEMA = ("idxs array<int>, chunks array<string>, "
+                         "n_parts int, max_ts_ms bigint")
 
 
-def assemble_multipart_stream(parts, timeout_ms: int = 0):
+def assemble_multipart_stream(parts, timeout_ms: int = 0,
+                              timeout_mode: str = "processing"):
     """Custom stateful operator (``applyInPandasWithState``): assemble
     documents that arrive as out-of-order PARTS across micro-batches —
     the continuous-ingest shape for interleaved multi-part web
@@ -110,6 +112,21 @@ def assemble_multipart_stream(parts, timeout_ms: int = 0):
     the state. With ``timeout_ms`` > 0, a doc idle that long emits its
     partial assembly with ``complete=0`` instead of leaking state
     forever — the bounded-state requirement of a 100 TB stream.
+    A part header declaring ``n_parts <= 0`` is corrupt (the doc could
+    never satisfy the completeness check): the doc is flushed
+    immediately with ``complete=0`` and its state cleared, so corrupt
+    headers cannot leak state even with no timeout configured.
+
+    ``timeout_mode`` picks the idleness clock:
+
+    - ``"processing"`` (default): wall-clock between triggers. Simple,
+      but a paused/backfilled stream flushes everything mid-replay —
+      wall-clock idleness says nothing about the DATA during replay.
+    - ``"event"``: the timeout fires only when the stream's WATERMARK
+      passes (doc's max event time + timeout_ms) — replay-safe, the
+      production option. Requires the input stream to carry a ``ts``
+      timestamp column and a ``withWatermark`` on it (Spark enforces
+      the watermark; this operator reads per-doc max event time).
 
     Built-ins cannot express this: ``dropDuplicatesWithinWatermark``
     dedups whole rows, windowed aggs cannot emit-on-condition mid-
@@ -129,17 +146,26 @@ def assemble_multipart_stream(parts, timeout_ms: int = 0):
             "n_parts": n, "n_received": len(parts), "complete": complete,
         }])
 
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError("timeout_mode must be 'processing' or 'event'")
+    event_mode = timeout_mode == "event"
+
     def assemble(key, pdfs, state):
         (doc_id,) = key
         if state.hasTimedOut:
-            idxs, chunks, n = state.get
+            idxs, chunks, n, _ = state.get
             state.remove()
             yield _emit(doc_id, idxs, chunks, n, 0)
             return
-        idxs, chunks, n = state.get if state.exists else ((), (), 0)
+        idxs, chunks, n, max_ts = (state.get if state.exists
+                                   else ((), (), 0, 0))
         idxs, chunks = list(idxs), list(chunks)
         have = set(idxs)
         for pdf in pdfs:
+            if event_mode and len(pdf):
+                ts_max = pdf["ts"].max()
+                if not pd.isna(ts_max):
+                    max_ts = max(int(max_ts), int(ts_max.value) // 1_000_000)
             for r in pdf.itertuples(index=False):
                 i = int(r.part_idx)
                 if i in have:            # at-least-once re-delivery
@@ -153,13 +179,30 @@ def assemble_multipart_stream(parts, timeout_ms: int = 0):
         if n > 0 and all(i in have for i in range(n)):
             state.remove()
             yield _emit(doc_id, idxs, chunks, n, 1)
+        elif n <= 0:
+            # corrupt header: n_parts<=0 can never satisfy the
+            # completeness check, so with timeout_ms=0 its state entry
+            # would be retained forever — flush NOW instead of leaking
+            state.remove()
+            yield _emit(doc_id, idxs, chunks, n, 0)
         else:
-            state.update((idxs, chunks, n))
-            if timeout_ms:
+            state.update((idxs, chunks, n, max_ts))
+            if timeout_ms and event_mode:
+                # fires only when the WATERMARK passes the doc's last
+                # event time + timeout — a paused or replayed stream
+                # (watermark frozen) flushes NOTHING, unlike wall-clock
+                state.setTimeoutTimestamp(
+                    max(max_ts + timeout_ms,
+                        state.getCurrentWatermarkMs() + 1))
+            elif timeout_ms:
                 state.setTimeoutDuration(timeout_ms)
 
-    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
-                    else GroupStateTimeout.NoTimeout)
+    if not timeout_ms:
+        timeout_conf = GroupStateTimeout.NoTimeout
+    elif event_mode:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
     return parts.groupBy("doc_id").applyInPandasWithState(
         assemble, ASSEMBLE_OUT_SCHEMA, ASSEMBLE_STATE_SCHEMA,
         "append", timeout_conf)

@@ -226,6 +226,11 @@ def _forward_blocks(arr: np.ndarray, quality: int, factors=None):
     for ci, comp in enumerate(comps):
         hh, vv = factors[ci]
         if hh != hmax or vv != vmax:
+            if hmax % hh or vmax % vv:
+                # the decoder's nearest-neighbor upsample is general,
+                # but this encoder's box average needs integer ratios
+                raise NotImplementedError(
+                    "encoder requires integer sampling ratios")
             # box-average downsample to the component's native grid
             fy, fx = vmax // vv, hmax // hh
             ch = -(-h * vv // vmax)
@@ -266,6 +271,9 @@ _SUBSAMPLING = {
     "4:2:2": [(2, 1), (1, 1), (1, 1)],
     "4:2:0": [(2, 2), (1, 1), (1, 1)],
     "4:1:1": [(4, 1), (1, 1), (1, 1)],
+    # non-power-of-two luma factor (T.81 allows 1-4); no J:a:b name
+    "3:1:1": [(3, 1), (1, 1), (1, 1)],
+    "3:3:1": [(3, 3), (1, 1), (1, 1)],
 }
 
 
@@ -273,16 +281,24 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 restart_interval: int = 0,
                 subsampling: str = "4:4:4",
                 non_interleaved: bool = False,
-                split_scans: bool = False) -> bytes:
+                split_scans: bool = False,
+                gray_factors=None) -> bytes:
     """Baseline JPEG bytes from a (h, w) grayscale or (h, w, 3) RGB
     uint8 array. ``subsampling`` picks the chroma layout for color
     images ('4:4:4', '4:2:2', '4:2:0' — box-average downsample);
     grayscale is always a single full-resolution component.
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
     every that many MCUs (DC predictors reset, stream byte-aligned) —
-    exercises the decoder's resync path."""
+    exercises the decoder's resync path. ``gray_factors`` declares
+    non-trivial SOF sampling factors on a grayscale image (the
+    jpegtran -grayscale shape: a color original's luma factors kept on
+    the lone component) — the scan is then emitted non-interleaved
+    over the native grid, as T.81 A.2 requires for ns==1."""
     arr = np.asarray(arr, dtype=np.uint8)
-    factors = None if arr.ndim == 2 else _SUBSAMPLING[subsampling]
+    if arr.ndim == 2 and gray_factors is not None:
+        factors = [tuple(gray_factors)]
+    else:
+        factors = None if arr.ndim == 2 else _SUBSAMPLING[subsampling]
     zzs, qts, gray, h, w = _forward_blocks(arr, quality, factors=factors)
     nc = len(zzs)
     if factors is None:
@@ -360,7 +376,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
             out += _noninterleaved_scan(ci)
         out += b"\xff\xd9"  # EOI
         return bytes(out)
-    out += _interleaved_scan(list(range(nc)))
+    if nc == 1 and factors[0] != (1, 1):
+        # a single-component scan is non-interleaved by definition
+        # (T.81 A.2): the declared 2x2-ish factors only pad the MCU
+        # grid; the scan walks the native ceil(w/8) x ceil(h/8) grid
+        out += _noninterleaved_scan(0)
+    else:
+        out += _interleaved_scan(list(range(nc)))
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -490,12 +512,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, tq = body[6 + c * 3:9 + c * 3]
                 hi, vi = samp >> 4, samp & 0x0F
-                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
-                    # the MCU geometry below is general, but T.81 only
-                    # defines factors 1-4 and non-power-of-two ratios
-                    # would break the box-average/replicate pairing
-                    raise NotImplementedError(
-                        "sampling factors must be 1, 2 or 4")
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    # T.81 B.2.2: Hi/Vi are 1-4
+                    raise ValueError("sampling factors must be 1-4")
                 comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
             progressive = marker == 0xC2
@@ -517,9 +536,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
             if not progressive:
-                if ns == len(frame[2]):
+                fcomps = frame[2]
+                if (ns == len(fcomps) and not saw_scan
+                        and (ns > 1 or fcomps[0][1:3] == (1, 1))):
                     # the common fully-interleaved layout: one scan,
-                    # decode straight to pixels
+                    # decode straight to pixels. A single-component
+                    # scan only qualifies when its declared factors are
+                    # 1x1 (then the MCU walk IS the native-grid walk);
+                    # per T.81 A.2 an ns==1 scan is otherwise always
+                    # non-interleaved over the component's own
+                    # ceil(w/8) x ceil(h/8) grid — e.g. jpegtran
+                    # -grayscale output keeping 2x2 luma factors.
                     return _decode_scan(payload, pos, frame, scan, qts,
                                         huff, restart_interval)
                 # multi-scan layouts (A.2.2): ns==1 scans walk the
@@ -621,11 +648,22 @@ def _decode_scan(payload, pos, frame, scan, qts, huff, restart_interval):
     for ci, (cid, hh, vv, tq) in enumerate(scomps):
         cw = -(-w * hh // hmax)   # component's native pixel dims
         ch = -(-h * vv // vmax)
-        p = planes[ci][:ch, :cw]
-        if hh != hmax or vv != vmax:
-            p = np.repeat(np.repeat(p, vmax // vv, axis=0), hmax // hh, axis=1)
-        out.append(p[:h, :w])
+        p = _upsample_plane(planes[ci][:ch, :cw], h, w, hh, vv, hmax, vmax)
+        out.append(p)
     return _planes_to_image(out)
+
+
+def _upsample_plane(p, h, w, hh, vv, hmax, vmax):
+    """Nearest-neighbor upsample of a component's native-resolution
+    plane to the (h, w) frame grid. Handles any factor ratio 1-4
+    (frame pixel (y, x) reads component sample (y*vv//vmax,
+    x*hh//hmax)); for integer ratios this reduces to block
+    replication, the conventional JPEG chroma upsample."""
+    if hh == hmax and vv == vmax:
+        return p[:h, :w]
+    yy = np.minimum(np.arange(h) * vv // vmax, p.shape[0] - 1)
+    xx = np.minimum(np.arange(w) * hh // hmax, p.shape[1] - 1)
+    return p[yy][:, xx]
 
 
 def _planes_to_image(planes) -> np.ndarray:
@@ -716,10 +754,7 @@ def _reconstruct_frame(frame, coefstore, qts):
         p = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         cw = -(-w * hh // hmax)
         ch = -(-h * vv // vmax)
-        p = p[:ch, :cw]
-        if hh != hmax or vv != vmax:
-            p = np.repeat(np.repeat(p, vmax // vv, axis=0), hmax // hh, axis=1)
-        planes.append(p[:h, :w])
+        planes.append(_upsample_plane(p[:ch, :cw], h, w, hh, vv, hmax, vmax))
     return _planes_to_image(planes)
 
 

@@ -276,13 +276,22 @@ def frame_sample(documents: DataFrame, frame_bytes: int = 64, every_n: int = 4) 
                 if head == GIF_MAGIC or (
                     head == AVI_MAGIC and bytes(payload[8:12]) == b"AVI "
                 ):
-                    frames = (decode_gif(bytes(payload)) if head == GIF_MAGIC
-                              else decode_avi(bytes(payload)))
-                    for i in range(0, len(frames), every_n):
-                        out["doc_id"].append(doc_id)
-                        out["frame_idx"].append(i)
-                        out["frame"].append(frames[i].tobytes())
-                    continue
+                    try:
+                        frames = (decode_gif(bytes(payload))
+                                  if head == GIF_MAGIC
+                                  else decode_avi(bytes(payload)))
+                    except (NotImplementedError, ValueError):
+                        # decode-best-effort, matching the image path:
+                        # an unsupported flavor (e.g. a non-MJPEG AVI)
+                        # degrades this ROW to the fixed-size-chunk
+                        # route instead of failing the whole task
+                        frames = None
+                    if frames is not None:
+                        for i in range(0, len(frames), every_n):
+                            out["doc_id"].append(doc_id)
+                            out["frame_idx"].append(i)
+                            out["frame"].append(frames[i].tobytes())
+                        continue
                 n_frames = len(payload) // frame_bytes
                 for i in range(0, n_frames, every_n):
                     out["doc_id"].append(doc_id)

@@ -234,7 +234,7 @@ def test_multipart_assembly_state_machine_unit():
     assert state.removed
 
     # timeout on a half-assembled doc: partial emit, state cleared
-    state = StubState(value=([3], ["tail"], 4), timed_out=True)
+    state = StubState(value=([3], ["tail"], 4, 0), timed_out=True)
     [out] = list(fn(("d",), [], state))
     assert out.iloc[0]["complete"] == 0 and out.iloc[0]["n_received"] == 1
     assert state.removed
