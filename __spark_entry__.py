@@ -329,7 +329,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": lambda s, d: tdp_html.extract_links(_load(s, d, "documents"), decorate=True),
         "decontaminate": lambda s, d: contamination.decontaminate(_load(s, d, "documents")),
         "chunk_documents": lambda s, d: packing.chunk_documents(_load(s, d, "documents")),
-        "pack_sequences": lambda s, d: packing.pack_sequences(_load(s, d, "documents")),
+        # shard_docs=128 exercises the bounded-shard shape (a window
+        # task holds at most 128 docs regardless of source skew); the
+        # SQL twin shards identically
+        "pack_sequences": lambda s, d: packing.pack_sequences(
+            _load(s, d, "documents"), shard_docs=128),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
         "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),

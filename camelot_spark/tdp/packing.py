@@ -109,6 +109,9 @@ def pack_sequences(
     )
 
 
+# Twin of the driver call pack_sequences(docs, shard_docs=128): the
+# cumsum partitions on (source, doc_id // 128), the bounded-shard
+# shape the Spark side ships.
 PACK_SEQUENCES_SQL = """
 WITH t AS (
   SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
@@ -117,7 +120,7 @@ WITH t AS (
 c AS (
   SELECT source, doc_id, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY source ORDER BY doc_id
+           PARTITION BY source, doc_id // 128 ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
   FROM t)
 SELECT source, doc_id, n_tokens,

@@ -43,29 +43,42 @@ def _terms(col):
 
 def inverted_index(documents: DataFrame, max_postings: int = 20) -> DataFrame:
     """(term, df, postings) — document frequency per term plus the
-    ``max_postings`` smallest doc_ids holding it (bounded row size)."""
+    ``max_postings`` smallest doc_ids holding it (bounded row size).
+
+    Scale shape (round-5 restructure; the old single window computed
+    exact df with an unordered count-over-window on the raw term key,
+    which put a stop-word's ENTIRE posting set into one reducer task):
+
+    - exact ``df`` comes from a plain ``groupBy(term).count()`` —
+      map-side partial aggregation reduces a stop-word's billions of
+      rows to one (term, count) long per map partition before the
+      shuffle; no reducer ever holds a full posting set.
+    - postings come from a LONE ``row_number`` window: with the rank
+      as the only window function and a direct ``rn <= k`` filter,
+      Spark inserts WindowGroupLimit BELOW the exchange, so each map
+      partition ships at most ``max_postings`` rows per term and the
+      final per-term task sorts <= k * n_map_partitions rows — bounded
+      regardless of df.
+    - the two branches join on term; both sides arrive hash-partitioned
+      by term from their own aggregation, so the join adds no exchange.
+    """
     from pyspark.sql import Window as W
 
     toks = (
         documents.select("doc_id", F.explode(F.array_distinct(
             _terms(F.col("text")))).alias("term"))
     )
-    # cap BEFORE any list materializes: rank within the term partition
-    # and keep the max_postings smallest doc_ids, with the exact df
-    # taken from the same window — a stop-word's aggregation buffer
-    # holds at most max_postings ids, never the whole df-sized list
+    df_tbl = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
     w = W.partitionBy("term").orderBy("doc_id")
-    ranked = toks.select(
-        "term", "doc_id",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("term")).alias("df"),
-    ).where(F.col("rn") <= max_postings)
+    plist = (
+        toks.select("term", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= max_postings)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("plist"))
+    )
     return (
-        ranked.groupBy("term")
-        .agg(
-            F.first("df").cast("bigint").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("plist"),
-        )
+        df_tbl.join(plist, "term")
         # string-encoded postings: oracle compares scalars, and the
         # string is what a downstream join would broadcast anyway
         .select("term", "df",

