@@ -125,6 +125,61 @@ def _substr_spans_path(sf_dir: str) -> str:
             f"{os.getpid()}_{digest}")
 
 
+# The portable MinHash-LSH pair list is the expensive shared prefix of
+# five dedup-family queries (signature fold + band shuffle, ~1 s each
+# at sf0.01). minhash_lsh_pairs_portable IS that pipeline and stays
+# live; the grouping/verification variants read the pairs persisted
+# once per (process, sf_dir) — same keying discipline as the substr
+# spans cache above.
+_LSH_PAIRS_PERSISTED_FOR: list[str] = []
+
+
+def _lsh_pairs_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return (f"/tmp/camelot_spark_lsh_pairs_oracle_"
+            f"{os.getpid()}_{digest}")
+
+
+def _portable_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _lsh_pairs_path(sf_dir)
+    if _LSH_PAIRS_PERSISTED_FOR != [sf_dir]:
+        docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+        dedup.minhash_lsh_pairs(docs, portable=True) \
+            .write.mode("overwrite").parquet(path)
+        _LSH_PAIRS_PERSISTED_FOR[:] = [sf_dir]
+    return spark.read.parquet(path)
+
+
+# Shared embedding-LSH prefix: lsh_signatures bit b depends only on
+# (b, dim), so one persisted 32-plane signature table serves both the
+# 4x8-bit banded near-dup (full width) and the 16-plane ANN (low 16
+# bits masked) with bit-identical results. embedding_neardup_pairs IS
+# the live pipeline (signatures + banding + verify stay in its plan);
+# ann_lsh_topk reads the persisted prefix.
+_EMB_SIGS_PERSISTED_FOR: list[str] = []
+
+
+def _emb_sigs32_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return (f"/tmp/camelot_spark_emb_sigs32_oracle_"
+            f"{os.getpid()}_{digest}")
+
+
+def _emb_sigs32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _emb_sigs32_path(sf_dir)
+    if _EMB_SIGS_PERSISTED_FOR != [sf_dir]:
+        similarity.lsh_signatures(_load(spark, sf_dir, "embeddings"), 32) \
+            .write.mode("overwrite").parquet(path)
+        _EMB_SIGS_PERSISTED_FOR[:] = [sf_dir]
+    return spark.read.parquet(path)
+
+
 def _substr_query(kind: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
@@ -272,7 +327,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": lambda s, d: similarity.cosine_topk(_load(s, d, "embeddings")),
         "embedding_neardup": lambda s, d: similarity.embedding_neardup_adjacent(_load(s, d, "embeddings")),
         "embedding_neardup_pairs": lambda s, d: similarity.embedding_neardup_pairs(_load(s, d, "embeddings")),
-        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(_load(s, d, "embeddings")),
+        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
+            _load(s, d, "embeddings"),
+            sigs=_emb_sigs32(s, d).select(
+                "vec_id",
+                F.col("lsh_sig").bitwiseAND(F.lit((1 << 16) - 1))
+                .alias("lsh_sig"))),
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(_load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
@@ -284,13 +344,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both hash-oracled on the portable half-corpus
         "neardup_verified_portable": lambda s, d: dedup.verify_pairs_jaccard(
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
-            dedup.minhash_lsh_pairs(
-                _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
-                portable=True),
+            _portable_lsh_pairs(s, d),
             threshold_x10k=7000),
         "dedup_groups_verified": lambda s, d: dedup.dedup_groups(
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
-            portable=True, algorithm="star", verify_threshold_x10k=7000),
+            portable=True, algorithm="star", verify_threshold_x10k=7000,
+            pairs=_portable_lsh_pairs(s, d)),
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
@@ -376,12 +435,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per near-dup cluster); production uses the xxhash64 pair path
         "dedup_groups": lambda s, d: dedup.dedup_groups(_load(s, d, "documents")),
         "dedup_groups_portable": lambda s, d: dedup.dedup_groups(
-            _load(s, d, "documents").where(F.col("doc_id") % 2 == 0), portable=True),
+            _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+            portable=True, pairs=_portable_lsh_pairs(s, d)),
         # same grouping via O(log n) large-star/small-star contraction —
         # the huge-diameter-safe algorithm; converges to true components
         "dedup_groups_star": lambda s, d: dedup.dedup_groups(
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
-            portable=True, algorithm="star"),
+            portable=True, algorithm="star",
+            pairs=_portable_lsh_pairs(s, d)),
         # iterative tokenizer training: 8 BPE merges learned on a %4
         # sample — per round one pair-count agg, a 1-row argmax, and a
         # literal merge replace; the SQL twin replays the whole loop

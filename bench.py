@@ -196,21 +196,45 @@ def main() -> None:
         dispersion = round((tp_runs[-1] - tp_runs[0]) / docs_per_sec, 3)
 
         total = round(sum(timings.values()), 3)
+        # detail line FIRST (skew panel, dispersion, run list, 3-decimal
+        # timings) — then a compact final line that fits the driver's
+        # captured output tail, so BENCH_r{N}.json `parsed` is non-null
+        # (r03/r04 shipped one giant line whose head the capture cut off)
         print(json.dumps({
-            "metric": "documents/sec table-extraction throughput (synthetic camelot-corpus replica, both flavors) + per-query wall seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": SF_DIR,
-            "docs_per_sec": round(docs_per_sec, 2),
+            "detail": "full-precision panel; the parseable summary is the final line",
+            "queries_3dp": timings,
             "docs_per_sec_runs": tp_runs,
             "docs_per_sec_dispersion": dispersion,
             "headline_docs": n_docs,
             # per-doc kernel-time skew from the median run's lineage:
             # the one-doc-one-task straggler ceiling, measured each round
             "doc_skew": skew,
-            "cpus": args.cpus,
         }))
+        # the driver keeps only the last 2000 chars of output, so the
+        # final line must serialize under that: report the slowest
+        # queries and fold the fast tail into a count (full 3-decimal
+        # timings for every query are on the detail line above)
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        keep = len(by_cost)
+        while keep > 0:
+            summary = {
+                "metric": "docs/sec extraction throughput + slowest-query sec",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in by_cost[:keep]},
+                "queries_omitted_under": (
+                    None if keep == len(by_cost)
+                    else round(by_cost[keep][1], 2)),
+                "n_queries": len(by_cost),
+                "sf": SF_DIR,
+                "docs_per_sec": round(docs_per_sec, 1),
+                "cpus": args.cpus,
+            }
+            line = json.dumps(summary, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+            keep -= 5
+        print(line)
     finally:
         spark.stop()
 

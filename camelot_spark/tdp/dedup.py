@@ -151,7 +151,11 @@ def minhash_lsh_pairs(
 # shares every line of that logic and differs only in the hash call).
 # Runs on the deterministic doc_id % 2 = 0 half-corpus (mirrored by the
 # driver query): the per-character hash fold exists only to verify the
-# logic, so sampling buys the same oracle signal at half the cost.
+# logic, so sampling buys the same oracle signal at half the cost. A
+# coarser modulus was tried in round 5 and rejected: near-dup pair ids
+# are random, so a 1/m slice keeps only ~1/m² of the verified pairs —
+# %4 left a 1-row oracle. The family's cost is cut instead by sharing
+# one persisted pairs prefix across the grouping/verification queries.
 MINHASH_PORTABLE_SQL = """
 WITH sh AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -664,7 +668,8 @@ def connected_components_star(pairs, max_iters: int = 30):
 def dedup_groups(documents, num_hashes: int = 32, bands: int = 8, n: int = 3,
                  portable: bool = False, rounds: int = 8,
                  algorithm: str = "rounds",
-                 verify_threshold_x10k: int | None = None):
+                 verify_threshold_x10k: int | None = None,
+                 pairs: DataFrame | None = None):
     """Full dedup grouping: MinHash-LSH candidate pairs → connected
     components → (doc_id, component, is_canonical). The canonical doc
     of each group is its minimum doc_id (= the component label).
@@ -682,11 +687,19 @@ def dedup_groups(documents, num_hashes: int = 32, bands: int = 8, n: int = 3,
     one band — ~6% at Jaccard 0.3 with 8 bands of 4) cannot merge
     unrelated docs into one group. Destructive consumers (curation
     delete steps) should always set this; None keeps the raw-candidate
-    grouping for analysis/oracle use."""
+    grouping for analysis/oracle use.
+
+    ``pairs``: precomputed LSH candidate (a_id, b_id) pairs. The
+    signature fold + band shuffle is the expensive prefix shared by
+    every query in this family — compute it once (or read it from a
+    persisted run) and pass it here instead of re-deriving it per
+    grouping variant. Must come from the same documents slice and
+    banding parameters, which this function then ignores."""
     from pyspark.sql import functions as F
 
-    pairs = minhash_lsh_pairs(documents, num_hashes=num_hashes, bands=bands,
-                              n=n, portable=portable)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents, num_hashes=num_hashes,
+                                  bands=bands, n=n, portable=portable)
     if verify_threshold_x10k is not None:
         pairs = verify_pairs_jaccard(documents, pairs, n=n,
                                      threshold_x10k=verify_threshold_x10k)

@@ -19,10 +19,10 @@ box-average-encoded chroma replicated back up at reconstruction.
 accumulate a coefficient store per scan and reconstruct at EOI.
 **Progressive subsampled** streams decode too (interleaved DC scans
 over the MCU geometry — full OR component subsets — and
-single-component DC/AC scans over native grids), as do sampling
-factors up to 4 (4:1:1) and baseline subset-interleaved scans. Only
-non-power-of-two sampling factors raise NotImplementedError — PIL,
-when installed, takes priority in ``decode_image`` and covers those.
+single-component DC/AC scans over native grids), as do any sampling
+factors 1-4 (the full T.81 B.2.2 range, incl. 3:1:1) and baseline
+subset-interleaved scans — every Huffman layout decodes natively.
+Factors outside 1-4 are invalid per T.81 and raise ValueError.
 
 Encoder (the in-test payload generator): grayscale or 4:4:4 YCbCr,
 quality-scaled quant table, and — deliberately — canonical Huffman

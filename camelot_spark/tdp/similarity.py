@@ -108,11 +108,19 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 16) -> DataFrame:
 
 
 def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
-             n_planes: int = 16, max_hamming: int = 6) -> DataFrame:
+             n_planes: int = 16, max_hamming: int = 6,
+             sigs: DataFrame | None = None) -> DataFrame:
     """ANN top-k: restrict brute-force scoring to vectors whose LSH
     signature is within ``max_hamming`` bits of the query's — the
-    bucketed scale path (candidate set ≪ corpus)."""
-    sigs = lsh_signatures(embeddings, n_planes)
+    bucketed scale path (candidate set ≪ corpus).
+
+    ``sigs``: precomputed (vec_id, lsh_sig) signatures to reuse instead
+    of recomputing. ``lsh_signatures`` bit b depends only on (b, dim),
+    so the low ``n_planes`` bits of any WIDER signature table are
+    exactly the ``n_planes``-plane signature — mask and pass a shared
+    table rather than paying the projection fold twice."""
+    if sigs is None:
+        sigs = lsh_signatures(embeddings, n_planes)
     q_sig = sigs.where(F.col("vec_id") == query_vec_id).select(
         F.col("lsh_sig").alias("q_sig")
     )

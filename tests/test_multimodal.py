@@ -242,18 +242,18 @@ class TestJpegCodec:
         with pytest.raises(ValueError, match="progressive"):
             decode_jpeg(bytes(enc))
 
-    def test_non_power_of_two_sampling_factor_rejected(self):
-        """Factors 1/2/4 decode natively; a non-power-of-two factor
-        (3) would break the box-average/replicate pairing and must
-        route to PIL."""
+    def test_out_of_range_sampling_factor_rejected(self):
+        """Any factor 1-4 decodes natively (T.81 B.2.2's full range);
+        a factor of 5 is invalid per the spec and must be rejected
+        loudly, not decoded as garbage."""
         from camelot_spark.tdp.jpeg_codec import decode_jpeg, encode_jpeg
 
         enc = bytearray(encode_jpeg(self._smooth(8, 8, color=True)))
         sof = enc.index(b"\xff\xc0")
         # component 0 sampling byte: marker(2) + len(2) + prec/h/w/nc(6)
-        # + cid(1) -> sampling at sof+11; set 3x1
-        enc[sof + 11] = 0x31
-        with pytest.raises(NotImplementedError):
+        # + cid(1) -> sampling at sof+11; set 5x1
+        enc[sof + 11] = 0x51
+        with pytest.raises(ValueError, match="1-4"):
             decode_jpeg(bytes(enc))
 
     def test_subsampled_roundtrips(self):
