@@ -283,12 +283,46 @@ FROM off
 """
 
 
+# Rotation discipline for the driver's budget-truncated correctness
+# pass (it has checked exactly the first 50 registry entries in r03 and
+# r04): keys that got a CORRECTNESS row LAST round are listed here and
+# demoted to the tail of queries(), so this round's pass covers the
+# other half first. With 76 queries and a 50-query budget the union of
+# any two consecutive rounds covers every query, and no oracled query's
+# green row is ever more than one round old. Update this set from
+# CORRECTNESS_r{N}.json each round.
+_DRIVER_CHECKED_LAST_ROUND = frozenset({
+    "media_features", "audio_meta", "audio_features", "token_rarity",
+    "link_rank", "rank_weighted_sample", "lineage_report", "span_stats",
+    "parsing_report", "table_export_csv", "media_meta",
+    "frame_sample_counts", "media_resize", "ann_topk",
+    "embedding_neardup", "embedding_neardup_pairs", "ann_lsh_topk",
+    "ivf_assign", "quantize_embeddings", "ivf_topk", "simhash_near_dups",
+    "simhash_near_dups_portable", "neardup_verified_portable",
+    "dedup_groups_verified", "extract_stream_corpus",
+    "extract_lattice_corpus", "sessionize_gaps", "interval_islands",
+    "mode_of_counts", "argmax_vote", "topk_cap", "grid_metrics",
+    "range_predicate", "asof_join", "range_join", "histogram_quantiles",
+    "event_props_stats", "time_rollup", "langid_vote", "quality_score",
+    "token_stats", "doc_fingerprint", "winnow_fingerprints",
+    "normalize_text", "repetition_stats", "scrub_pii", "top_ngrams",
+    "html_strip", "html_main_content", "html_links",
+})
+
+# Queries with no DuckDB twin (xxhash64 / extraction-kernel based) get
+# only the weaker rows-only check — sort them after oracled peers of
+# the same recency so the hash-verifying budget is spent first.
+_ROWS_ONLY = frozenset({
+    "simhash_near_dups", "extract_stream_corpus", "extract_lattice_corpus",
+    "minhash_lsh_pairs", "minhash_neardup_verified", "dedup_groups",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so a budget-truncated driver pass always covers the
-    # least-verified surface first: queries that have never had (or
-    # most recently missed) a driver CORRECTNESS row lead, long-green
-    # families follow. Python dicts preserve insertion order.
-    return {
+    # Registry in stable (family-grouped) order; the driver-facing
+    # ordering is applied by the rotation sort below. Python dicts
+    # preserve insertion order.
+    registry = {
         # --- never/least driver-verified first (r03 checked 50/70) ---
         "media_features": lambda s, d: multimodal.media_features_hist(_load(s, d, "documents")),
         "audio_meta": lambda s, d: multimodal.audio_metadata(_load(s, d, "documents")),
@@ -462,6 +496,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_substring_stats": _substr_query("stats"),
         "strip_dup_substrings": _substr_query("strip"),
     }
+    # Least-verified-first rotation: (0) oracled queries missed last
+    # round, (1) rows-only missed last round, (2) oracled re-checks,
+    # (3) rows-only re-checks. Stable within each tier.
+    def tier(name: str) -> int:
+        return (2 * (name in _DRIVER_CHECKED_LAST_ROUND)
+                + (name in _ROWS_ONLY))
+
+    return {k: registry[k] for k in sorted(registry, key=tier)}
 
 
 def oracle_sql() -> dict[str, str]:
