@@ -348,6 +348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsing_report": _sink_query("report"),
         "table_export_csv": _sink_query("csv"),
         # --- multimodal plumbing (r02-verified, missed in r03) ---
+        # full container exercise: per doc mux a real MJPEG+PCM AVI
+        # (idx1 index), idx1-seek-sample frames, demux audio through
+        # wav_codec; lossless PCM mux→demux lets DuckDB predict the
+        # extracted counts/checksum straight from text (new r5)
+        "avi_audio_roundtrip": lambda s, d: multimodal.avi_audio_roundtrip(
+            _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
         "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),
         "frame_sample_counts": lambda s, d: (
             multimodal.frame_sample(_load(s, d, "documents"))
@@ -570,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": similarity.NEARDUP_PAIRS_SQL,
         "media_meta": multimodal.MEDIA_META_SQL,
         "frame_sample_counts": multimodal.FRAME_COUNTS_SQL,
+        "avi_audio_roundtrip": multimodal.AVI_AUDIO_SQL,
         "media_resize": multimodal.MEDIA_RESIZE_SQL,
         "media_features": multimodal.MEDIA_FEATURES_SQL,
         "audio_meta": multimodal.AUDIO_META_SQL,

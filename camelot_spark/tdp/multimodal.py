@@ -265,7 +265,7 @@ def frame_sample(documents: DataFrame, frame_bytes: int = 64, every_n: int = 4) 
     and emit their actual frames' raw grayscale bytes; synthetic
     payloads keep the deterministic fixed-size-chunk route — same
     schema and plan either way."""
-    from .avi_codec import AVI_MAGIC, decode_avi
+    from .avi_codec import AVI_MAGIC, sample_video_frames
     from .gif_codec import GIF_MAGIC, decode_gif
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -277,9 +277,16 @@ def frame_sample(documents: DataFrame, frame_bytes: int = 64, every_n: int = 4) 
                     head == AVI_MAGIC and bytes(payload[8:12]) == b"AVI "
                 ):
                     try:
-                        frames = (decode_gif(bytes(payload))
-                                  if head == GIF_MAGIC
-                                  else decode_avi(bytes(payload)))
+                        if head == GIF_MAGIC:
+                            # GIF frames are deltas — sampling still
+                            # needs the sequential composite
+                            frames = list(enumerate(
+                                decode_gif(bytes(payload))))[::every_n]
+                        else:
+                            # AVI: idx1-seek sampling — skipped frames
+                            # are never read or JPEG-decoded
+                            frames = sample_video_frames(
+                                bytes(payload), every_n)
                     except (NotImplementedError, ValueError):
                         # decode-best-effort, matching the image path:
                         # an unsupported flavor (e.g. a non-MJPEG AVI)
@@ -287,10 +294,10 @@ def frame_sample(documents: DataFrame, frame_bytes: int = 64, every_n: int = 4) 
                         # route instead of failing the whole task
                         frames = None
                     if frames is not None:
-                        for i in range(0, len(frames), every_n):
+                        for i, frame in frames:
                             out["doc_id"].append(doc_id)
                             out["frame_idx"].append(i)
-                            out["frame"].append(frames[i].tobytes())
+                            out["frame"].append(frame.tobytes())
                         continue
                 n_frames = len(payload) // frame_bytes
                 for i in range(0, n_frames, every_n):
@@ -506,4 +513,86 @@ SELECT doc_id, frame_idx,
               i -> CASE WHEN fr[CAST(i AS INTEGER)] * fr[CAST(i + 1 AS INTEGER)] < 0
                         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
 FROM frames
+"""
+
+
+AVI_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("audio_sum", LongType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("n_sampled", IntegerType(), False),
+        StructField("last_frame_idx", IntegerType(), False),
+    ]
+)
+
+
+def avi_audio_roundtrip(documents: DataFrame, every_n: int = 3) -> DataFrame:
+    """End-to-end multimodal-container exercise, per doc: build a REAL
+    two-stream AVI (MJPEG video + interleaved 16-bit PCM audio + idx1
+    index) whose audio is the corpus's deterministic text→PCM contract
+    ((ord(c)-97)*256 clipped — the same mapping the audio_* oracles
+    mirror), then demux it back: idx1-seek every-Nth frame sampling
+    (skipped frames never decoded) and audio extraction routed through
+    ``wav_codec``. Because mux→demux is lossless on the PCM stream,
+    DuckDB predicts the extracted sample count/checksum straight from
+    the text — the cross-engine twin that pins the whole container
+    path (mux, index, seek, stream routing, WAV re-wrap).
+
+    Video stream: 2 + (char_len % 3) constant-gray 8x8 frames, so the
+    index and the sampling arithmetic are data-dependent."""
+    from .avi_codec import encode_avi, extract_audio, sample_video_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_samples",
+                "audio_sum", "n_frames", "n_sampled", "last_frame_idx")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pcm = np.clip(
+                    (np.array([ord(c) for c in text], dtype=np.int64)
+                     - 97) * 256, -32768, 32767).astype("<i2")
+                n_frames = 2 + len(text) % 3
+                frames = [np.full((8, 8), len(text) % 256, dtype=np.uint8)
+                          ] * n_frames
+                avi = encode_avi(frames, audio=pcm)
+                sampled = sample_video_frames(avi, every_n=every_n)
+                sr, nch, samples = extract_audio(avi)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(len(samples))
+                out["audio_sum"].append(int(samples.sum()))
+                out["n_frames"].append(n_frames)
+                out["n_sampled"].append(len(sampled))
+                out["last_frame_idx"].append(sampled[-1][0])
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    ).mapInPandas(batches, schema=AVI_AUDIO_SCHEMA)
+
+
+AVI_AUDIO_SQL = """
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CASE WHEN text = '' THEN CAST([] AS BIGINT[]) ELSE
+           list_transform(string_split(text, ''),
+                          c -> LEAST(GREATEST((CAST(ord(c) AS BIGINT) - 97) * 256,
+                                              -32768), 32767))
+         END AS pcm
+  FROM documents WHERE doc_id % 8 = 0)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       n_chars AS n_samples,
+       CAST(COALESCE(list_sum(pcm), 0) AS BIGINT) AS audio_sum,
+       CAST(2 + n_chars % 3 AS INTEGER) AS n_frames,
+       CAST((2 + n_chars % 3 + 2) // 3 AS INTEGER) AS n_sampled,
+       CAST((((2 + n_chars % 3 + 2) // 3) - 1) * 3 AS INTEGER) AS last_frame_idx
+FROM s
 """

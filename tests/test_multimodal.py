@@ -770,3 +770,112 @@ def test_avi_metadata_header_peek():
         "width": 20, "height": 12, "n_frames": 7, "fps": 25}
     with pytest.raises(ValueError):
         avi_metadata(b"RIFF\x08\x00\x00\x00WAVEdata")
+
+
+class TestAviIndexAndAudio:
+    """AVI 1.0 idx1 index (seek-accurate every-Nth sampling, skipped
+    frames never decoded) and interleaved PCM audio demux routed
+    through wav_codec — the round-5 container completions."""
+
+    def _frames(self, n=7):
+        rng = np.random.RandomState(7)
+        return [rng.randint(0, 256, (16, 24)).astype(np.uint8)
+                for _ in range(n)]
+
+    def _audio(self, n=1234):
+        rng = np.random.RandomState(11)
+        return rng.randint(-30000, 30000, n).astype("<i2")
+
+    def test_idx1_written_and_parsed(self):
+        from camelot_spark.tdp import avi_codec as A
+
+        avi = A.encode_avi(self._frames(), audio=self._audio())
+        idx = A.parse_idx1(avi)
+        assert idx is not None and len(idx) == 14  # 7 video + 7 audio
+        assert sum(1 for f, _, _ in idx if f == b"00dc") == 7
+        # index positions must agree with a linear movi walk
+        movi = A._find_list(avi, b"movi")
+        walked = [(f, b, s) for f, b, s
+                  in A._chunks(avi, movi[0] + 4, movi[1])]
+        assert idx == walked
+
+    def test_seek_sampling_skips_decodes(self, monkeypatch):
+        import camelot_spark.tdp.jpeg_codec as J
+        from camelot_spark.tdp import avi_codec as A
+
+        avi = A.encode_avi(self._frames(7))
+        calls = []
+        orig = J.decode_jpeg
+        monkeypatch.setattr(J, "decode_jpeg",
+                            lambda b: (calls.append(1), orig(b))[1])
+        sampled = A.sample_video_frames(avi, every_n=3)
+        assert [i for i, _ in sampled] == [0, 3, 6]
+        assert len(calls) == 3  # skipped frames never decoded
+
+    def test_audio_roundtrip_via_wav_codec(self):
+        from camelot_spark.tdp import avi_codec as A
+
+        audio = self._audio()
+        sr, nch, got = A.extract_audio(
+            A.encode_avi(self._frames(3), audio=audio, audio_rate=8000))
+        assert (sr, nch) == (8000, 1)
+        assert np.array_equal(got, audio)
+
+    def test_no_index_file_still_demuxes_identically(self):
+        from camelot_spark.tdp import avi_codec as A
+
+        frames, audio = self._frames(), self._audio()
+        with_idx = A.encode_avi(frames, audio=audio)
+        without = A.encode_avi(frames, audio=audio, with_index=False)
+        assert A.parse_idx1(without) is None
+        assert ([f.tobytes() for f in A.decode_avi(with_idx)]
+                == [f.tobytes() for f in A.decode_avi(without)])
+        assert np.array_equal(A.extract_audio(with_idx)[2],
+                              A.extract_audio(without)[2])
+
+    def test_absolute_offset_idx1_accepted(self):
+        import struct
+
+        from camelot_spark.tdp import avi_codec as A
+
+        avi = A.encode_avi(self._frames(3), audio=self._audio(100))
+        rel_idx = A.parse_idx1(avi)
+        movi_pos = A._find_list(avi, b"movi")[0]
+        b = bytearray(avi)
+        ib, isz = A._find_chunk(avi, b"idx1")
+        for off in range(ib, ib + isz, 16):
+            (rel,) = struct.unpack("<I", bytes(b[off + 8:off + 12]))
+            b[off + 8:off + 12] = struct.pack("<I", movi_pos + rel)
+        assert A.parse_idx1(bytes(b)) == rel_idx
+
+    def test_audio_missing_raises(self):
+        from camelot_spark.tdp import avi_codec as A
+
+        with pytest.raises(ValueError, match="no audio stream"):
+            A.extract_audio(A.encode_avi(self._frames(2)))
+
+    def test_empty_audio_stream(self):
+        from camelot_spark.tdp import avi_codec as A
+
+        sr, nch, got = A.extract_audio(
+            A.encode_avi(self._frames(2), audio=np.array([], "<i2")))
+        assert len(got) == 0
+
+    def test_avi_audio_roundtrip_kernel(self, spark):
+        """Spark surface: text→PCM contract muxed into a real AVI and
+        demuxed back; counts/checksum equal the text-side arithmetic
+        the DuckDB twin uses."""
+        df = spark.createDataFrame(
+            [(0, "abcz"), (8, ""), (16, "hello world")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                mm.avi_audio_roundtrip(df).collect()}
+        assert rows[0]["n_samples"] == 4
+        assert rows[0]["audio_sum"] == sum(
+            min(max((ord(c) - 97) * 256, -32768), 32767) for c in "abcz")
+        assert rows[8]["n_samples"] == 0 and rows[8]["audio_sum"] == 0
+        assert rows[16]["n_frames"] == 2 + 11 % 3
+        assert rows[16]["n_sampled"] == (rows[16]["n_frames"] + 2) // 3
+        for r in rows.values():
+            assert (r["sample_rate"], r["n_channels"]) == (8000, 1)
+            assert r["last_frame_idx"] == (r["n_sampled"] - 1) * 3
