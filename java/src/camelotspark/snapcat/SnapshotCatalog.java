@@ -1100,15 +1100,26 @@ public class SnapshotCatalog implements TableCatalog {
           json.substring(sep + 1).trim());
     }
 
+    /** Every version in a batch's (start, end] range must still have
+     * its manifest: the start manifest defines the already-read file
+     * set, and each intermediate manifest must be inspected for
+     * replacing snapshots. A missing version — expire_snapshots
+     * removed it while the stream had not read past it, or the table
+     * was dropped and recreated — makes the batch unplannable without
+     * risking silent duplicates or data loss, so planning fails
+     * loudly instead of planning an empty or partial range. */
     private String manifestAt(long v) {
       if (!Files.isRegularFile(
           ManifestLog.metaDir(tableDir).resolve("v" + v + ".json"))) {
         throw new IllegalStateException(
             "stream checkpoint references snapshot version " + v
-                + " which does not exist under " + tableDir
-                + " — the table history does not match the checkpoint"
-                + " (table dropped/recreated?); restart the stream from a"
-                + " fresh checkpoint");
+                + " which no longer exists under " + tableDir
+                + " — either expire_snapshots removed versions the"
+                + " stream had not read yet, or the table was dropped"
+                + " and recreated; the batch cannot be planned without"
+                + " risking data loss. Restart the stream from a fresh"
+                + " checkpoint (full re-read) or keep snapshots until"
+                + " all streams have read past them");
       }
       return ManifestLog.readManifest(tableDir, (int) v);
     }

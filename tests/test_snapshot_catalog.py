@@ -730,3 +730,74 @@ def test_table_stream_rejects_max_files_per_trigger(spark):
 
     with pytest.raises(ValueError, match="snapshot"):
         read_document_stream(spark, "snap.ns.whatever", max_files_per_trigger=5)
+
+
+def test_streaming_read_fails_loudly_when_unread_snapshots_expired(spark, tmp_path):
+    """expire_snapshots x streaming read: if maintenance removes
+    manifest versions inside a stream's UNREAD offset range, batch
+    planning must fail loudly (the already-read file set and the
+    replace-detection walk both need those manifests) — never plan an
+    empty or partial range, which would silently lose or duplicate
+    data. Iceberg's stance, pinned here for both shapes: an expired
+    START offset and an expired intermediate version."""
+    _require_catalog(spark)
+    table = "snap.ns.stream_expire"
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT)")
+    spark.range(2).writeTo(table).append()
+
+    def drain():
+        q = (spark.readStream.table(table)
+             .writeStream.option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .format("parquet").option("path", outp).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(outp).count() == 2
+
+    # grow the chain past the checkpoint, then expire everything but
+    # the newest version — including the checkpointed start offset
+    spark.range(10, 12).writeTo(table).append()
+    spark.range(12, 14).writeTo(table).append()
+    log = _table_log(spark, table)
+    expired = log.expire_snapshots(keep_last=1)
+    assert expired  # the checkpointed version is among the removed
+    with pytest.raises(Exception, match="expire|no longer exists"):
+        drain()
+    # the failed attempt must not have emitted anything
+    assert spark.read.parquet(outp).count() == 2
+
+
+def test_streaming_read_fails_when_intermediate_snapshot_expired(spark, tmp_path):
+    """Even when the START manifest survives, a missing INTERMEDIATE
+    version is fatal: without its manifest the source cannot prove the
+    snapshot was not a replacing one (whose files would stream as
+    duplicates), so it must refuse rather than assume."""
+    import os
+
+    _require_catalog(spark)
+    table = "snap.ns.stream_expire_mid"
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} (id BIGINT)")
+    spark.range(2).writeTo(table).append()
+
+    def drain():
+        q = (spark.readStream.table(table)
+             .writeStream.option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .format("parquet").option("path", outp).start())
+        q.awaitTermination(120)
+
+    drain()
+    log = _table_log(spark, table)
+    start_v = log.latest()["version"]
+    spark.range(10, 12).writeTo(table).append()
+    spark.range(12, 14).writeTo(table).append()
+    # surgically remove ONLY the intermediate version's manifest
+    os.unlink(log._manifest_path(start_v + 1))
+    with pytest.raises(Exception, match="expire|no longer exists"):
+        drain()
+    assert spark.read.parquet(outp).count() == 2
