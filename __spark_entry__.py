@@ -180,6 +180,32 @@ def _emb_sigs32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Shared 8-round integer-PageRank prefix: link_rank IS the live
+# pipeline (edge derivation + the iterative rank rounds stay in its
+# plan); rank_weighted_sample joins against the ranks persisted once
+# per (process, sf_dir) instead of re-running the whole iteration.
+_LINK_RANK_PERSISTED_FOR: list[str] = []
+
+
+def _link_rank_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return (f"/tmp/camelot_spark_link_rank_oracle_"
+            f"{os.getpid()}_{digest}")
+
+
+def _link_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _link_rank_path(sf_dir)
+    if _LINK_RANK_PERSISTED_FOR != [sf_dir]:
+        ranking.link_rank(
+            ranking.doc_link_edges(_load(spark, sf_dir, "documents"))) \
+            .write.mode("overwrite").parquet(path)
+        _LINK_RANK_PERSISTED_FOR[:] = [sf_dir]
+    return spark.read.parquet(path)
+
+
 def _substr_query(kind: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
@@ -338,8 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank-weighted corpus selection: acceptance proportional to
         # the link rank, same integer hash as stratified_sample
         "rank_weighted_sample": lambda s, d: sampling.rank_weighted_sample(
-            _load(s, d, "documents"),
-            ranking.link_rank(ranking.doc_link_edges(_load(s, d, "documents")))),
+            _load(s, d, "documents"), _link_ranks(s, d)),
         "lineage_report": _sink_query("lineage"),
         # interleaved-output QA: per-kind counts/volume, media-ref
         # integrity, order contiguity — the span-sequence contract as
