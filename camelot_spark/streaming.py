@@ -173,16 +173,22 @@ def assemble_multipart_stream(parts, timeout_ms: int = 0,
                 have.add(i)
                 idxs.append(i)
                 chunks.append("" if r.payload is None else str(r.payload))
-                n = int(r.n_parts)
+                hdr = int(r.n_parts)
+                if hdr > 0:
+                    # only a VALID header may set n: a stray corrupt
+                    # row (n_parts<=0) must not overwrite a known-good
+                    # count and force-flush a mid-assembly doc
+                    n = hdr
         # complete only when parts 0..n-1 are ALL present — a count
         # check would let a stray out-of-range index mask a missing part
         if n > 0 and all(i in have for i in range(n)):
             state.remove()
             yield _emit(doc_id, idxs, chunks, n, 1)
         elif n <= 0:
-            # corrupt header: n_parts<=0 can never satisfy the
-            # completeness check, so with timeout_ms=0 its state entry
-            # would be retained forever — flush NOW instead of leaking
+            # NO row of this doc has ever carried a valid header:
+            # n_parts<=0 can never satisfy the completeness check, so
+            # with timeout_ms=0 its state entry would be retained
+            # forever — flush NOW instead of leaking
             state.remove()
             yield _emit(doc_id, idxs, chunks, n, 0)
         else:
@@ -190,10 +196,14 @@ def assemble_multipart_stream(parts, timeout_ms: int = 0,
             if timeout_ms and event_mode:
                 # fires only when the WATERMARK passes the doc's last
                 # event time + timeout — a paused or replayed stream
-                # (watermark frozen) flushes NOTHING, unlike wall-clock
+                # (watermark frozen) flushes NOTHING, unlike wall-clock.
+                # A doc whose rows all carry null ts anchors to the
+                # CURRENT watermark (not 0, which would fire on the
+                # very next watermark advance — a zero timeout)
+                wm = state.getCurrentWatermarkMs()
+                anchor = max_ts if max_ts > 0 else wm
                 state.setTimeoutTimestamp(
-                    max(max_ts + timeout_ms,
-                        state.getCurrentWatermarkMs() + 1))
+                    max(anchor + timeout_ms, wm + 1))
             elif timeout_ms:
                 state.setTimeoutDuration(timeout_ms)
 

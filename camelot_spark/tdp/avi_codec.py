@@ -112,10 +112,14 @@ def _stream_types(payload: bytes) -> list[tuple[bytes, bytes]]:
 
 def parse_idx1(payload: bytes):
     """AVI 1.0 index → list of (chunk_fourcc, abs_body_pos, size), or
-    None when the file has no ``idx1``. Entry offsets are resolved
-    against both writer conventions (relative to the ``movi`` fourcc,
-    or absolute from file start) by probing which lands on the entry's
-    own chunk header."""
+    None when the index is absent OR unusable — empty, truncated,
+    OpenDML ``rec``-grouped, or with entries that resolve to neither
+    offset convention. None means "fall back to the linear ``movi``
+    walk", which is always correct; the index is purely a seek
+    optimization and must never make a decodable file fail. Entry
+    offsets are resolved against both writer conventions (relative to
+    the ``movi`` fourcc, or absolute from file start) by probing which
+    lands on the entry's own chunk header."""
     idx = _find_chunk(payload, b"idx1")
     movi = _find_list(payload, b"movi")
     if idx is None or movi is None:
@@ -125,15 +129,18 @@ def parse_idx1(payload: bytes):
     out = []
     for off in range(body, body + size - 15, 16):
         fourcc = payload[off:off + 4]
+        if fourcc in (b"rec ", b"LIST"):
+            # OpenDML grouped entries wrap frames in rec-lists the
+            # flat walk below understands better than this parser
+            return None
         _flags, rel, csize = struct.unpack("<III", payload[off + 4:off + 16])
         hdr = movi_pos + rel  # relative convention
         if payload[hdr:hdr + 4] != fourcc:
             hdr = rel  # absolute convention
             if payload[hdr:hdr + 4] != fourcc:
-                raise ValueError("idx1 entry resolves to neither "
-                                 "movi-relative nor absolute offset")
+                return None  # corrupt index — the movi walk still works
         out.append((fourcc, hdr + 8, csize))
-    return out
+    return out or None  # an empty index indexes nothing: walk movi
 
 
 def _chunk_locs(payload: bytes, want) -> list[tuple[bytes, int, int]]:
@@ -148,9 +155,17 @@ def _chunk_locs(payload: bytes, want) -> list[tuple[bytes, int, int]]:
     movi = _find_list(payload, b"movi")
     if movi is None:
         return []
-    return [(fcc, body, size)
-            for fcc, body, size in _chunks(payload, movi[0] + 4, movi[1])
-            if want(fcc[2:4])]
+    out: list[tuple[bytes, int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        for fcc, body, size in _chunks(payload, pos, end):
+            if fcc == b"LIST":  # OpenDML "rec " grouping
+                walk(body + 4, body + size)
+            elif want(fcc[2:4]):
+                out.append((fcc, body, size))
+
+    walk(movi[0] + 4, movi[1])
+    return out
 
 
 def _to_gray(img: np.ndarray) -> np.ndarray:

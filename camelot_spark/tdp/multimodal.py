@@ -15,6 +15,7 @@ gets full codec coverage by installing PIL, with zero plan change.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -287,11 +288,14 @@ def frame_sample(documents: DataFrame, frame_bytes: int = 64, every_n: int = 4) 
                             # are never read or JPEG-decoded
                             frames = sample_video_frames(
                                 bytes(payload), every_n)
-                    except (NotImplementedError, ValueError):
+                    except (NotImplementedError, ValueError,
+                            IndexError, struct.error):
                         # decode-best-effort, matching the image path:
-                        # an unsupported flavor (e.g. a non-MJPEG AVI)
-                        # degrades this ROW to the fixed-size-chunk
-                        # route instead of failing the whole task
+                        # an unsupported OR malformed flavor (non-MJPEG
+                        # AVI, truncated container — struct/index
+                        # errors from header parsing) degrades this ROW
+                        # to the fixed-size-chunk route instead of
+                        # failing the whole task
                         frames = None
                     if frames is not None:
                         for i, frame in frames:

@@ -1,0 +1,203 @@
+"""Round-5 code-review regressions: corrupt-part-row state safety,
+event-timeout anchoring for null-ts docs, malformed-container
+best-effort in frame_sample, idx1 fallback robustness, plan-audit
+window classification default-closed, and prefix-cache cleanup."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class _StubState:
+    def __init__(self, value=None, timed_out=False, watermark_ms=0):
+        self.value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_duration = None
+        self.timeout_ts = None
+        self._wm = watermark_ms
+
+    exists = property(lambda s: s.value is not None)
+    get = property(lambda s: s.value)
+
+    def update(self, v):
+        self.value = v
+
+    def remove(self):
+        self.value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_duration = ms
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def _assemble_fn(**kwargs):
+    from camelot_spark import streaming as st
+
+    captured = {}
+
+    class FakeGrouped:
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    class FakeDF:
+        def groupBy(self, *_):
+            return FakeGrouped()
+
+    st.assemble_multipart_stream(FakeDF(), **kwargs)
+    return captured["fn"]
+
+
+def test_corrupt_row_does_not_destroy_known_good_state():
+    """A stray n_parts<=0 row must NOT overwrite a known-good header
+    and force-flush a mid-assembly doc: the doc keeps accumulating and
+    completes when its real parts arrive."""
+    fn = _assemble_fn(timeout_ms=60000)
+    state = _StubState(value=([0, 1], ["a", "b"], 3, 0))
+    corrupt = pd.DataFrame([{"doc_id": "d", "part_idx": 7,
+                             "n_parts": 0, "payload": "junk"}])
+    assert list(fn(("d",), [corrupt], state)) == []  # no forced flush
+    assert state.exists and state.value[2] == 3      # n survives
+    good = pd.DataFrame([{"doc_id": "d", "part_idx": 2,
+                          "n_parts": 3, "payload": "c"}])
+    [out] = list(fn(("d",), [good], state))
+    assert out.iloc[0]["complete"] == 1 and out.iloc[0]["text"] == "abc"
+    assert state.removed
+
+
+def test_never_valid_header_still_flushes_immediately():
+    """The r4 leak fix stands: a doc whose rows ONLY ever carried
+    n_parts<=0 flushes complete=0 now instead of leaking state."""
+    fn = _assemble_fn(timeout_ms=0)
+    state = _StubState()
+    pdf = pd.DataFrame([{"doc_id": "z", "part_idx": 0,
+                         "n_parts": 0, "payload": "junk"}])
+    [out] = list(fn(("z",), [pdf], state))
+    assert out.iloc[0]["complete"] == 0 and state.removed
+
+
+def test_event_timeout_null_ts_anchors_to_watermark():
+    """Event mode: a doc whose parts all carry null ts must time out
+    a full timeout_ms past the CURRENT watermark — not at watermark+1,
+    which would flush it on the very next watermark advance."""
+    fn = _assemble_fn(timeout_ms=5000, timeout_mode="event")
+    wm = 1_700_000_000_000
+    state = _StubState(watermark_ms=wm)
+    pdf = pd.DataFrame([{"doc_id": "d", "part_idx": 0, "n_parts": 2,
+                         "payload": "a", "ts": pd.NaT}])
+    assert list(fn(("d",), [pdf], state)) == []
+    assert state.timeout_ts == wm + 5000
+    # and a doc WITH event times still anchors to its max event time
+    state2 = _StubState(watermark_ms=wm)
+    ts = pd.Timestamp((wm + 9000) * 1_000_000)
+    pdf2 = pd.DataFrame([{"doc_id": "e", "part_idx": 0, "n_parts": 2,
+                          "payload": "a", "ts": ts}])
+    assert list(fn(("e",), [pdf2], state2)) == []
+    assert state2.timeout_ts == wm + 9000 + 5000
+
+
+class TestAviRobustness:
+    def _frames(self, n=3):
+        rng = np.random.RandomState(5)
+        return [rng.randint(0, 256, (8, 8)).astype(np.uint8)
+                for _ in range(n)]
+
+    def test_truncated_idx1_degrades_row_in_frame_sample(self, spark):
+        """A container truncated inside its idx1 raises struct.error in
+        header parsing; frame_sample must degrade that ROW to the
+        fixed-size-chunk route, not fail the task."""
+        from camelot_spark.tdp.avi_codec import encode_avi
+        from camelot_spark.tdp.multimodal import frame_sample
+
+        avi = encode_avi(self._frames())
+        ib = avi.index(b"idx1")
+        truncated = avi[:ib + 12]  # ends mid-entry; RIFF size now lies
+        docs = spark.createDataFrame(
+            [("t", truncated)], "doc_id string, payload binary")
+        rows = frame_sample(docs, frame_bytes=64, every_n=1).collect()
+        assert len(rows) == len(truncated) // 64  # chunk-route fallback
+
+    def test_empty_idx1_falls_back_to_movi_walk(self):
+        import struct
+
+        from camelot_spark.tdp import avi_codec as A
+
+        base = A.encode_avi(self._frames(), with_index=False)
+        body = b"AVI " + base[12:] + A._chunk(b"idx1", b"")
+        avi = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert A.parse_idx1(avi) is None
+        assert len(A.decode_avi(avi)) == 3  # movi walk unaffected
+
+    def test_rec_grouped_movi_decodes_via_walk(self):
+        """OpenDML rec-grouped files: idx1 entries pointing at LIST
+        groups make the index unusable (None), and the movi walk now
+        recurses into the rec lists so frames still decode."""
+        import struct
+
+        from camelot_spark.tdp import avi_codec as A
+        from camelot_spark.tdp.jpeg_codec import encode_jpeg
+
+        frames = self._frames()
+        jpegs = [encode_jpeg(f, quality=95) for f in frames]
+        rec = A._list(b"rec ", b"".join(A._chunk(b"00dc", j) for j in jpegs))
+        movi = A._list(b"movi", rec)
+        got = A.encode_avi(frames)  # steal a valid hdrl
+        hdrl_end = got.index(b"LIST", 12)
+        hdrl_start = got.index(b"LIST")
+        (hsize,) = struct.unpack("<I", got[hdrl_start + 4:hdrl_start + 8])
+        hdrl = got[hdrl_start:hdrl_start + 8 + hsize + (hsize & 1)]
+        body = b"AVI " + hdrl + movi
+        avi = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert A.parse_idx1(avi) is None
+        dec = A.decode_avi(avi)
+        assert len(dec) == 3
+        assert np.abs(dec[0].astype(int) - frames[0].astype(int)).max() <= 4
+
+    def test_corrupt_idx1_offsets_fall_back_not_raise(self):
+        import struct
+
+        from camelot_spark.tdp import avi_codec as A
+
+        avi = bytearray(A.encode_avi(self._frames()))
+        ib = bytes(avi).index(b"idx1") + 8
+        avi[ib + 8:ib + 12] = struct.pack("<I", 0xDEAD)  # bogus offset
+        assert A.parse_idx1(bytes(avi)) is None
+        assert len(A.decode_avi(bytes(avi))) == 3
+
+
+def test_plan_audit_flags_analytic_windows(spark):
+    """Default-closed window classification: lag/lead and friends over
+    a data-cardinality key count as unbounded-group suspects; a pure
+    rank window with WindowGroupLimit stays clean."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import plan_props
+
+    df = spark.range(100).selectExpr("id % 7 AS k", "id AS x")
+    lagged = df.select("k", F.lag("x").over(
+        Window.partitionBy("k").orderBy("x")).alias("prev"))
+    assert plan_props(lagged)["window_agg"] >= 1
+
+    ranked = df.select("k", "x", F.row_number().over(
+        Window.partitionBy("k").orderBy("x")).alias("rn")).where("rn <= 3")
+    p = plan_props(ranked)
+    assert p["window_agg"] == 0 and p["window_rank_unlimited"] == 0
+
+
+def test_prefix_cache_cleanup_removes_this_process_dirs(tmp_path):
+    import os
+
+    import __spark_entry__ as e
+
+    p = e._prefix_path("unittest_probe", "/some/sf")
+    os.makedirs(p, exist_ok=True)
+    assert os.path.isdir(p)
+    e._cleanup_prefix_caches()
+    assert not os.path.exists(p)

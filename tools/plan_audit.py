@@ -60,8 +60,11 @@ BOUNDED_WINDOW_GROUPS = {
     # group = one supplier's shipment rows / one user's events — the
     # canonical per-entity sessionize/as-of partitioning; entity skew
     # is data skew a salt would break the semantics of (running order
-    # matters), and one entity's history is bounded in practice
-    "interval_islands", "asof_join",
+    # matters), and one entity's history is bounded in practice.
+    # sessionize_gaps joined this list in r5 when the audit's
+    # default-closed classification started seeing lag() windows —
+    # same per-user shape as asof_join, previously just unclassified
+    "interval_islands", "asof_join", "sessionize_gaps",
     # group = the per-source fixed bucket list (256 histogram buckets),
     # bounded by construction
     "histogram_quantiles",
@@ -104,12 +107,18 @@ def plan_props(df) -> dict:
             continue
         funcs = m.group(1)
         win_funcs.append(funcs)
-        if _WIN_AGG_RE.search(funcs):
-            window_agg += 1
-        elif _WIN_RANK_RE.search(funcs):
+        # default-closed classification: ONLY a pure rank-like window
+        # gets the WindowGroupLimit path; anything else — aggregates,
+        # lag/lead/nth_value/percent_rank/cume_dist, any function the
+        # regexes don't know — needs its whole group in one task and
+        # counts as an unbounded-group suspect (violation unless the
+        # query is in BOUNDED_WINDOW_GROUPS with a recorded reason)
+        if _WIN_RANK_RE.search(funcs) and not _WIN_AGG_RE.search(funcs):
             child = lines[i + 1] if i + 1 < len(lines) else ""
             if not any(k in child for k in bounded_below):
                 window_rank_unlimited += 1
+        else:
+            window_agg += 1
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "topk_merge": "TakeOrderedAndProject" in plan,
