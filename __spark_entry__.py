@@ -332,6 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style corpus-frequency quality signal (LM-filter
         # surrogate kept integer-exact)
         "token_rarity": lambda s, d: tdp_text.token_rarity(_load(s, d, "documents")),
+        # bigram-LM fluency score in integer whole bits — the
+        # KenLM-perplexity-filter surrogate (new r5)
+        "lm_bigram_score": lambda s, d: tdp_text.lm_bigram_score(
+            _load(s, d, "documents")),
         # deterministic integer PageRank over the derived doc link
         # graph (8 fixed rounds; the CTE twin replays them)
         "link_rank": lambda s, d: ranking.link_rank(
@@ -373,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "vec_id",
                 F.col("lsh_sig").bitwiseAND(F.lit((1 << 16) - 1))
                 .alias("lsh_sig"))),
+        # SemDeDup-style semantic dedup: IVF clusters bound the pair
+        # space, keep-first within-cluster cosine pruning (new r5)
+        "semantic_dedup": lambda s, d: similarity.semantic_dedup(
+            _load(s, d, "embeddings")),
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(_load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
@@ -530,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": tdp_text.QUALITY_SQL,
         "token_stats": tdp_text.TOKEN_STATS_SQL,
         "token_rarity": tdp_text.TOKEN_RARITY_SQL,
+        "lm_bigram_score": tdp_text.LM_BIGRAM_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
         "winnow_fingerprints": tdp_text.WINNOW_SQL,
         "normalize_text": tdp_text.NORMALIZE_SQL,
@@ -570,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ANN_TOPK_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,
         "ivf_assign": similarity.IVF_ASSIGN_SQL,
+        "semantic_dedup": similarity.SEMANTIC_DEDUP_SQL,
         "quantize_embeddings": similarity.QUANTIZE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "embedding_neardup": similarity.NEARDUP_SQL,

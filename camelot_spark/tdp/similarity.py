@@ -485,3 +485,71 @@ scored AS (
             JOIN sig eb ON eb.vec_id = cand.b_id)
 SELECT a_id, b_id, cos_x10k FROM scored WHERE cos_x10k >= 3000
 """
+
+
+def semantic_dedup(embeddings: DataFrame, n_cells: int = 8,
+                   threshold_x10k: int = 3000) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): IVF coarse clusters bound the pair space, then within
+    each cluster a vector is DROPPED when a lower-id member sits at
+    cosine ≥ threshold (keep-first convention, like
+    ``dedup_keep_first``). Output: (vec_id, ivf_cell, is_kept).
+
+    Scale shape — why this is the 100 TB semantic-dedup plan:
+    - assignment is a broadcast of K pivots + a per-row JVM fold
+      (``ivf_assign``), zero shuffle on the vectors;
+    - the pairwise stage equi-joins on ``ivf_cell``, so vectors ship
+      once to their cluster's reducer and pairs form per-cluster,
+      never across the n² global space — exactly the paper's design
+      point (cluster count scales with corpus so cluster sizes stay
+      bounded; here K=8 mirrors the oracle);
+    - the drop set is a DISTINCT on bare ids, and the final flag is a
+      broadcast-able left-semi-style join, all 8-byte traffic.
+    Comparisons use the floor(cos·10⁴) integer the twin mirrors."""
+    cells = ivf_assign(embeddings, n_cells)
+    e = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).join(cells.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                        "ivf_cell"), "vec_id")
+    a = e.select(F.col("ivf_cell"), F.col("vec_id").alias("a_id"),
+                 F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("ivf_cell"), F.col("vec_id").alias("b_id"),
+                 F.col("embedding").alias("emb_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    dropped = (
+        a.join(b, "ivf_cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(F.floor(cos * 10000).cast("bigint") >= threshold_x10k)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dropped.withColumn("dropped", F.lit(1)), "vec_id", "left") \
+        .select("vec_id", "ivf_cell",
+                F.when(F.col("dropped").isNull(), 1).otherwise(0)
+                .cast("int").alias("is_kept"))
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH {_IVF_SCORES_CTE},
+assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS ivf_cell
+  FROM scored),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM assigned a JOIN assigned b
+    ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+  WHERE CAST(FLOOR(
+          list_sum(list_transform(a.embedding,
+            (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / ( sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+          * 10000) AS BIGINT) >= 3000)
+SELECT s.vec_id, s.ivf_cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+FROM assigned s LEFT JOIN dropped d USING (vec_id)
+"""

@@ -476,3 +476,77 @@ SELECT doc_id,
 FROM tok JOIN counts USING (term)
 GROUP BY doc_id
 """
+
+
+def lm_bigram_score(documents: DataFrame) -> DataFrame:
+    """Bigram-LM fluency score, integer-exact: per document, the mean
+    bigram "surprisal" in whole bits — floor(log2 c(w1)) −
+    floor(log2 c(w1,w2)) summed over the doc's adjacent token pairs,
+    where counts are corpus-wide. Low = predictable/fluent word
+    sequences, high = improbable transitions (OCR noise, shuffled
+    boilerplate, non-language) — the KenLM-perplexity-filter surrogate
+    that stays deterministic across engines (a real LM is float and
+    engine-specific; floor-log2 via length(bin(x))−1 is bit-identical
+    on Spark and DuckDB).
+
+    Plan shape: bigram formation is scan-local (an array transform +
+    explode, no shuffle); then two partial-agg count shuffles (unigram
+    term, bigram pair — same O(corpus tokens) order as any tokenizer
+    pass), count joins back on those keys, and a per-doc agg. Every
+    shuffled row is a short-key + long. Docs with fewer than two
+    tokens have no bigrams and are omitted."""
+    toks = documents.select(
+        "doc_id",
+        F.filter(_tokens(F.lower(F.col("text"))),
+                 lambda t: F.length(t) > 0).alias("toks"),
+    )
+    bi = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    surp = (F.length(F.bin(F.col("c1")))
+            - F.length(F.bin(F.col("c12")))).cast("bigint")
+    return (
+        bi.join(uni, "w1").join(big, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum(surp).alias("sum_bits"))
+        .selectExpr(
+            "doc_id",
+            "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+            "CAST(sum_bits AS BIGINT) AS sum_bits",
+            "CAST((sum_bits * CAST(1000 AS BIGINT)) DIV n_bigrams AS BIGINT)"
+            " AS bits_x1000",
+        )
+    )
+
+
+LM_BIGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w1 FROM t),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM tok GROUP BY w1),
+bi AS (
+  SELECT doc_id, unnest(
+           [struct_pack(w1 := toks[i], w2 := toks[i + 1])
+            FOR i IN range(1, len(toks))], recursive := true)
+  FROM t WHERE len(toks) >= 2),
+bic AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(length(bin(c1)) - length(bin(c12))) AS BIGINT) AS sum_bits,
+       CAST(SUM(length(bin(c1)) - length(bin(c12))) * 1000 // COUNT(*)
+            AS BIGINT) AS bits_x1000
+FROM bi JOIN uni USING (w1) JOIN bic USING (w1, w2)
+GROUP BY doc_id
+"""

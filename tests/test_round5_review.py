@@ -201,3 +201,52 @@ def test_prefix_cache_cleanup_removes_this_process_dirs(tmp_path):
     assert os.path.isdir(p)
     e._cleanup_prefix_caches()
     assert not os.path.exists(p)
+
+
+def test_semantic_dedup_keep_first(spark):
+    """Identical vectors land in the same IVF cell; the higher id is
+    dropped (keep-first), singletons survive, flags are exact."""
+    from camelot_spark.tdp.similarity import semantic_dedup
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, v), (1, v), (2, w), (3, [0.9, 0.1, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, n_cells=2, threshold_x10k=9999).collect()}
+    assert out[0]["is_kept"] == 1          # canonical of the dup pair
+    assert out[1]["is_kept"] == 0          # exact dup of a lower id
+    assert out[2]["is_kept"] == 1          # orthogonal singleton
+    assert len(out) == 4
+
+
+def test_lm_bigram_score_brute_force(spark):
+    """Integer bigram surprisal against a from-scratch reference."""
+    import math
+    from collections import Counter
+
+    from camelot_spark.tdp.text import lm_bigram_score
+
+    docs = {
+        10: "the cat sat on the mat",
+        11: "the cat sat",
+        12: "zq",                      # single token: no bigrams, omitted
+        13: "on on on the cat",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    toks = {d: [t for t in s.lower().split(" ") if t] for d, s in docs.items()}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    big = Counter((a, b) for ts in toks.values() for a, b in zip(ts, ts[1:]))
+
+    def fl2(x):
+        return int(math.floor(math.log2(x)))
+
+    got = {r["doc_id"]: r for r in lm_bigram_score(df).collect()}
+    assert 12 not in got
+    for d, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        bits = [fl2(uni[a]) - fl2(big[(a, b)]) for a, b in zip(ts, ts[1:])]
+        assert got[d]["n_bigrams"] == len(bits)
+        assert got[d]["sum_bits"] == sum(bits)
+        assert got[d]["bits_x1000"] == sum(bits) * 1000 // len(bits)
