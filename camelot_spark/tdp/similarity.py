@@ -441,11 +441,17 @@ def embedding_neardup_pairs(
     e = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     )
-    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    # per-vector norms hoisted before the candidate join (bit-identical
+    # to the per-pair formula the oracle uses; see semantic_dedup)
+    ea = e.select(F.col("vec_id").alias("a_id"),
+                  F.col("embedding").alias("emb_a"),
+                  _norm(F.col("embedding")).alias("norm_a"))
+    eb = e.select(F.col("vec_id").alias("b_id"),
+                  F.col("embedding").alias("emb_b"),
+                  _norm(F.col("embedding")).alias("norm_b"))
     scored = cand.join(ea, "a_id").join(eb, "b_id")
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+        F.col("norm_a") * F.col("norm_b")
     )
     return (
         scored.select(
@@ -511,12 +517,18 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 8,
         F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
     ).join(cells.select(F.col("vec_id").cast("bigint").alias("vec_id"),
                         "ivf_cell"), "vec_id")
+    # norms hoisted to one column per VECTOR before the pair join —
+    # computing them per PAIR would redo the O(dim) fold ~cell_size
+    # times per vector; dot/(na*nb) is the same expression tree, so
+    # results stay bit-identical to the oracle's per-pair formula
     a = e.select(F.col("ivf_cell"), F.col("vec_id").alias("a_id"),
-                 F.col("embedding").alias("emb_a"))
+                 F.col("embedding").alias("emb_a"),
+                 _norm(F.col("embedding")).alias("norm_a"))
     b = e.select(F.col("ivf_cell"), F.col("vec_id").alias("b_id"),
-                 F.col("embedding").alias("emb_b"))
+                 F.col("embedding").alias("emb_b"),
+                 _norm(F.col("embedding")).alias("norm_b"))
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+        F.col("norm_a") * F.col("norm_b")
     )
     dropped = (
         a.join(b, "ivf_cell")
