@@ -356,6 +356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (idx1 index), idx1-seek-sample frames, demux audio through
         # wav_codec; lossless PCM mux→demux lets DuckDB predict the
         # extracted counts/checksum straight from text (new r5)
+        # Spark-native session_window rollup, twin = classic
+        # gaps-and-islands SQL (new r5)
+        "session_rollup": lambda s, d: relational.session_rollup(
+            _load(s, d, "events")),
         "avi_audio_roundtrip": lambda s, d: multimodal.avi_audio_roundtrip(
             _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
         "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),
@@ -523,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "sessionize_gaps": relational.SESSIONIZE_SQL,
+        "session_rollup": relational.SESSION_ROLLUP_SQL,
         "interval_islands": relational.INTERVAL_ISLANDS_SQL,
         "mode_of_counts": relational.MODE_SQL,
         "argmax_vote": relational.ARGMAX_SQL,

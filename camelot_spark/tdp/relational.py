@@ -521,3 +521,56 @@ SELECT event_type,
          AS k_missing
 FROM events GROUP BY event_type
 """
+
+
+def session_rollup(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE ``session_window``
+    operator (the streaming-capable session primitive — in batch it
+    plans UpdatingSessions/MergingSessions aggs): one row per (user,
+    session) with the session start, event count, and span. Gap
+    semantics pinned by test: a gap of EXACTLY ``gap_s`` merges,
+    strictly greater splits — the same ``> gap`` convention as
+    ``sessionize_gaps``, so the classic gaps-and-islands SQL is the
+    exact cross-engine twin of the built-in operator.
+
+    Plan shape: one shuffle on user_id, per-key in-task session merge
+    (bounded per-entity groups, the sessionize class); no window
+    functions, no second shuffle — ``session_window.start`` IS the
+    session's min event time."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.max("ts").alias("ts_max"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("bigint").alias("session_start"),
+            F.col("n").cast("bigint").alias("n_events"),
+            (F.unix_timestamp("ts_max")
+             - F.unix_timestamp(F.col("session_window.start")))
+            .cast("bigint").alias("span_s"),
+        )
+    )
+
+
+SESSION_ROLLUP_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_S}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       -- floor() each epoch: Spark's unix_timestamp TRUNCATES
+       -- sub-second timestamps while DuckDB's BIGINT cast rounds
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS span_s
+FROM s GROUP BY user_id, sid
+"""

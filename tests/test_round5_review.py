@@ -250,3 +250,29 @@ def test_lm_bigram_score_brute_force(spark):
         assert got[d]["n_bigrams"] == len(bits)
         assert got[d]["sum_bits"] == sum(bits)
         assert got[d]["bits_x1000"] == sum(bits) * 1000 // len(bits)
+
+
+def test_session_rollup_boundary_semantics(spark):
+    """Native session_window gap semantics pinned: a gap of EXACTLY
+    gap_s merges, strictly greater splits — same `> gap` convention as
+    sessionize_gaps, which is what makes the islands SQL an exact
+    twin. Sub-second timestamps floor like unix_timestamp."""
+    import datetime as dt
+
+    from camelot_spark.tdp.relational import session_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 1), (1, base + dt.timedelta(seconds=1800), 2),
+            (3, base, 3), (3, base + dt.timedelta(seconds=1801), 4),
+            (5, base, 5), (5, base + dt.timedelta(seconds=900), 6),
+            (5, base + dt.timedelta(seconds=2600), 7)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {}
+    for r in session_rollup(df, gap_s=1800).collect():
+        out.setdefault(r["user_id"], []).append(r)
+    assert len(out[1]) == 1 and out[1][0]["n_events"] == 2
+    assert out[1][0]["span_s"] == 1800
+    assert len(out[3]) == 2                      # 1801 splits
+    # chained extension: 0 -> 900 -> 2600 all within per-event gaps
+    assert len(out[5]) == 1 and out[5][0]["n_events"] == 3
+    assert out[5][0]["span_s"] == 2600
