@@ -351,15 +351,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_stats": _sink_query("span_stats"),
         "parsing_report": _sink_query("report"),
         "table_export_csv": _sink_query("csv"),
+        # Spark-native session_window rollup, twin = classic
+        # gaps-and-islands SQL (new r5)
+        "session_rollup": lambda s, d: relational.session_rollup(
+            _load(s, d, "events")),
         # --- multimodal plumbing (r02-verified, missed in r03) ---
         # full container exercise: per doc mux a real MJPEG+PCM AVI
         # (idx1 index), idx1-seek-sample frames, demux audio through
         # wav_codec; lossless PCM mux→demux lets DuckDB predict the
         # extracted counts/checksum straight from text (new r5)
-        # Spark-native session_window rollup, twin = classic
-        # gaps-and-islands SQL (new r5)
-        "session_rollup": lambda s, d: relational.session_rollup(
-            _load(s, d, "events")),
         "avi_audio_roundtrip": lambda s, d: multimodal.avi_audio_roundtrip(
             _load(s, d, "documents").where(F.col("doc_id") % 8 == 0)),
         "media_meta": lambda s, d: multimodal.media_metadata(_load(s, d, "documents")),

@@ -166,15 +166,28 @@ def _cos_to(p_emb):
     return _dot(F.col("embedding"), p_emb) / (_norm(F.col("embedding")) * _norm(p_emb))
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
-    """IVF coarse assignment: cell = argmax cosine against K data-derived
-    pivots (first max wins ties). One broadcast of the K-pivot row +
-    a per-row JVM array fold — zero shuffle on the vectors."""
+def _assign_with_embedding(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """(vec_id, embedding, ivf_cell) with ZERO shuffle on the vectors:
+    the K-pivot row broadcasts and the argmax-cosine cell is computed
+    in the scan's own task — consumers that need the vectors alongside
+    their cell (semantic_dedup, ivf_topk-style probes) use this
+    instead of joining ``ivf_assign``'s output back on vec_id, which
+    would shuffle every embedding."""
     prow = _pivot_row(embeddings, n_cells)
     scored = embeddings.crossJoin(F.broadcast(prow))
     scores = F.transform(F.col("pivots"), lambda p: _cos_to(p["p_emb"]))
     cell = F.array_position(scores, F.array_max(scores)) - 1
-    return scored.select("vec_id", cell.cast("int").alias("ivf_cell"))
+    return scored.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
+        cell.cast("int").alias("ivf_cell"))
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF coarse assignment: cell = argmax cosine against K data-derived
+    pivots (first max wins ties). One broadcast of the K-pivot row +
+    a per-row JVM array fold — zero shuffle on the vectors."""
+    return _assign_with_embedding(embeddings, n_cells).select(
+        "vec_id", "ivf_cell")
 
 
 ANN_TOPK_SQL = """
@@ -512,11 +525,10 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 8,
     - the drop set is a DISTINCT on bare ids, and the final flag is a
       broadcast-able left-semi-style join, all 8-byte traffic.
     Comparisons use the floor(cos·10⁴) integer the twin mirrors."""
-    cells = ivf_assign(embeddings, n_cells)
-    e = embeddings.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
-    ).join(cells.select(F.col("vec_id").cast("bigint").alias("vec_id"),
-                        "ivf_cell"), "vec_id")
+    # cell computed in the scan's task over the broadcast pivot row —
+    # NOT ivf_assign joined back on vec_id, which would shuffle every
+    # vector just to reunite it with its own cell id
+    e = _assign_with_embedding(embeddings, n_cells)
     # norms hoisted to one column per VECTOR before the pair join —
     # computing them per PAIR would redo the O(dim) fold ~cell_size
     # times per vector; dot/(na*nb) is the same expression tree, so
