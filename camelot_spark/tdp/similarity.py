@@ -246,6 +246,12 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
 
 
 # shared CTE text: data-derived pivots + cosine scores per vector
+def _ivf_scores_cte(n_cells: int = 8) -> str:
+    """The shared pivots+scores CTE with a configurable pivot count
+    (the QUALIFY bound is the ONLY K-dependent text)."""
+    return _IVF_SCORES_CTE.replace("pid <= 8", f"pid <= {n_cells}")
+
+
 _IVF_SCORES_CTE = """
 piv AS (
   SELECT row_number() OVER (ORDER BY (vec_id * 2654435761 + 40503) % 1000000007, vec_id) AS pid,
@@ -506,7 +512,7 @@ SELECT a_id, b_id, cos_x10k FROM scored WHERE cos_x10k >= 3000
 """
 
 
-def semantic_dedup(embeddings: DataFrame, n_cells: int = 8,
+def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
                    threshold_x10k: int = 3000) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): IVF coarse clusters bound the pair space, then within
@@ -556,7 +562,7 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 8,
 
 
 SEMANTIC_DEDUP_SQL = f"""
-WITH {_IVF_SCORES_CTE},
+WITH {_ivf_scores_cte(16)},
 assigned AS (
   SELECT vec_id, embedding,
          CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS ivf_cell

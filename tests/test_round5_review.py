@@ -276,3 +276,46 @@ def test_session_rollup_boundary_semantics(spark):
     # chained extension: 0 -> 900 -> 2600 all within per-event gaps
     assert len(out[5]) == 1 and out[5][0]["n_events"] == 3
     assert out[5][0]["span_s"] == 2600
+
+
+def test_session_rollup_streaming_append(spark, tmp_path):
+    """session_rollup's session_window operator is streaming-capable:
+    in append mode a session row is emitted only once the watermark
+    passes its close — the same rollup as batch, incrementally."""
+    import datetime as dt
+
+    from camelot_spark.tdp.relational import session_rollup
+
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    base = dt.datetime(2024, 1, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def drain():
+        events = (spark.readStream
+                  .schema("user_id long, ts timestamp, event_id long")
+                  .parquet(inp).withWatermark("ts", "10 seconds"))
+        q = (session_rollup(events, gap_s=60)
+             .writeStream.option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True)
+             .format("parquet").option("path", outp).start())
+        q.awaitTermination(120)
+
+    # two events 30 s apart (one session) + a far-future event that
+    # advances the watermark beyond session close + grace
+    write([(1, base, 1), (1, base + dt.timedelta(seconds=30), 2),
+           (9, base + dt.timedelta(hours=2), 3)])
+    drain()
+    rows = {r["user_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert rows[1]["n_events"] == 2 and rows[1]["span_s"] == 30
+    # the far-future user's session is still open (watermark has not
+    # passed IT) — append mode must not have emitted it yet
+    assert 9 not in rows
+    # a later batch closes it
+    write([(2, base + dt.timedelta(hours=5), 4)])
+    drain()
+    rows = {r["user_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert rows[9]["n_events"] == 1
