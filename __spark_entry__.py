@@ -439,6 +439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": lambda s, d: tdp_html.main_content(_load(s, d, "documents"), decorate=True),
         "html_links": lambda s, d: tdp_html.extract_links(_load(s, d, "documents"), decorate=True),
         "decontaminate": lambda s, d: contamination.decontaminate(_load(s, d, "documents")),
+        # Bloom-filter variant: fixed 1-KB broadcast filter instead of
+        # the benchmark gram strings; deterministic false positives the
+        # twin reproduces exactly (new r5)
+        "decontaminate_bloom": lambda s, d: contamination.decontaminate_bloom(
+            _load(s, d, "documents")),
         "chunk_documents": lambda s, d: packing.chunk_documents(_load(s, d, "documents")),
         # shard_docs=128 exercises the bounded-shard shape (a window
         # task holds at most 128 docs regardless of source skew); the
@@ -554,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "html_main_content": tdp_html.MAIN_CONTENT_SQL,
         "html_links": tdp_html.EXTRACT_LINKS_SQL,
         "decontaminate": contamination.DECONTAMINATE_SQL,
+        "decontaminate_bloom": contamination.DECONTAMINATE_BLOOM_SQL,
         "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

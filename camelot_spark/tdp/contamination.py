@@ -91,3 +91,142 @@ SELECT doc_id,
 FROM sh, bench
 WHERE doc_id % 50 <> 0
 """
+
+
+_BLOOM_M = 65536  # filter bits
+_BLOOM_K = 3      # hashes per gram
+_POLY_M = 1_000_000_007
+
+
+def _gram_hash(col):
+    # portable polynomial fold over the FULL gram (the minhash twin's
+    # 8-char prefix fold is fine for banding, where collisions only
+    # inflate candidates — here a prefix fold collapsed this corpus's
+    # shared-prefix grams to one hash and made the filter useless)
+    return F.aggregate(
+        F.split(col, ""), F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _POLY_M,
+    )
+
+
+def _bloom_positions(h):
+    # k positions per gram: ((h·(A+j) + B·(j+1)) mod P) mod m with P a
+    # large prime FIRST — reducing mod m directly would make every
+    # position an affine function of (h mod m), i.e. one m-ary
+    # fingerprint shared by all k hashes (measured 20x the theoretical
+    # FP rate); the prime mix decorrelates them
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+        lambda j: ((h * (F.lit(2654435761) + j.cast("long"))
+                    + F.lit(40503) * (j.cast("long") + 1))
+                   % _POLY_M) % _BLOOM_M,
+    )
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 3,
+    threshold: int = 5,
+) -> DataFrame:
+    """Bloom-filter decontamination — the broadcast-SCALE variant of
+    ``decontaminate``: instead of broadcasting the benchmark's distinct
+    n-gram STRINGS (which grows with the eval suite), aggregate them
+    into a fixed m-bit Bloom filter (m=65536, k=3 — ~2700 set bits for the
+    sf0.01 benchmark, fill 0.04, per-gram FP ~7e-5) and flag corpus docs
+    whose count of filter-passing distinct grams reaches the threshold.
+
+    Scale shape: the filter build is a bounded distinct over k·|bench
+    grams| positions; the corpus side is scan-local codegen against the
+    ONE broadcast filter row — the only corpus shuffle carries (doc_id,
+    partial count). False positives are a DETERMINISTIC function of the
+    integer hash family, so the DuckDB twin reproduces the exact same
+    approximate decisions — the approximation is cross-engine-pinned,
+    not fuzzed.
+
+    Output: (doc_id, overlap_bloom, contaminated) over the
+    non-benchmark corpus, like ``decontaminate``."""
+    use_default = benchmark is None
+    if use_default:
+        benchmark = documents.where(F.col("doc_id") % 50 == 0)
+    corpus = documents.where(F.col("doc_id") % 50 != 0) if use_default else documents
+
+    set_bits = (
+        benchmark.select(F.explode(_shingles(F.col("text"), n)).alias("g"))
+        .distinct()
+        .select(F.explode(_bloom_positions(_gram_hash(F.col("g")))).alias("pos"))
+        .distinct()
+    )
+    # ONE row: m booleans (the filter), assembled via a position map —
+    # a boolean array dodges 64-bit shift gymnastics entirely and
+    # broadcasts at m bytes
+    filter_row = set_bits.agg(
+        F.map_from_arrays(
+            F.collect_list("pos"),
+            F.transform(F.collect_list("pos"), lambda _: F.lit(True)),
+        ).alias("pm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_M - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("pm"), i.cast("long")),
+                                 F.lit(False)),
+        ).alias("bf")
+    )
+
+    grams = corpus.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(_shingles(F.col("text"), n)).alias("g"),
+    ).crossJoin(F.broadcast(filter_row))
+    passes = F.aggregate(
+        _bloom_positions(_gram_hash(F.col("g"))),
+        F.lit(True),
+        lambda acc, pos: acc & F.element_at(F.col("bf"), pos.cast("int") + 1),
+    )
+    hits = (
+        grams.where(passes)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_bloom"))
+    )
+    base = corpus.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("overlap_bloom", F.lit(0)).cast("bigint")
+            .alias("overlap_bloom"),
+            F.when(F.coalesce("overlap_bloom", F.lit(0)) >= threshold, 1)
+            .otherwise(0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_BLOOM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+         ELSE [] END AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+gh AS (
+  SELECT doc_id, g,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(g, ''), c -> CAST(ord(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % {_POLY_M}) AS h
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+bset AS (
+  SELECT list(DISTINCT (h * (2654435761 + j.j) + 40503 * (j.j + 1)) % {_POLY_M} % {_BLOOM_M}) AS bits
+  FROM gh, range(0, {_BLOOM_K}) j(j) WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_bloom
+  FROM gh, bset
+  WHERE doc_id % 50 <> 0
+    AND list_has_all(bits,
+          [(h * (2654435761 + jj) + 40503 * (jj + 1)) % {_POLY_M} % {_BLOOM_M}
+           FOR jj IN range(0, {_BLOOM_K})])
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.overlap_bloom, 0) AS BIGINT) AS overlap_bloom,
+       CAST(CASE WHEN COALESCE(h.overlap_bloom, 0) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""

@@ -319,3 +319,52 @@ def test_session_rollup_streaming_append(spark, tmp_path):
     drain()
     rows = {r["user_id"]: r for r in spark.read.parquet(outp).collect()}
     assert rows[9]["n_events"] == 1
+
+
+def test_decontaminate_bloom_matches_python_mirror(spark):
+    """The Bloom decisions are a deterministic function of the integer
+    hash family — a from-scratch Python mirror of (poly-fold gram hash,
+    prime-mixed k positions, membership) must agree exactly."""
+    from camelot_spark.tdp.contamination import (_BLOOM_K, _BLOOM_M,
+                                                 _POLY_M,
+                                                 decontaminate_bloom)
+
+    P = _POLY_M
+
+    def gh(g):
+        a = 0
+        for c in g:
+            a = (a * 31 + ord(c)) % P
+        return a
+
+    def positions(g):
+        h = gh(g)
+        return [((h * (2654435761 + j) + 40503 * (j + 1)) % P) % _BLOOM_M
+                for j in range(_BLOOM_K)]
+
+    def shingles(t, n=3):
+        toks = t.split(" ")
+        return list(dict.fromkeys(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        )) if len(toks) >= n else []
+
+    docs = {0: "the quick brown fox jumps over the lazy dog",
+            50: "pack my box with five dozen liquor jugs",
+            1: "the quick brown fox jumps high today ok",
+            2: "pack my box with five dozen liquor jugs and more words here",
+            3: "completely unrelated text with no overlap at all present"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["overlap_bloom"]
+           for r in decontaminate_bloom(df, threshold=3).collect()}
+
+    bench_bits = {p for d in (0, 50) for g in shingles(docs[d])
+                  for p in positions(g)}
+    for d, t in docs.items():
+        if d % 50 == 0:
+            assert d not in got
+            continue
+        want = sum(1 for g in shingles(t)
+                   if all(p in bench_bits for p in positions(g)))
+        assert got[d] == want, (d, got[d], want)
+    # sanity: doc 1 shares grams with doc 0, doc 3 shares none
+    assert got[1] >= 1 and got[3] == 0

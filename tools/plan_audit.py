@@ -41,6 +41,11 @@ BOUNDED_SINGLE_PARTITION = {
     # partition pre-reduces to one partial row before the 1-row merge,
     # which then broadcasts; plus the TakeOrdered top-k tail
     "bm25_topk",
+    # decontaminate_bloom: the filter-assembly aggregate — its input is
+    # the DISTINCT Bloom bit positions, <= m = 65536 longs by
+    # construction regardless of corpus size, merged into the 1-row
+    # broadcast filter (same class as the pivot-row agg)
+    "decontaminate_bloom",
 }
 
 # Window discipline (round-5): a Window node needs the WHOLE group in
