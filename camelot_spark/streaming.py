@@ -260,3 +260,76 @@ def start_extraction_stream(
     if is_table_identifier(output_path):
         return writer.toTable(output_path)
     return writer.format("parquet").option("path", output_path).start()
+
+
+def streaming_neardup_pairs(documents, num_hashes: int = 32, bands: int = 8,
+                            n: int = 3, portable: bool = False,
+                            bucket_cap: int = 64, timeout_ms: int = 0):
+    """Cross-batch NEAR-duplicate candidate pairs over a document
+    stream — the streaming counterpart of ``dedup.minhash_lsh_pairs``
+    (exact streaming dedup is ``dedup_stream``; this catches fuzzy
+    duplicates arriving in different micro-batches).
+
+    Each doc's MinHash signature bands are computed statelessly on the
+    stream (the same expressions as batch, via
+    ``dedup.banded_signatures``); the stateful step keys on
+    (band, band_sig) and keeps the CAPPED list of doc ids seen in that
+    bucket, emitting (a_id, b_id) the moment a new member meets the
+    bucket — so a duplicate pair is reported in the micro-batch its
+    second member arrives, regardless of how many batches separate
+    them.
+
+    Scale/state bounds, mirroring the batch operator's skew guards:
+    - state per bucket is at most ``bucket_cap`` longs; a hot bucket
+      (non-discriminative signature) stops BOTH pairing and growing at
+      the cap — bounded recall loss for a hard state/runtime bound;
+    - re-delivered doc ids are dropped (at-least-once safe);
+    - ``timeout_ms`` > 0 expires idle buckets (processing-time), i.e.
+      the stream "forgets" docs not seen near a duplicate for that
+      long — the knob that makes indefinite streams bounded-state;
+      0 keeps buckets forever (exact cross-batch memory).
+
+    A pair can emit once per band it collides in; consumers treat the
+    output as a candidate stream (dedupe downstream / verify with
+    exact Jaccard), exactly like the batch LSH candidates."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .tdp import dedup as tdp_dedup
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    sigs = tdp_dedup.minhash_signatures(documents, num_hashes, n,
+                                        portable=portable)
+    banded = tdp_dedup.banded_signatures(sigs, bands, num_hashes // bands)
+
+    def pair_up(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids = list(state.get[0]) if state.exists else []
+        known = set(ids)
+        out_a, out_b = [], []
+        for pdf in pdfs:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d in known or len(known) >= bucket_cap:
+                    continue
+                for other in ids:
+                    lo, hi = (other, d) if other < d else (d, other)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                known.add(d)
+                ids.append(d)
+        state.update((ids,))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        if out_a:
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
+                    else GroupStateTimeout.NoTimeout)
+    return banded.groupBy("band", "band_sig").applyInPandasWithState(
+        pair_up, "a_id bigint, b_id bigint", "ids array<bigint>",
+        "append", timeout_conf)

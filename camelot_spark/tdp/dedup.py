@@ -107,6 +107,25 @@ def minhash_signatures(
     return d.select("doc_id", sig.alias("sig"))
 
 
+def banded_signatures(sigs: DataFrame, bands: int,
+                      rows_per_band: int) -> DataFrame:
+    """(doc_id, band, band_sig) rows from a (doc_id, sig-array) frame —
+    the banding step shared by the batch self-join pair builder and the
+    streaming stateful bucket operator (identical band keys, so a
+    streaming run over a static corpus reproduces the batch buckets)."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
     portable: bool = False,
@@ -121,17 +140,7 @@ def minhash_lsh_pairs(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, num_hashes, n, portable=portable)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("array<string>"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
-    )
+    banded = banded_signatures(sigs, bands, rows_per_band)
     # one explicit shuffle on the join key so both self-join branches
     # reuse the same exchange instead of recomputing the signatures
     banded = banded.repartition("band", "band_sig")

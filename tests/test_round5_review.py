@@ -368,3 +368,71 @@ def test_decontaminate_bloom_matches_python_mirror(spark):
         assert got[d] == want, (d, got[d], want)
     # sanity: doc 1 shares grams with doc 0, doc 3 shares none
     assert got[1] >= 1 and got[3] == 0
+
+
+class TestStreamingNeardup:
+    def _docs(self):
+        # 0 & 2 near-identical (share almost all shingles), 1 & 3
+        # unrelated, 4 a copy of 0 arriving LATER
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        return [(0, t), (1, "one two three four five six seven eight"),
+                (2, t + " lambda"), (3, "nine ten eleven twelve thirteen"),
+                (4, t)]
+
+    def _run(self, spark, batches, tmp_path, **kwargs):
+        from camelot_spark.streaming import streaming_neardup_pairs
+
+        inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+        pairs = set()
+        for rows in batches:
+            spark.createDataFrame(rows, "doc_id long, text string") \
+                .coalesce(1).write.mode("append").parquet(inp)
+            stream = (spark.readStream.schema("doc_id long, text string")
+                      .parquet(inp))
+            q = (streaming_neardup_pairs(stream, portable=True, **kwargs)
+                 .writeStream.option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True)
+                 .format("parquet").option("path", outp).start())
+            q.awaitTermination(120)
+        for r in spark.read.parquet(outp).collect():
+            pairs.add((r["a_id"], r["b_id"]))
+        return pairs
+
+    def test_matches_batch_pairs_and_crosses_batches(self, spark, tmp_path):
+        """A streaming run over a static corpus reproduces the batch
+        LSH candidate set exactly — including the pair whose second
+        member arrives two micro-batches after the first."""
+        from camelot_spark.tdp.dedup import minhash_lsh_pairs
+
+        docs = self._docs()
+        batch_pairs = {
+            (r["a_id"], r["b_id"])
+            for r in minhash_lsh_pairs(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                portable=True).collect()
+        }
+        got = self._run(spark, [docs[:2], docs[2:4], docs[4:]], tmp_path)
+        assert got == batch_pairs
+        assert (0, 4) in got          # members arrived in batches 1 and 3
+
+    def test_redelivery_is_dropped(self, spark, tmp_path):
+        docs = self._docs()
+        got = self._run(spark, [docs[:3], docs[:3], docs[3:]], tmp_path)
+        # re-shipping batch 1 must not re-emit or self-pair
+        assert all(a != b for a, b in got)
+        from camelot_spark.tdp.dedup import minhash_lsh_pairs
+        batch_pairs = {
+            (r["a_id"], r["b_id"])
+            for r in minhash_lsh_pairs(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                portable=True).collect()
+        }
+        assert got == batch_pairs
+
+    def test_hot_bucket_cap_bounds_state(self, spark, tmp_path):
+        """With bucket_cap=2, a bucket seeing 4 identical docs pairs
+        only the first two — bounded state AND bounded pair fan-out."""
+        t = "same same same text in every doc word word word word"
+        docs = [(i, t) for i in range(4)]
+        got = self._run(spark, [docs], tmp_path, bucket_cap=2)
+        assert got == {(0, 1)}
