@@ -310,6 +310,7 @@ def streaming_neardup_pairs(documents, num_hashes: int = 32, bands: int = 8,
             return
         ids = list(state.get[0]) if state.exists else []
         known = set(ids)
+        n_before = len(ids)
         out_a, out_b = [], []
         for pdf in pdfs:
             for doc_id in pdf["doc_id"]:
@@ -322,8 +323,12 @@ def streaming_neardup_pairs(documents, num_hashes: int = 32, bands: int = 8,
                     out_b.append(hi)
                 known.add(d)
                 ids.append(d)
-        state.update((ids,))
-        if timeout_ms:
+        # skip the no-op state-store write when a redelivery-heavy
+        # batch added nothing; the timeout refresh below still resets
+        # the bucket's idle clock without rewriting the ids array
+        if len(ids) != n_before:
+            state.update((ids,))
+        if timeout_ms and ids:  # needs defined state (existing or just set)
             state.setTimeoutDuration(timeout_ms)
         if out_a:
             yield pd.DataFrame({"a_id": out_a, "b_id": out_b})

@@ -23,6 +23,19 @@ from pyspark.sql import functions as F
 from .dedup import _shingles
 
 
+def _default_split(documents: DataFrame, benchmark: DataFrame | None):
+    """(benchmark, corpus) for both decontamination variants. The %50
+    slice is ONLY the synthetic default benchmark; a caller's real eval
+    set shares no doc_ids with the corpus by construction, so filtering
+    the corpus there would silently drop 2% of real docs from
+    decontamination (round-2 advice). One definition so the exact and
+    Bloom operators can never decontaminate different corpora."""
+    if benchmark is None:
+        return (documents.where(F.col("doc_id") % 50 == 0),
+                documents.where(F.col("doc_id") % 50 != 0))
+    return benchmark, documents
+
+
 def decontaminate(
     documents: DataFrame,
     benchmark: DataFrame | None = None,
@@ -36,14 +49,7 @@ def decontaminate(
     Benchmark docs themselves are excluded from the output (they would
     trivially self-match).
     """
-    # The %50 slice is ONLY the synthetic default benchmark; a caller's
-    # real eval set shares no doc_ids with the corpus by construction,
-    # so filtering the corpus there would silently drop 2% of real docs
-    # from decontamination (round-2 advice).
-    use_default = benchmark is None
-    if use_default:
-        benchmark = documents.where(F.col("doc_id") % 50 == 0)
-    corpus = documents.where(F.col("doc_id") % 50 != 0) if use_default else documents
+    benchmark, corpus = _default_split(documents, benchmark)
     # broadcast-hash shape, not per-row array_intersect: the semi-join
     # builds ONE hash of the benchmark n-grams per task, where an
     # intersect against a broadcast ARRAY re-hashes ~|bench| entries on
@@ -146,10 +152,7 @@ def decontaminate_bloom(
 
     Output: (doc_id, overlap_bloom, contaminated) over the
     non-benchmark corpus, like ``decontaminate``."""
-    use_default = benchmark is None
-    if use_default:
-        benchmark = documents.where(F.col("doc_id") % 50 == 0)
-    corpus = documents.where(F.col("doc_id") % 50 != 0) if use_default else documents
+    benchmark, corpus = _default_split(documents, benchmark)
 
     set_bits = (
         benchmark.select(F.explode(_shingles(F.col("text"), n)).alias("g"))
@@ -227,6 +230,6 @@ hits AS (
 SELECT d.doc_id,
        CAST(COALESCE(h.overlap_bloom, 0) AS BIGINT) AS overlap_bloom,
        CAST(CASE WHEN COALESCE(h.overlap_bloom, 0) >= 5 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
-FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
 LEFT JOIN hits h USING (doc_id)
 """

@@ -247,16 +247,17 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
 
 # shared CTE text: data-derived pivots + cosine scores per vector
 def _ivf_scores_cte(n_cells: int = 8) -> str:
-    """The shared pivots+scores CTE with a configurable pivot count
-    (the QUALIFY bound is the ONLY K-dependent text)."""
-    return _IVF_SCORES_CTE.replace("pid <= 8", f"pid <= {n_cells}")
+    """The shared pivots+scores CTE with a configurable pivot count.
+    Built from a template placeholder — a string-replace against the
+    finished CTE would silently no-op if the QUALIFY text drifted."""
+    return _IVF_SCORES_TMPL.format(n_cells=n_cells)
 
 
-_IVF_SCORES_CTE = """
+_IVF_SCORES_TMPL = """
 piv AS (
   SELECT row_number() OVER (ORDER BY (vec_id * 2654435761 + 40503) % 1000000007, vec_id) AS pid,
          embedding AS p_emb
-  FROM embeddings QUALIFY pid <= 8),
+  FROM embeddings QUALIFY pid <= {n_cells}),
 plist AS (SELECT list(p_emb ORDER BY pid) AS pivots FROM piv),
 scored AS (
   SELECT e.vec_id, e.embedding,
@@ -266,6 +267,8 @@ scored AS (
              * sqrt(list_sum(list_transform(p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )) AS ss
   FROM embeddings e, plist)
 """
+
+_IVF_SCORES_CTE = _ivf_scores_cte(8)
 
 IVF_ASSIGN_SQL = f"""
 WITH {_IVF_SCORES_CTE}
@@ -527,7 +530,8 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
       once to their cluster's reducer and pairs form per-cluster,
       never across the n² global space — exactly the paper's design
       point (cluster count scales with corpus so cluster sizes stay
-      bounded; here K=8 mirrors the oracle);
+      bounded; the default K=16 is what SEMANTIC_DEDUP_SQL pins —
+      pass a different K only with a matching _ivf_scores_cte(K) twin);
     - the drop set is a DISTINCT on bare ids, and the final flag is a
       broadcast-able left-semi-style join, all 8-byte traffic.
     Comparisons use the floor(cos·10⁴) integer the twin mirrors."""
