@@ -160,21 +160,24 @@ def decontaminate_bloom(
         .select(F.explode(_bloom_positions(_gram_hash(F.col("g")))).alias("pos"))
         .distinct()
     )
-    # ONE row: m booleans (the filter), assembled via a position map —
-    # a boolean array dodges 64-bit shift gymnastics entirely and
-    # broadcasts at m bytes
-    filter_row = set_bits.agg(
-        F.map_from_arrays(
-            F.collect_list("pos"),
-            F.transform(F.collect_list("pos"), lambda _: F.lit(True)),
-        ).alias("pm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_BLOOM_M - 1)),
-            lambda i: F.coalesce(F.element_at(F.col("pm"), i.cast("long")),
-                                 F.lit(False)),
-        ).alias("bf")
-    )
+    # ONE row: m booleans (the filter), assembled by a numpy scatter in
+    # a single-partition mapInPandas — input is <= m position rows by
+    # construction. (The first cut built this with
+    # transform(sequence(0, m-1), i -> element_at(position_map, i));
+    # Spark maps are scanned LINEARLY per lookup, so that was
+    # m x |positions| ≈ 8e8 comparisons in one task — 80 s at sf0.1.
+    # The scatter is O(m).)
+    def _build_filter(batches):
+        import numpy as np
+        import pandas as pd
+
+        bf = np.zeros(_BLOOM_M, dtype=bool)
+        for pdf in batches:
+            bf[pdf["pos"].to_numpy()] = True
+        yield pd.DataFrame({"bf": [bf.tolist()]})
+
+    filter_row = set_bits.coalesce(1).mapInPandas(
+        _build_filter, "bf array<boolean>")
 
     grams = corpus.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
