@@ -70,7 +70,9 @@ def _gaussian_mean(g: np.ndarray, k: int) -> np.ndarray:
     flips across every raster fixture, and the goldens pin it."""
     w = _gaussian_kernel(k)
     pad = k // 2
-    p = np.pad(g, pad, mode="edge").astype(np.float64)
+    p = np.pad(g, pad, mode="edge")
+    if p.dtype != np.float64:  # pad preserves dtype; skip the no-op copy
+        p = p.astype(np.float64)
     H = g.shape[0]
     Wd = g.shape[1]
     if k % 2 == 0:  # no center tap to anchor the pairing; plain loop
@@ -136,10 +138,14 @@ def _open_along_axis(mask: np.ndarray, size: int, axis: int) -> np.ndarray:
     keep = (ends - starts) >= max(size, 1)
     out = np.zeros_like(m, dtype=np.int8)
     if keep.any():
-        delta = np.zeros((m.shape[0], m.shape[1] + 1), dtype=np.int32)
+        # kept runs are disjoint, so the running sum is only ever 0/1 —
+        # int8 keeps the cumsum inside a quarter of the int32 traffic
+        delta = np.zeros((m.shape[0], m.shape[1] + 1), dtype=np.int8)
         np.add.at(delta, (rows[keep], starts[keep]), 1)
         np.add.at(delta, (rows[keep], ends[keep]), -1)
-        out = (delta.cumsum(axis=1)[:, :-1] > 0).astype(np.int8)
+        # numpy promotes integer cumsum to the platform int unless the
+        # dtype is pinned; 0/1 values make int8 exact
+        out = (delta.cumsum(axis=1, dtype=np.int8)[:, :-1] > 0).astype(np.int8)
     return out if axis == 1 else out.T
 
 
