@@ -75,18 +75,14 @@ def _gaussian_mean(g: np.ndarray, k: int) -> np.ndarray:
         p = p.astype(np.float64)
     H = g.shape[0]
     Wd = g.shape[1]
-    if k % 2 == 0:  # no center tap to anchor the pairing; plain loop
-        rows = np.zeros((H, p.shape[1]), dtype=np.float64)
-        for t in range(k):
-            rows += w[t] * p[t:t + H, :]
-        out = np.zeros((H, Wd), dtype=np.float64)
-        for t in range(k):
-            out += w[t] * rows[:, t:t + Wd]
-        return out
-    rows = w[pad] * p[pad:pad + H, :]
+    # even k has no center tap — start the accumulators at zero and
+    # pair every tap (the kernel is exactly symmetric either way)
+    rows = (w[pad] * p[pad:pad + H, :] if k % 2
+            else np.zeros((H, p.shape[1]), dtype=np.float64))
     for t in range(pad):
         rows += w[t] * (p[t:t + H, :] + p[k - 1 - t:k - 1 - t + H, :])
-    out = w[pad] * rows[:, pad:pad + Wd]
+    out = (w[pad] * rows[:, pad:pad + Wd] if k % 2
+           else np.zeros((H, Wd), dtype=np.float64))
     for t in range(pad):
         out += w[t] * (rows[:, t:t + Wd] + rows[:, k - 1 - t:k - 1 - t + Wd])
     return out
@@ -138,11 +134,15 @@ def _open_along_axis(mask: np.ndarray, size: int, axis: int) -> np.ndarray:
     keep = (ends - starts) >= max(size, 1)
     out = np.zeros_like(m, dtype=np.int8)
     if keep.any():
-        # kept runs are disjoint, so the running sum is only ever 0/1 —
-        # int8 keeps the cumsum inside a quarter of the int32 traffic
+        # kept runs are disjoint maximal runs (next start >= end + 1),
+        # so the running sum is only ever 0/1 (int8-exact) AND the
+        # boundary indices never collide — plain fancy assignment is
+        # equivalent to (and much faster than) the unbuffered
+        # np.add.at scatter. (_dilate_along_axis must keep add.at:
+        # its clamped extended boundaries can collide.)
         delta = np.zeros((m.shape[0], m.shape[1] + 1), dtype=np.int8)
-        np.add.at(delta, (rows[keep], starts[keep]), 1)
-        np.add.at(delta, (rows[keep], ends[keep]), -1)
+        delta[rows[keep], starts[keep]] = 1
+        delta[rows[keep], ends[keep]] = -1
         # numpy promotes integer cumsum to the platform int unless the
         # dtype is pinned; 0/1 values make int8 exact
         out = (delta.cumsum(axis=1, dtype=np.int8)[:, :-1] > 0).astype(np.int8)
