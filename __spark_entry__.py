@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 from camelot_spark import fixtures as fx
 from camelot_spark.pipeline import extract, synthesize_and_extract, synthesize_documents
 from camelot_spark.tdp import (bpe, cleaning, contamination, dedup,
-                               multimodal, packing, ranking, relational,
-                               sampling, similarity, substr_dedup)
+                               multimodal, packing, perceptron, ranking,
+                               relational, sampling, similarity,
+                               substr_dedup)
 from camelot_spark.tdp import html as tdp_html
 from camelot_spark.tdp import text as tdp_text
 
@@ -336,6 +337,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KenLM-perplexity-filter surrogate (new r5)
         "lm_bigram_score": lambda s, d: tdp_text.lm_bigram_score(
             _load(s, d, "documents")),
+        # integer Rocchio quality classifier distilling a stopword-
+        # ratio weak label into hashed-bucket weights (new r5)
+        "train_quality_classifier": lambda s, d: perceptron.train_quality_classifier(
+            _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
+        "quality_classifier_predictions": lambda s, d:
+            perceptron.quality_classifier_predictions(
+                _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
         # deterministic integer PageRank over the derived doc link
         # graph (8 fixed rounds; the CTE twin replays them)
         "link_rank": lambda s, d: ranking.link_rank(
@@ -549,6 +557,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": tdp_text.TOKEN_STATS_SQL,
         "token_rarity": tdp_text.TOKEN_RARITY_SQL,
         "lm_bigram_score": tdp_text.LM_BIGRAM_SQL,
+        "train_quality_classifier": perceptron.TRAIN_QUALITY_CLASSIFIER_SQL,
+        "quality_classifier_predictions": perceptron.QUALITY_CLASSIFIER_PREDICTIONS_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,
         "winnow_fingerprints": tdp_text.WINNOW_SQL,
         "normalize_text": tdp_text.NORMALIZE_SQL,

@@ -436,3 +436,73 @@ class TestStreamingNeardup:
         docs = [(i, t) for i in range(4)]
         got = self._run(spark, [docs], tmp_path, bucket_cap=2)
         assert got == {(0, 1)}
+
+
+class TestQualityClassifier:
+    def test_rocchio_learns_and_mirrors_python(self, spark):
+        """The integer Rocchio model must (a) reproduce a from-scratch
+        Python mirror exactly and (b) genuinely learn the stopword
+        label (accuracy well above the majority rate)."""
+        import numpy as np
+
+        from camelot_spark.tdp.perceptron import (_DIM, _POLY_M,
+                                                  _STOPWORDS,
+                                                  _SW_THRESHOLD_PM,
+                                                  train_quality_classifier)
+
+        rng = np.random.RandomState(9)
+        sw = list(_STOPWORDS)
+        other = [f"tok{i}" for i in range(30)]
+        docs = {}
+        for d in range(40):
+            n = rng.randint(8, 30)
+            frac = 0.3 if d % 2 else 0.02
+            toks = [sw[rng.randint(len(sw))] if rng.rand() < frac
+                    else other[rng.randint(len(other))] for _ in range(n)]
+            docs[d * 4] = " ".join(toks)  # %4==0 slice convention unused here
+        df = spark.createDataFrame(list(docs.items()),
+                                   "doc_id long, text string")
+        got = {r["bucket"]: r["weight"]
+               for r in train_quality_classifier(df).collect()}
+
+        def bucket(tok):
+            h = 0
+            for c in tok:
+                h = (h * 31 + ord(c)) % _POLY_M
+            return ((h * 2654435761 + 40503) % _POLY_M) % _DIM
+
+        X, Y = {}, {}
+        for d, t in docs.items():
+            toks = [w for w in t.lower().split(" ") if w]
+            if not toks:
+                continue
+            v = np.zeros(_DIM, dtype=np.int64)
+            for w in toks:
+                v[bucket(w)] += 1
+            X[d] = (v * 1000) // len(toks)
+            nsw = sum(1 for w in toks if w in _STOPWORDS)
+            Y[d] = 1 if (nsw * 1000) // len(toks) > _SW_THRESHOLD_PM else -1
+        pos = [d for d in X if Y[d] == 1]
+        neg = [d for d in X if Y[d] == -1]
+        cp = sum(X[d] for d in pos) // len(pos)
+        cn = sum(X[d] for d in neg) // len(neg)
+        w = cp - cn
+        bias = int(((cp - cn) * (cp + cn)).sum())
+        for b in range(_DIM):
+            assert got[b] == w[b], b
+        assert got[-1] == bias
+        # (b) it learns: train accuracy on the crafted corpus
+        acc = np.mean([(2 * int(X[d] @ w) - bias > 0) == (Y[d] > 0)
+                       for d in X])
+        assert acc >= 0.9, acc
+
+    def test_predictions_consistent_with_model(self, spark):
+        from camelot_spark.tdp.perceptron import (
+            quality_classifier_predictions)
+
+        rows = [(i, ("the of and in " * 3 if i % 2 else "alpha beta gamma "
+                     "delta epsilon zeta")) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = quality_classifier_predictions(df).collect()
+        assert all(r["correct"] == 1 for r in out)  # separable corpus
+        assert {r["pred"] for r in out} == {1, -1}

@@ -46,6 +46,11 @@ BOUNDED_SINGLE_PARTITION = {
     # construction regardless of corpus size, merged into the 1-row
     # broadcast filter (same class as the pivot-row agg)
     "decontaminate_bloom",
+    # Rocchio classifier: the model/bias merges aggregate <= 2*64
+    # per-class centroid rows (partial-agg pre-reduced) into the
+    # broadcast-size model — bounded by the feature dimension, never
+    # the corpus
+    "train_quality_classifier", "quality_classifier_predictions",
 }
 
 # Window discipline (round-5): a Window node needs the WHOLE group in
