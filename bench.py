@@ -290,10 +290,24 @@ def run_scaling() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
-        f.write("# Throughput-scaling efficiency (north_rule N vs 4N evidence)\n\n")
-        f.write("Same input, same job, two parallelism levels (sandbox stand-in\n"
-                "for N vs 4N executors — see BASELINE.md):\n\n")
+    # BENCH_SCALING.md is a hand-curated multi-run history once it
+    # carries per-round tables — never clobber it; append the fresh run
+    # as a marked section instead. A bare/absent file gets the plain
+    # single-run report.
+    path = os.path.join(REPO, "BENCH_SCALING.md")
+    curated = False
+    if os.path.exists(path):
+        with open(path) as f:
+            curated = "Round-" in f.read()
+    mode = "a" if curated else "w"
+    with open(path, mode) as f:
+        if curated:
+            f.write("\n## Latest raw --scaling run (auto-appended; fold "
+                    "into the history table above)\n\n")
+        else:
+            f.write("# Throughput-scaling efficiency (north_rule N vs 4N evidence)\n\n")
+            f.write("Same input, same job, two parallelism levels (sandbox stand-in\n"
+                    "for N vs 4N executors — see BASELINE.md):\n\n")
         f.write("| cores | docs | seconds | docs/sec |\n|---|---|---|---|\n")
         for r in results:
             f.write(f"| local[{r['cpus']}] | {r['docs']} | {r['sec']} | {r['docs_per_sec']} |\n")
