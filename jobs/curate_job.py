@@ -27,6 +27,10 @@ catalog:
 - ``strip_substr`` cut corpus-wide duplicate substring regions out of
                    the surviving text (tdp.substr_dedup);
 - ``decontaminate`` drop docs overlapping the benchmark n-gram set;
+- ``classifier``   learned quality gate: train the integer Rocchio
+                   model on the surviving corpus (stopword-ratio weak
+                   labels, tdp.perceptron) and keep docs predicted
+                   fluent — the CCNet-style classifier-filter step;
 - ``sample``       deterministic per-lang keep rates (integer ppm).
 """
 
@@ -107,6 +111,17 @@ def apply_steps(spark, docs, args):
             clean_ids = decontaminate(docs).where(
                 F.col("contaminated") == 0).select("doc_id")
             docs = docs.join(clean_ids, "doc_id", "left_semi")
+        elif step == "classifier":
+            # learned quality gate: train the integer Rocchio model on
+            # the surviving corpus (weak stopword-ratio labels) and
+            # keep docs it predicts fluent — the CCNet-style
+            # classifier-filter step, one broadcast-size model
+            from camelot_spark.tdp.perceptron import (
+                quality_classifier_predictions)
+
+            keep = quality_classifier_predictions(docs).where(
+                F.col("pred") == 1).select("doc_id")
+            docs = docs.join(keep, "doc_id", "left_semi")
         elif step == "sample":
             from camelot_spark.tdp.sampling import stratified_sample
 

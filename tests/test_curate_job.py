@@ -118,3 +118,30 @@ def test_spark_submit_curate_end_to_end(spark, tmp_path):
     log = SnapshotLog(outp)
     assert log.latest()["snapshot_id"] == status["snapshot_id"]
     assert log.read(spark).count() == 20
+
+
+def test_curate_classifier_step(spark):
+    """The learned Rocchio gate keeps fluent (stopword-rich) docs and
+    drops keyword-soup docs on a separable corpus."""
+    from jobs.curate_job import apply_steps
+
+    fluent = "the cat of the house is on the mat and in the sun with a hat"
+    soup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, fluent + f" extra{i}", "en", "web", 0) for i in range(8)] + \
+           [(100 + i, soup + f" junk{i}", "en", "web", 0) for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    class Args:
+        steps = "classifier"
+        min_quality = 0
+        substr_k = 40
+        cc_algorithm = "star"
+        near_threshold = 7000
+        sample_rates = ""
+        strata_col = "lang"
+
+    curated, report = apply_steps(spark, docs, Args)
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert kept == set(range(8))           # fluent kept, soup dropped
+    assert report[-1] == {"step": "classifier", "docs": 8}
