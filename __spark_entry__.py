@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(_load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
+        # recall@k of both bucketed ANN paths vs exact ground truth —
+        # the per-index-build eval a production ANN tracks (new r5)
+        "ann_recall": lambda s, d: similarity.ann_recall(
+            _load(s, d, "embeddings")),
         "simhash_near_dups": lambda s, d: dedup.simhash_near_dups(_load(s, d, "documents")),
         "simhash_near_dups_portable": lambda s, d: dedup.simhash_near_dups_portable(
             _load(s, d, "documents").where(F.col("doc_id") % 4 == 0)),
@@ -601,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": similarity.IVF_TOPK_SQL,
         "ivf_assign": similarity.IVF_ASSIGN_SQL,
         "semantic_dedup": similarity.SEMANTIC_DEDUP_SQL,
+        "ann_recall": similarity.ANN_RECALL_SQL,
         "quantize_embeddings": similarity.QUANTIZE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "embedding_neardup": similarity.NEARDUP_SQL,

@@ -587,3 +587,37 @@ SELECT s.vec_id, s.ivf_cell,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
 FROM assigned s LEFT JOIN dropped d USING (vec_id)
 """
+
+
+def ann_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Self-evaluation of the two ANN paths against exact brute-force
+    ground truth: per method, how many of the true top-k the bucketed
+    search returned (recall@k numerator — the metric a production ANN
+    deployment tracks per index build). One row per method, all
+    integer: (method, n_hits, k)."""
+    truth = cosine_topk(embeddings, k=k).select("vec_id")
+
+    def hits(name, df):
+        return (
+            df.select("vec_id").join(truth, "vec_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            .select(F.lit(name).alias("method"), "n_hits",
+                    F.lit(k).cast("bigint").alias("k"))
+        )
+
+    return hits("lsh", lsh_topk(embeddings, k=k)).unionByName(
+        hits("ivf", ivf_topk(embeddings, k=k)))
+
+
+ANN_RECALL_SQL = f"""
+WITH truth AS (SELECT vec_id FROM ({ANN_TOPK_SQL})),
+l AS (SELECT vec_id FROM ({ANN_LSH_TOPK_SQL})),
+i AS (SELECT vec_id FROM ({IVF_TOPK_SQL}))
+SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(10 AS BIGINT) AS k
+FROM l JOIN truth USING (vec_id)
+UNION ALL
+SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(10 AS BIGINT) AS k
+FROM i JOIN truth USING (vec_id)
+"""
