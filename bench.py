@@ -295,15 +295,22 @@ def run_scaling() -> None:
     # as a marked section instead. A bare/absent file gets the plain
     # single-run report.
     path = os.path.join(REPO, "BENCH_SCALING.md")
+    marker = ("## Latest raw --scaling run (auto-appended; fold "
+              "into the history table above)")
     curated = False
     if os.path.exists(path):
         with open(path) as f:
-            curated = "Round-" in f.read()
+            body = f.read()
+        curated = "Round-" in body
+        if curated and marker in body:
+            # replace any previous auto-appended section so repeated
+            # runs never stack stale "latest" blocks
+            with open(path, "w") as f:
+                f.write(body[:body.index(marker)].rstrip() + "\n")
     mode = "a" if curated else "w"
     with open(path, mode) as f:
         if curated:
-            f.write("\n## Latest raw --scaling run (auto-appended; fold "
-                    "into the history table above)\n\n")
+            f.write(f"\n{marker}\n\n")
         else:
             f.write("# Throughput-scaling efficiency (north_rule N vs 4N evidence)\n\n")
             f.write("Same input, same job, two parallelism levels (sandbox stand-in\n"

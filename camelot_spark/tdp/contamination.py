@@ -109,10 +109,9 @@ def _gram_hash(col):
     # 8-char prefix fold is fine for banding, where collisions only
     # inflate candidates — here a prefix fold collapsed this corpus's
     # shared-prefix grams to one hash and made the filter useless)
-    return F.aggregate(
-        F.split(col, ""), F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _POLY_M,
-    )
+    from .hashing import char_fold
+
+    return char_fold(col)
 
 
 def _bloom_positions(h):

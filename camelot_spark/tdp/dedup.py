@@ -870,10 +870,9 @@ def kmv_distinct(documents: DataFrame, k: int = 64) -> DataFrame:
     oracle. A datasketches-style partial-agg would bound the shuffle at
     k values per partition instead of all distinct hashes; the distinct
     hash set is already ~10^-4 of corpus bytes, so this shape holds."""
-    h = F.aggregate(
-        F.split(F.col("text"), ""), F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _KMV_M,
-    )
+    from .hashing import char_fold
+
+    h = char_fold(F.col("text"), _KMV_M)
     return _kmv_estimate(documents.select("source", h.alias("h")), k)
 
 
@@ -942,10 +941,9 @@ def kmv_distinct_partial(documents: DataFrame, k: int = 64) -> DataFrame:
     cap over (source, h) longs — O(k · sources) state, vectorized."""
     import pandas as pd
 
-    h = F.aggregate(
-        F.split(F.col("text"), ""), F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _KMV_M,
-    )
+    from .hashing import char_fold
+
+    h = char_fold(F.col("text"), _KMV_M)
     hashes = documents.select("source", h.alias("h"))
 
     def _cap_partition(batches):

@@ -52,12 +52,11 @@ _SW_THRESHOLD_PM = 57  # fixed per-mille stopword-ratio label threshold
 def _token_bucket(col):
     """Portable token → bucket hash: full-char polynomial fold mod the
     big prime, prime-mixed once more before the bucket modulus (the
-    decorrelation lesson from decontaminate_bloom)."""
-    h = F.aggregate(
-        F.split(col, ""), F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0))) % _POLY_M,
-    )
-    return ((h * 2654435761 + 40503) % _POLY_M) % _DIM
+    decorrelation lesson from decontaminate_bloom; one shared
+    definition in tdp.hashing)."""
+    from .hashing import char_fold, prime_mix
+
+    return prime_mix(char_fold(col), _DIM)
 
 
 def _features_and_labels(documents: DataFrame):

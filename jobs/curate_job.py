@@ -114,14 +114,30 @@ def apply_steps(spark, docs, args):
         elif step == "classifier":
             # learned quality gate: train the integer Rocchio model on
             # the surviving corpus (weak stopword-ratio labels) and
-            # keep docs it predicts fluent — the CCNet-style
-            # classifier-filter step, one broadcast-size model
+            # DROP docs it predicts non-fluent — the CCNet-style
+            # classifier-filter step, one broadcast-size model.
+            # Two destructive-filter guards:
+            # - one-class corpora (e.g. non-English text where the
+            #   English-stopword weak label never fires) would train a
+            #   degenerate centroid that mass-drops everything — the
+            #   step SKIPS with a report note instead (2-row collect);
+            # - docs with no prediction row (no tokens after earlier
+            #   steps) PASS THROUGH via anti-join on the drop set —
+            #   the classifier never decided on them, so it must not
+            #   delete them (the dedup_near pass-through discipline).
             from camelot_spark.tdp.perceptron import (
-                quality_classifier_predictions)
+                _features_and_labels, quality_classifier_predictions)
 
-            keep = quality_classifier_predictions(docs).where(
-                F.col("pred") == 1).select("doc_id")
-            docs = docs.join(keep, "doc_id", "left_semi")
+            _, labels = _features_and_labels(docs)
+            classes = {r["y"] for r in
+                       labels.select("y").distinct().collect()}
+            if classes == {1, -1}:
+                drop = quality_classifier_predictions(docs).where(
+                    F.col("pred") == -1).select("doc_id")
+                docs = docs.join(drop, "doc_id", "left_anti")
+            else:
+                report.append({"step": "classifier_skipped_one_class",
+                               "docs": -1})
         elif step == "sample":
             from camelot_spark.tdp.sampling import stratified_sample
 

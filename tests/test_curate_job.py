@@ -145,3 +145,55 @@ def test_curate_classifier_step(spark):
     kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
     assert kept == set(range(8))           # fluent kept, soup dropped
     assert report[-1] == {"step": "classifier", "docs": 8}
+
+
+def test_curate_classifier_skips_one_class_corpus(spark):
+    """A corpus whose weak label never fires (e.g. no English
+    stopwords) must NOT be mass-filtered by a degenerate one-class
+    model — the step skips and says so in the report."""
+    from jobs.curate_job import apply_steps
+
+    rows = [(i, f"alpha beta gamma delta tok{i}", "xx", "web", 0)
+            for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    class Args:
+        steps = "classifier"
+        min_quality = 0
+        substr_k = 40
+        cc_algorithm = "star"
+        near_threshold = 7000
+        sample_rates = ""
+        strata_col = "lang"
+
+    curated, report = apply_steps(spark, docs, Args)
+    assert curated.count() == 10                     # nothing dropped
+    assert {"step": "classifier_skipped_one_class", "docs": -1} in report
+
+
+def test_curate_classifier_passes_through_tokenless_docs(spark):
+    """Docs with no prediction row (no tokens) must survive the
+    classifier step — the model never decided on them."""
+    from jobs.curate_job import apply_steps
+
+    fluent = "the cat of the house is on the mat and in the sun"
+    soup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, fluent, "en", "web", 0), (2, soup, "en", "web", 0),
+            (3, "", "en", "web", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    class Args:
+        steps = "classifier"
+        min_quality = 0
+        substr_k = 40
+        cc_algorithm = "star"
+        near_threshold = 7000
+        sample_rates = ""
+        strata_col = "lang"
+
+    curated, _ = apply_steps(spark, docs, Args)
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert 3 in kept          # tokenless doc passes through
+    assert 1 in kept and 2 not in kept
