@@ -393,6 +393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # space, keep-first within-cluster cosine pruning (new r5)
         "semantic_dedup": lambda s, d: similarity.semantic_dedup(
             _load(s, d, "embeddings")),
+        # one Lloyd iteration over the IVF cells: integer centroids +
+        # broadcast reassignment — the index-build quality step (new r5)
+        "ivf_refine": lambda s, d: similarity.ivf_refine(
+            _load(s, d, "embeddings")),
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(_load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
@@ -605,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": similarity.IVF_TOPK_SQL,
         "ivf_assign": similarity.IVF_ASSIGN_SQL,
         "semantic_dedup": similarity.SEMANTIC_DEDUP_SQL,
+        "ivf_refine": similarity.IVF_REFINE_SQL,
         "ann_recall": similarity.ANN_RECALL_SQL,
         "quantize_embeddings": similarity.QUANTIZE_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,

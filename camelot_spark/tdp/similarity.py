@@ -621,3 +621,121 @@ SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS n_hits,
        CAST(10 AS BIGINT) AS k
 FROM i JOIN truth USING (vec_id)
 """
+
+
+def ivf_refine(embeddings: DataFrame, n_cells: int = 16,
+               scale: int = 10000) -> DataFrame:
+    """One Lloyd (k-means) refinement iteration over the IVF coarse
+    cells: recompute each cell's centroid as the element-wise mean of
+    its members, then reassign every vector to its nearest refined
+    centroid — the index-build quality step between "pivots are K
+    sampled rows" and a trained quantizer.
+
+    Determinism: centroids are INTEGER vectors — components are
+    floor(x·scale) quantized, summed per cell (integer sums commute,
+    so shuffle order can't change them), and floor-divided by the cell
+    count via the explicit pmod identity (s - ((s%n)+n)%n)/n, which
+    reads the same on both engines regardless of their native int-div
+    rounding. Reassignment then scores each vector against the K
+    integer centroids with the same left-to-right double fold the
+    other cosine twins pin.
+
+    Scale shape — why this survives 100 TB:
+    - assignment is the broadcast-pivot per-row fold
+      (``_assign_with_embedding``), zero shuffle on the vectors;
+    - the centroid sum is a posexplode to (cell, j, q) longs +
+      partial-agg SUM: map-side combine collapses every partition to
+      ≤ K·dim rows before the exchange, so the shuffle carries
+      O(partitions·K·dim) longs, not O(corpus·dim);
+    - the K refined centroids collapse to ONE broadcast row and the
+      rescoring runs in the scan's own task — no second vector
+      shuffle, no join back on vec_id.
+
+    Output: (vec_id, cell0, cell1, moved) — moved=1 when the refined
+    argmax differs from the coarse cell.
+    """
+    e = _assign_with_embedding(embeddings, n_cells)
+    qcol = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale).cast("bigint"),
+    )
+    exploded = e.select("ivf_cell", F.posexplode(qcol).alias("pos", "q"))
+    sums = (
+        exploded.groupBy("ivf_cell", (F.col("pos") + 1).alias("j"))
+        .agg(F.sum("q").alias("s"))
+    )
+    counts = e.groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n"))
+    # floor(s/n) via the pmod identity: exact integer arithmetic, no
+    # reliance on either engine's int-division rounding direction
+    cents = (
+        sums.join(counts, "ivf_cell")
+        .groupBy("ivf_cell", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "s"))).alias("js"))
+        .select(
+            "ivf_cell",
+            F.transform(
+                "js",
+                lambda t: ((t["s"] - F.pmod(t["s"], F.col("n"))) / F.col("n"))
+                .cast("bigint"),
+            ).alias("carr"),
+        )
+    )
+    cent_row = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ivf_cell").alias("cell"), F.col("carr").alias("c"))
+            )
+        ).alias("cents")
+    )
+    rescored = e.crossJoin(F.broadcast(cent_row))
+    ss2 = F.transform(
+        F.col("cents"),
+        lambda c: _dot(F.col("embedding"), c["c"])
+        / (_norm(F.col("embedding")) * _norm(c["c"])),
+    )
+    pos = F.array_position(ss2, F.array_max(ss2))
+    cell1 = F.element_at(F.col("cents"), pos.cast("int"))["cell"]
+    return rescored.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("ivf_cell").cast("int").alias("cell0"),
+        cell1.cast("int").alias("cell1"),
+        (F.col("ivf_cell") != cell1).cast("int").alias("moved"),
+    )
+
+
+IVF_REFINE_SQL = f"""
+WITH {_ivf_scores_cte(16)},
+assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS cell0
+  FROM scored),
+counts AS (SELECT cell0, COUNT(*) AS n FROM assigned GROUP BY cell0),
+sums AS (
+  SELECT cell0, t.i AS j,
+         SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 10000) AS BIGINT)) AS s
+  FROM assigned, range(1, 65) t(i)
+  GROUP BY cell0, t.i),
+cents AS (
+  SELECT cell0,
+         list((s - ((s % n) + n) % n) // n ORDER BY j) AS carr
+  FROM sums JOIN counts USING (cell0)
+  GROUP BY cell0, n),
+clist AS (
+  SELECT list({{'cell': cell0, 'c': carr}} ORDER BY cell0) AS cents FROM cents),
+rescored AS (
+  SELECT a.vec_id, a.cell0, cents,
+         list_transform(cents, c ->
+           list_sum(list_transform(a.embedding,
+             (x, i) -> CAST(x AS DOUBLE) * CAST(c.c[i] AS DOUBLE)))
+           / ( sqrt(list_sum(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(c.c,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) )) AS ss2
+  FROM assigned a, clist)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cell0 AS INTEGER) AS cell0,
+       CAST(cents[list_position(ss2, list_max(ss2))].cell AS INTEGER) AS cell1,
+       CAST(CASE WHEN cell0 <> cents[list_position(ss2, list_max(ss2))].cell
+                 THEN 1 ELSE 0 END AS INTEGER) AS moved
+FROM rescored
+"""

@@ -506,3 +506,55 @@ class TestQualityClassifier:
         out = quality_classifier_predictions(df).collect()
         assert all(r["correct"] == 1 for r in out)  # separable corpus
         assert {r["pred"] for r in out} == {1, -1}
+
+
+def test_ivf_refine_brute_force(spark):
+    """One Lloyd iteration vs a from-scratch numpy replica, on a
+    fixture where the hash-sampled pivot of cluster A is atypically
+    skewed toward B: the borderline vector 3 starts in cell 0 (pivot
+    pull) and the refined mean centroid reassigns it to cell 1 — the
+    correction the refinement step exists to make."""
+    import numpy as np
+
+    from camelot_spark.tdp.similarity import ivf_refine
+
+    A = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, [1.0, 0.75, 0.0, 0.0]),  # pivot 0 (hash rank 1), skewed
+        (1, A), (2, A), (3, [0.55, 0.8, 0.0, 0.0]),  # borderline
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.1, 1.0, 0.0, 0.0]),   # pivot 1 (hash rank 2)
+        (6, [0.3, 0.95, 0.0, 0.0]),
+        (7, [0.4, 0.9, 0.0, 0.0]),
+    ]
+    scale = 10000
+    ids = [r[0] for r in rows]
+    emb = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    hs = sorted((((v * 2654435761 + 40503) % 1000000007), v) for v in ids)
+    pivots = [emb[v] for _, v in hs[:2]]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def argmax_first(scores):
+        return scores.index(max(scores))
+
+    cell0 = {v: argmax_first([cos(emb[v], p) for p in pivots]) for v in ids}
+    cents = {}
+    for c in set(cell0.values()):
+        members = [v for v in ids if cell0[v] == c]
+        q = np.floor(np.stack([emb[v] for v in members]) * scale).astype(np.int64)
+        s, n = q.sum(axis=0), len(members)
+        cents[c] = (s - ((s % n) + n) % n) // n  # floor-div via pmod
+    order = sorted(cents)
+    want = {}
+    for v in ids:
+        c1 = order[argmax_first([cos(emb[v], cents[c].astype(float)) for c in order])]
+        want[v] = (cell0[v], c1)
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["cell0"], r["cell1"], r["moved"])
+           for r in ivf_refine(df, n_cells=2).collect()}
+    assert {v: (c0, c1) for v, (c0, c1, _) in got.items()} == want
+    assert got[3] == (0, 1, 1)           # the corrected borderline vector
+    assert all(m == (1 if c0 != c1 else 0) for c0, c1, m in got.values())

@@ -51,6 +51,10 @@ BOUNDED_SINGLE_PARTITION = {
     # broadcast-size model — bounded by the feature dimension, never
     # the corpus
     "train_quality_classifier", "quality_classifier_predictions",
+    # ivf_refine: the centroid-row merge aggregates <= K cells x dim
+    # components, each pre-reduced by the partial-agg (cell, j) SUM —
+    # bounded by K*dim, never the corpus (same class as the pivot row)
+    "ivf_refine",
 }
 
 # Window discipline (round-5): a Window node needs the WHOLE group in
