@@ -476,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda s, d: sampling.stratified_sample(
             _load(s, d, "documents"),
             rates={"de": 100000, "en": 250000, "fr": 500000}),
+        # deterministic growth-stable train/val/test split (new r5)
+        "dataset_split": lambda s, d: sampling.dataset_split(
+            _load(s, d, "documents")),
         "corpus_mix": lambda s, d: sampling.corpus_mix(
             _load(s, d, "documents"),
             targets={"de": 200000, "en": 500000, "es": 100000, "fr": 200000},
@@ -584,6 +587,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
+        "dataset_split": sampling.DATASET_SPLIT_SQL,
         "corpus_mix": sampling.CORPUS_MIX_SQL,
         "stratified_topk_sample": sampling.STRATIFIED_TOPK_SQL,
         "length_histogram": sampling.LENGTH_HISTOGRAM_SQL,

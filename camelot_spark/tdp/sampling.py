@@ -216,3 +216,46 @@ WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 <
 
 
 RANK_WEIGHTED_SAMPLE_SQL = _rank_weighted_sql()
+
+
+def dataset_split(documents: DataFrame, train_ppm: int = 800_000,
+                  val_ppm: int = 100_000,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE and GROWTH-STABLE: the
+    bucket is a pure function of the id (salted multiplicative hash),
+    so re-running on a grown corpus never moves an existing document
+    between splits, and the same config yields the same split on any
+    cluster size / partitioning.
+
+    The salt decorrelates the split from ``stratified_sample``'s
+    unsalted acceptance hash (a doc's keep decision and its split are
+    independent). To prevent near-duplicate leakage across splits,
+    pass the canonical id from ``dedup_groups`` as ``id_col`` — every
+    member of a duplicate cluster then lands in the same split.
+
+    Pure projection: zero shuffle, zero aggregation; throughput =
+    scan speed at any scale. Output: (doc_id, split).
+    """
+    h = (F.col(id_col) * F.lit(_KNUTH) + F.lit(99991)) \
+        % F.lit(4294967296) % F.lit(_PPM)
+    split = (
+        F.when(h < train_ppm, "train")
+        .when(h < train_ppm + val_ppm, "val")
+        .otherwise("test")
+    )
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        split.alias("split"),
+    )
+
+
+DATASET_SPLIT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN h < 800000 THEN 'train'
+            WHEN h < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             (doc_id * 2654435761 + 99991) % 4294967296 % 1000000 AS h
+      FROM documents)
+"""

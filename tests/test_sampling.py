@@ -222,3 +222,31 @@ def test_rank_weighted_sample_prefers_high_rank(spark):
     kept2 = {r["doc_id"] for r in rank_weighted_sample(
         docs.repartition(7), ranks.repartition(3)).collect()}
     assert kept2 == set(kept)
+
+
+def test_dataset_split_stable_and_leak_free(docs, spark):
+    """Growth stability: a doc's split never changes when the corpus
+    grows (pure function of the id). Leakage control: splitting on a
+    dedup-canonical id puts every cluster member in one split. Plus
+    zero-shuffle plan and rough proportion sanity."""
+    out = sampling.dataset_split(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan            # pure projection
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(full.values()) == {"train", "val", "test"}
+    n = len(full)
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 0.7 * n < n_train < 0.9 * n       # ~80% train
+    # growth stability: the split of a 100-doc prefix corpus is the
+    # restriction of the 400-doc corpus's split
+    sub = {r["doc_id"]: r["split"] for r in sampling.dataset_split(
+        docs.where(F.col("doc_id") < 100)).collect()}
+    assert sub == {k: v for k, v in full.items() if k < 100}
+    # leakage control: id_col = the cluster-canonical id => all
+    # members of a duplicate cluster share a split
+    clustered = docs.withColumn("canon_id", (F.col("doc_id") / 10).cast("long"))
+    by_cluster = {}
+    for r in sampling.dataset_split(clustered, id_col="canon_id").join(
+            clustered.select("doc_id", "canon_id"), "doc_id").collect():
+        by_cluster.setdefault(r["canon_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
