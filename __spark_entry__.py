@@ -466,6 +466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL twin shards identically
         "pack_sequences": lambda s, d: packing.pack_sequences(
             _load(s, d, "documents"), shard_docs=128),
+        # globally contiguous packing via the hierarchical prefix sum;
+        # the twin is the NAIVE one-task global window, so a hash match
+        # proves the doc→shard→source decomposition exact (new r5)
+        "pack_sequences_global": lambda s, d: packing.pack_sequences_global(
+            _load(s, d, "documents"), shard_docs=128),
         # --- deduplication ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
         "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),
@@ -583,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom": contamination.DECONTAMINATE_BLOOM_SQL,
         "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
+        "pack_sequences_global": packing.PACK_GLOBAL_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,

@@ -13,6 +13,12 @@ dataloader.
   (unpartitioned) cumsum would serialize 100 TB through one task, so
   packing parallelizes across sources/shards and is documented as
   per-shard, exactly how production packers shard their input.
+- ``pack_sequences_global``: the same concatenate-and-cut semantics
+  but over ONE contiguous global token stream, via a hierarchical
+  prefix sum (doc → shard → source) so no task ever holds more than a
+  shard of documents or a source's shard-totals list. The output is
+  bit-identical to an unpartitioned global cumsum — proven by the
+  DuckDB twin, which IS the naive global window.
 """
 
 from __future__ import annotations
@@ -126,5 +132,100 @@ c AS (
 SELECT source, doc_id, n_tokens,
        CAST(FLOOR(cum_prev / 512.0) AS BIGINT) AS seq_id,
        CAST(cum_prev % 512 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+def pack_sequences_global(
+    documents: DataFrame, seq_len: int = 512, shard_docs: int = 128
+) -> DataFrame:
+    """Globally contiguous concatenate-and-cut packing: the whole
+    corpus ordered by (source, doc_id) is one token stream, cut at
+    ``seq_len`` boundaries; every document gets the global sequence id
+    and intra-sequence offset where it starts. Output:
+    (source, doc_id, n_tokens, seq_id, seq_offset).
+
+    A naive global cumsum is a one-task sort of the corpus. This is
+    the hierarchical prefix-sum instead — the tree-scan every
+    large-scale packer uses, expressed in three bounded windows:
+
+    1. within-shard exclusive cumsum, group ≤ ``shard_docs`` docs;
+    2. per-source exclusive cumsum of shard TOTALS (24-byte rows,
+       group = docs_per_source / shard_docs — at 10^12 docs with the
+       production ``shard_docs`` ~1e6 that is ~1e6 rows per task; add
+       a fourth level only past ~10^14 docs);
+    3. exclusive cumsum of source totals (#sources rows, enum-small,
+       broadcast back).
+
+    global_prev = source_base + shard_base + within_shard_prev, then
+    seq_id/seq_offset by integer division. Every document's answer is
+    identical to the serial scan — the DuckDB twin runs the naive
+    global window and must hash-match.
+    """
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    base = documents.select(
+        "source",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_tok.alias("n_tokens"),
+    ).withColumn(
+        "shard", F.floor(F.col("doc_id") / F.lit(int(shard_docs))).cast("bigint")
+    )
+    # level 1: exclusive cumsum within a shard (<= shard_docs rows)
+    w_doc = (
+        Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("bigint")
+    within = F.coalesce(F.sum("n_tokens").over(w_doc), zero)
+
+    shard_tot = base.groupBy("source", "shard").agg(
+        F.sum("n_tokens").alias("shard_tokens"))
+    # level 2: exclusive cumsum of shard totals within a source
+    w_shard = (
+        Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_base = shard_tot.select(
+        "source", "shard",
+        F.coalesce(F.sum("shard_tokens").over(w_shard), zero).alias("shard_base"),
+    )
+    # level 3: exclusive cumsum of source totals (enum-small input —
+    # the groupBy("source") partial-agg pre-reduces every partition)
+    src_tot = shard_tot.groupBy("source").agg(
+        F.sum("shard_tokens").alias("source_tokens"))
+    w_src = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    src_base = src_tot.select(
+        "source",
+        F.coalesce(F.sum("source_tokens").over(w_src), zero).alias("source_base"),
+    )
+    gp = F.col("source_base") + F.col("shard_base") + within
+    return (
+        base.join(shard_base, ["source", "shard"])
+        .join(F.broadcast(src_base), "source")
+        .select(
+            "source", "doc_id", "n_tokens",
+            F.floor(gp / seq_len).cast("bigint").alias("seq_id"),
+            (gp % seq_len).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+# The twin IS the serial semantics: one naive global window ordered by
+# (source, doc_id) — DuckDB can afford it at oracle scale, and a hash
+# match proves the three-level decomposition exact.
+PACK_GLOBAL_SQL = """
+WITH t AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY source, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gp
+  FROM t)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR(gp / 512.0) AS BIGINT) AS seq_id,
+       CAST(gp % 512 AS BIGINT) AS seq_offset
 FROM c
 """

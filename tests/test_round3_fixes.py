@@ -582,3 +582,35 @@ def test_snapshot_merge_refuses_concurrent_commit(spark, tmp_path):
     with pytest.raises(CommitConflict):
         log.merge(spark, spark.range(2).selectExpr("id AS doc_id", "'c' AS text"))
     assert log.read(spark).count() == 8  # nothing lost
+
+
+def test_pack_sequences_global_matches_serial_scan(spark):
+    """The three-level prefix sum equals the serial global scan over
+    (source, doc_id) order — checked against a pure-Python reference —
+    and the plan carries exactly one SinglePartition exchange (the
+    enum-small source-totals level) plus a broadcast back."""
+    from camelot_spark.tdp.packing import pack_sequences_global
+
+    docs = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma"][i % 3],
+          " ".join(["t"] * (5 + (i * 7) % 17))) for i in range(120)],
+        "doc_id long, source string, text string",
+    )
+    out = pack_sequences_global(docs, seq_len=64, shard_docs=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastExchange" in plan
+
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 120
+    running = 0
+    order = sorted(range(120), key=lambda i: (["alpha", "beta", "gamma"][i % 3], i))
+    for i in order:
+        assert rows[i]["seq_id"] == running // 64, i
+        assert rows[i]["seq_offset"] == running % 64, i
+        running += 5 + (i * 7) % 17
+    # partition-invariance: same answer from a different physical layout
+    again = {r["doc_id"]: (r["seq_id"], r["seq_offset"])
+             for r in pack_sequences_global(
+                 docs.repartition(13), seq_len=64, shard_docs=10).collect()}
+    assert again == {k: (v["seq_id"], v["seq_offset"]) for k, v in rows.items()}

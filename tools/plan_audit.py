@@ -55,6 +55,10 @@ BOUNDED_SINGLE_PARTITION = {
     # components, each pre-reduced by the partial-agg (cell, j) SUM —
     # bounded by K*dim, never the corpus (same class as the pivot row)
     "ivf_refine",
+    # pack_sequences_global: the level-3 source-totals cumsum — its
+    # input is the groupBy(source) aggregate, <= #sources rows (enum-
+    # small) merged into one task then broadcast back
+    "pack_sequences_global",
 }
 
 # Window discipline (round-5): a Window node needs the WHOLE group in
@@ -86,6 +90,12 @@ BOUNDED_WINDOW_GROUPS = {
     # holds at most that many docs regardless of source skew (packing
     # is sequential per shard by definition)
     "pack_sequences",
+    # hierarchical prefix sum, three windows, each bounded: level 1
+    # group <= shard_docs docs; level 2 group = one source's shard
+    # TOTALS (24-byte rows, docs_per_source/shard_docs — ~1e6 rows at
+    # 1e12 docs with production shard_docs ~1e6); level 3 group =
+    # #sources rows (enum-small), broadcast back
+    "pack_sequences_global",
 }
 
 
