@@ -472,6 +472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_global": lambda s, d: packing.pack_sequences_global(
             _load(s, d, "documents"), shard_docs=128),
         # --- deduplication ---
+        # cross-snapshot incremental dedup: odd doc_ids are the "new
+        # batch", even the already-kept corpus; portable hash family so
+        # the banded near path is oracle-verified end-to-end (new r5)
+        "dedup_incremental": lambda s, d: dedup.dedup_incremental(
+            _load(s, d, "documents").where(F.col("doc_id") % 2 == 1),
+            _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+            portable=True),
         "dedup_exact": lambda s, d: dedup.dedup_exact(_load(s, d, "documents")),
         "clean_corpus": lambda s, d: cleaning.clean_corpus(_load(s, d, "documents")),
         "dedup_keep_first": lambda s, d: dedup.dedup_keep_first(_load(s, d, "documents")),
@@ -592,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
+        "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "stratified_sample": sampling.STRATIFIED_SAMPLE_SQL,
         "dataset_split": sampling.DATASET_SPLIT_SQL,
         "corpus_mix": sampling.CORPUS_MIX_SQL,

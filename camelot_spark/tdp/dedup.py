@@ -960,3 +960,113 @@ def kmv_distinct_partial(documents: DataFrame, k: int = 64) -> DataFrame:
 
     capped = hashes.mapInPandas(_cap_partition, schema="source string, h long")
     return _kmv_estimate(capped, k)
+
+
+def dedup_incremental(
+    new_docs: DataFrame, ref_docs: DataFrame, num_hashes: int = 32,
+    bands: int = 8, n: int = 3, portable: bool = False,
+) -> DataFrame:
+    """Cross-snapshot dedup: classify each NEW document against an
+    existing reference corpus — the continuous-ingest shape (each crawl
+    snapshot deduped against everything already kept) that a self-join
+    ``minhash_lsh_pairs`` over old+new would pay quadratically for.
+    Output: (doc_id, status) for every new doc, status ∈
+    {'exact', 'near', 'kept'} with exact taking precedence.
+
+    - exact: md5(text) LEFT SEMI join against the ref corpus's
+      DISTINCT hash set — partial-agg distinct, 16-byte keys, never
+      the texts themselves on the wire.
+    - near: the new batch's LSH band buckets semi-joined against the
+      ref corpus's DISTINCT (band, band_sig) set. Distinct caps a
+      stop-bucket's ref side at ONE row, so a hot bucket costs one
+      probe, not |bucket|² — the asymmetry that makes incremental
+      dedup linear in the new batch. Docs under ``n`` tokens carry no
+      shingles and never match the near path (both engines filter).
+
+    The ref side re-minhashes here; production persists ref band
+    buckets once (they are append-only across snapshots) and this
+    function's join shape is unchanged.
+    """
+    rows_per_band = num_hashes // bands
+    ids = new_docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+    exact_ref = ref_docs.select(F.md5("text").alias("h")).distinct()
+    exact = (
+        new_docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        F.md5("text").alias("h"))
+        .join(exact_ref, "h", "left_semi")
+        .select("doc_id").withColumn("is_exact", F.lit(1))
+    )
+
+    long_enough = F.size(F.split("text", " ")) >= n
+    new_b = banded_signatures(
+        minhash_signatures(new_docs.where(long_enough), num_hashes, n,
+                           portable=portable), bands, rows_per_band)
+    ref_b = (
+        banded_signatures(
+            minhash_signatures(ref_docs.where(long_enough), num_hashes, n,
+                               portable=portable), bands, rows_per_band)
+        .select("band", "band_sig").distinct()
+    )
+    near = (
+        new_b.join(ref_b, ["band", "band_sig"], "left_semi")
+        .select("doc_id").distinct().withColumn("is_near", F.lit(1))
+    )
+
+    return (
+        ids.join(exact, "doc_id", "left").join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "exact")
+            .when(F.col("is_near") == 1, "near")
+            .otherwise("kept").alias("status"),
+        )
+    )
+
+
+# Twin of dedup_incremental(new = odd doc_ids, ref = even doc_ids,
+# portable=True): one banded CTE over the whole corpus (same
+# polynomial-hash chain as MINHASH_PORTABLE_SQL), split by parity at
+# the join.
+DEDUP_INCREMENTAL_SQL = """
+WITH sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(toks) >= 3)),
+ph AS (
+  SELECT doc_id,
+         list_transform(s, x ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(x[1:8], ''), c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(hs, h -> (h * (2654435761 + k) + 40503 * (k + 1)) % 1000000007))
+          FOR k IN range(0, 32)] AS sg
+  FROM ph),
+banded AS (
+  SELECT doc_id, t.b AS band,
+         sg[CAST(t.b * 4 + 1 AS INTEGER):CAST(t.b * 4 + 4 AS INTEGER)] AS bsig
+  FROM sig, range(0, 8) t(b)),
+near AS (
+  SELECT DISTINCT nw.doc_id
+  FROM banded nw JOIN banded rf
+    ON nw.band = rf.band AND nw.bsig = rf.bsig
+   AND nw.doc_id % 2 = 1 AND rf.doc_id % 2 = 0),
+exact AS (
+  SELECT DISTINCT CAST(nw.doc_id AS BIGINT) AS doc_id
+  FROM documents nw
+  WHERE nw.doc_id % 2 = 1
+    AND md5(nw.text) IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0))
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN nr.doc_id IS NOT NULL THEN 'near'
+            ELSE 'kept' END AS status
+FROM documents d
+LEFT JOIN exact e ON d.doc_id = e.doc_id
+LEFT JOIN near nr ON d.doc_id = nr.doc_id
+WHERE d.doc_id % 2 = 1
+"""

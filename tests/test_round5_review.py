@@ -558,3 +558,38 @@ def test_ivf_refine_brute_force(spark):
     assert {v: (c0, c1) for v, (c0, c1, _) in got.items()} == want
     assert got[3] == (0, 1, 1)           # the corrected borderline vector
     assert all(m == (1 if c0 != c1 else 0) for c0, c1, m in got.values())
+
+
+def test_dedup_incremental_classifies_new_batch(spark):
+    """Exact dup of a ref doc → 'exact' (precedence over near); a
+    shingle-overlapping near-dup → 'near'; novel text → 'kept'; short
+    (<3-token) docs never match the near path. Ref band buckets are
+    DISTINCTed before the semi join (the hot-bucket asymmetry)."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.dedup import dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    ref = spark.createDataFrame(
+        [(0, base), (2, "completely different reference material here today"),
+         (4, "tiny doc")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base),                                  # exact copy
+         (3, base + " tail"),                        # near-dup (shares bands)
+         (5, "nothing in common with anything z q w x v b n m k j h g"),
+         (7, "tiny doc")],                           # exact but <3 tokens? no — 2 tokens: exact path still md5-matches
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in dedup_incremental(new, ref, portable=True).collect()}
+    assert got[1] == "exact"
+    assert got[3] == "near"
+    assert got[5] == "kept"
+    assert got[7] == "exact"      # md5 path is length-independent
+    # short NOVEL docs stay kept (no empty-shingle bucket collisions)
+    new2 = spark.createDataFrame([(9, "two words")], "doc_id long, text string")
+    assert dedup_incremental(new2, ref, portable=True).collect()[0]["status"] == "kept"
+    # the ref bucket side is pre-reduced: plan aggregates before the join
+    plan = dedup_incremental(new, ref)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftSemi" in plan and "HashAggregate" in plan
