@@ -471,6 +471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proves the doc→shard→source decomposition exact (new r5)
         "pack_sequences_global": lambda s, d: packing.pack_sequences_global(
             _load(s, d, "documents"), shard_docs=128),
+        # equal-quota-per-semantic-cell curation sampling; the per-cell
+        # rank caps through WindowGroupLimit (new r5)
+        "cluster_balanced_sample": lambda s, d: similarity.cluster_balanced_sample(
+            _load(s, d, "embeddings")),
         # --- deduplication ---
         # cross-snapshot incremental dedup: odd doc_ids are the "new
         # batch", even the already-kept corpus; portable hash family so
@@ -596,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": packing.CHUNK_DOCUMENTS_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "pack_sequences_global": packing.PACK_GLOBAL_SQL,
+        "cluster_balanced_sample": similarity.CLUSTER_BALANCED_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "clean_corpus": cleaning.CLEAN_CORPUS_SQL,
         "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,

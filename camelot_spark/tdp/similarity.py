@@ -739,3 +739,48 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
                  THEN 1 ELSE 0 END AS INTEGER) AS moved
 FROM rescored
 """
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame, n_cells: int = 16, k: int = 8
+) -> DataFrame:
+    """Diversity-balanced selection: an equal quota of ``k`` vectors
+    from each of ``n_cells`` semantic IVF cells, ranked by centrality
+    (cosine to the cell's own pivot) — the cluster-balanced curation
+    step that keeps a corpus's long-tail topics from being drowned by
+    its head cluster. Output: (vec_id, ivf_cell, rank), rank 1 = most
+    central of its cell.
+
+    Shape: one broadcast K-pivot row, assignment + centrality in the
+    scan task (zero vector shuffle), then a per-cell row_number capped
+    by ``rank <= k`` — Catalyst plans a WindowGroupLimit, so every
+    task pre-reduces to k rows per cell before the (n_cells-key)
+    shuffle: the window never sees an unbounded group.
+    """
+    prow = _pivot_row(embeddings, n_cells)
+    scored = embeddings.crossJoin(F.broadcast(prow))
+    ss = F.transform(F.col("pivots"), lambda p: _cos_to(p["p_emb"]))
+    best = F.array_max(ss)
+    cell = (F.array_position(ss, best) - 1).cast("int")
+    base = scored.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        cell.alias("ivf_cell"), best.alias("cos"))
+    w = Window.partitionBy("ivf_cell").orderBy(F.desc("cos"), "vec_id")
+    return (
+        base.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "ivf_cell", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+CLUSTER_BALANCED_SQL = f"""
+WITH {_ivf_scores_cte(16)},
+assigned AS (
+  SELECT vec_id, list_max(ss) AS cos,
+         list_position(ss, list_max(ss)) - 1 AS cell
+  FROM scored)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cell AS INTEGER) AS ivf_cell,
+       CAST(row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM assigned QUALIFY rank <= 8
+"""

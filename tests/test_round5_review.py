@@ -593,3 +593,27 @@ def test_dedup_incremental_classifies_new_batch(spark):
     plan = dedup_incremental(new, ref)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "LeftSemi" in plan and "HashAggregate" in plan
+
+
+def test_cluster_balanced_sample_quota_and_plan(spark):
+    """Every populated cell contributes at most k vectors ranked by
+    centrality, and the per-cell rank cap plans a WindowGroupLimit so
+    no task ever holds a whole cell."""
+    import math
+
+    from camelot_spark.tdp.similarity import cluster_balanced_sample
+
+    rng_rows = []
+    for i in range(60):
+        ang = (i * 37) % 360 / 180 * math.pi
+        rng_rows.append((i, [math.cos(ang), math.sin(ang), 0.25]))
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(df, n_cells=4, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = out.collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r["ivf_cell"], []).append(r["rank"])
+    assert per_cell and all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
+                            for v in per_cell.values())
