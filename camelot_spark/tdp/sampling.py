@@ -237,16 +237,23 @@ def dataset_split(documents: DataFrame, train_ppm: int = 800_000,
     Pure projection: zero shuffle, zero aggregation; throughput =
     scan speed at any scale. Output: (doc_id, split).
     """
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        split_expr(id_col, train_ppm, val_ppm).alias("split"),
+    )
+
+
+def split_expr(id_col: str = "doc_id", train_ppm: int = 800_000,
+               val_ppm: int = 100_000):
+    """The train/val/test bucket as a bare Column — lets pipelines
+    (jobs/curate_job.py ``split`` step) annotate rows in place with
+    zero shuffle instead of joining ``dataset_split``'s output back."""
     h = (F.col(id_col) * F.lit(_KNUTH) + F.lit(99991)) \
         % F.lit(4294967296) % F.lit(_PPM)
-    split = (
+    return (
         F.when(h < train_ppm, "train")
         .when(h < train_ppm + val_ppm, "val")
         .otherwise("test")
-    )
-    return documents.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        split.alias("split"),
     )
 
 

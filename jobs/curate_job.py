@@ -31,7 +31,10 @@ catalog:
                    model on the surviving corpus (stopword-ratio weak
                    labels, tdp.perceptron) and keep docs predicted
                    fluent — the CCNet-style classifier-filter step;
-- ``sample``       deterministic per-lang keep rates (integer ppm).
+- ``sample``       deterministic per-lang keep rates (integer ppm);
+- ``split``        annotate each surviving doc with its deterministic
+                   growth-stable train/val/test bucket (pure
+                   projection; ``--train-ppm``/``--val-ppm``).
 """
 
 from __future__ import annotations
@@ -144,6 +147,13 @@ def apply_steps(spark, docs, args):
             kept = stratified_sample(docs, rates=parse_rates(args.sample_rates),
                                      strata_col=args.strata_col)
             docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+        elif step == "split":
+            # annotate (never filter): the deterministic growth-stable
+            # train/val/test bucket, computed in place — no join back
+            from camelot_spark.tdp.sampling import split_expr
+
+            docs = docs.withColumn(
+                "split", split_expr("doc_id", args.train_ppm, args.val_ppm))
         else:
             raise SystemExit(f"unknown step {step!r}")
         docs = note(step, docs)
@@ -168,6 +178,8 @@ def main(argv: list[str] | None = None) -> int:
                          "candidates, accepting banding false positives)")
     ap.add_argument("--sample-rates", default="", metavar="LANG=PPM,...")
     ap.add_argument("--strata-col", default="lang")
+    ap.add_argument("--train-ppm", type=int, default=800_000)
+    ap.add_argument("--val-ppm", type=int, default=100_000)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession

@@ -197,3 +197,29 @@ def test_curate_classifier_passes_through_tokenless_docs(spark):
     kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
     assert 3 in kept          # tokenless doc passes through
     assert 1 in kept and 2 not in kept
+
+
+def test_curate_split_step_annotates_without_filtering(spark):
+    """The split step adds the deterministic train/val/test bucket to
+    every surviving doc, drops none, and matches dataset_split's
+    assignment for the same ppm config."""
+    from camelot_spark.tdp.sampling import dataset_split
+    from jobs.curate_job import apply_steps
+
+    class Args:
+        steps = "split"
+        min_quality = 300
+        substr_k = 40
+        cc_algorithm = "star"
+        sample_rates = ""
+        strata_col = "lang"
+        train_ppm = 600_000
+        val_ppm = 200_000
+
+    docs = _corpus(spark)
+    curated, report = apply_steps(spark, docs, Args)
+    assert {r["step"]: r["docs"] for r in report}["split"] == 23
+    got = {r["doc_id"]: r["split"] for r in curated.collect()}
+    want = {r["doc_id"]: r["split"] for r in dataset_split(
+        docs, train_ppm=600_000, val_ppm=200_000).collect()}
+    assert got == want
