@@ -965,6 +965,8 @@ def kmv_distinct_partial(documents: DataFrame, k: int = 64) -> DataFrame:
 def dedup_incremental(
     new_docs: DataFrame, ref_docs: DataFrame, num_hashes: int = 32,
     bands: int = 8, n: int = 3, portable: bool = False,
+    new_banded: DataFrame | None = None,
+    ref_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-snapshot dedup: classify each NEW document against an
     existing reference corpus — the continuous-ingest shape (each crawl
@@ -983,9 +985,12 @@ def dedup_incremental(
       dedup linear in the new batch. Docs under ``n`` tokens carry no
       shingles and never match the near path (both engines filter).
 
-    The ref side re-minhashes here; production persists ref band
-    buckets once (they are append-only across snapshots) and this
-    function's join shape is unchanged.
+    Band buckets are append-only across snapshots, so production
+    persists them once and passes ``ref_banded`` (and ``new_banded``
+    when the new batch's buckets were already built by an upstream
+    step) — skipping the signature fold entirely; when both corpora
+    come from one table, build banded rows in ONE pass and slice. Left
+    to None, each side minhashes here.
     """
     rows_per_band = num_hashes // bands
     ids = new_docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
@@ -999,15 +1004,14 @@ def dedup_incremental(
     )
 
     long_enough = F.size(F.split("text", " ")) >= n
-    new_b = banded_signatures(
+    new_b = new_banded if new_banded is not None else banded_signatures(
         minhash_signatures(new_docs.where(long_enough), num_hashes, n,
                            portable=portable), bands, rows_per_band)
-    ref_b = (
-        banded_signatures(
+    if ref_banded is None:
+        ref_banded = banded_signatures(
             minhash_signatures(ref_docs.where(long_enough), num_hashes, n,
                                portable=portable), bands, rows_per_band)
-        .select("band", "band_sig").distinct()
-    )
+    ref_b = ref_banded.select("band", "band_sig").distinct()
     near = (
         new_b.join(ref_b, ["band", "band_sig"], "left_semi")
         .select("doc_id").distinct().withColumn("is_near", F.lit(1))

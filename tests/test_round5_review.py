@@ -593,6 +593,22 @@ def test_dedup_incremental_classifies_new_batch(spark):
     plan = dedup_incremental(new, ref)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "LeftSemi" in plan and "HashAggregate" in plan
+    # production hook: passing persisted band buckets reproduces the
+    # inline-minhash result exactly
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.dedup import banded_signatures, minhash_signatures
+
+    def buckets(df):
+        return banded_signatures(minhash_signatures(
+            df.where(F.size(F.split("text", " ")) >= 3), 32, 3,
+            portable=True), 8, 4)
+
+    got2 = {r["doc_id"]: r["status"]
+            for r in dedup_incremental(
+                new, ref, portable=True, new_banded=buckets(new),
+                ref_banded=buckets(ref)).collect()}
+    assert got2 == got
 
 
 def test_cluster_balanced_sample_quota_and_plan(spark):
