@@ -990,8 +990,14 @@ def dedup_incremental(
     when the new batch's buckets were already built by an upstream
     step) — skipping the signature fold entirely; when both corpora
     come from one table, build banded rows in ONE pass and slice. Left
-    to None, each side minhashes here.
+    to None, each side minhashes here. Degenerate empty band_sigs
+    (shingle-less short docs bucket to '' under both hash families)
+    are dropped from BOTH sides regardless of who built the buckets —
+    the short-doc guard holds for passed-in tables too.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
     rows_per_band = num_hashes // bands
     ids = new_docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
 
@@ -1004,14 +1010,16 @@ def dedup_incremental(
     )
 
     long_enough = F.size(F.split("text", " ")) >= n
-    new_b = new_banded if new_banded is not None else banded_signatures(
+    real_bucket = F.col("band_sig") != ""
+    new_b = (new_banded if new_banded is not None else banded_signatures(
         minhash_signatures(new_docs.where(long_enough), num_hashes, n,
                            portable=portable), bands, rows_per_band)
+    ).where(real_bucket)
     if ref_banded is None:
         ref_banded = banded_signatures(
             minhash_signatures(ref_docs.where(long_enough), num_hashes, n,
                                portable=portable), bands, rows_per_band)
-    ref_b = ref_banded.select("band", "band_sig").distinct()
+    ref_b = ref_banded.where(real_bucket).select("band", "band_sig").distinct()
     near = (
         new_b.join(ref_b, ["band", "band_sig"], "left_semi")
         .select("doc_id").distinct().withColumn("is_near", F.lit(1))

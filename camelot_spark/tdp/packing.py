@@ -161,6 +161,12 @@ def pack_sequences_global(
     seq_id/seq_offset by integer division. Every document's answer is
     identical to the serial scan — the DuckDB twin runs the naive
     global window and must hash-match.
+
+    NULL sources: the level joins are null-safe (``<=>``) and the
+    level-3 window orders NULLS LAST, so a NULL-source doc packs into
+    the final stream position exactly as the twin's
+    ``ORDER BY source`` (DuckDB defaults NULLS LAST) places it — a
+    plain equi-join here would silently drop those rows instead.
     """
     n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
     base = documents.select(
@@ -193,15 +199,22 @@ def pack_sequences_global(
     # the groupBy("source") partial-agg pre-reduces every partition)
     src_tot = shard_tot.groupBy("source").agg(
         F.sum("shard_tokens").alias("source_tokens"))
-    w_src = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    w_src = (
+        Window.orderBy(F.asc_nulls_last("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     src_base = src_tot.select(
-        "source",
+        F.col("source").alias("src_b"),
         F.coalesce(F.sum("source_tokens").over(w_src), zero).alias("source_base"),
     )
+    sb = shard_base.select(
+        F.col("source").alias("src_a"), F.col("shard").alias("shard_a"),
+        "shard_base")
     gp = F.col("source_base") + F.col("shard_base") + within
     return (
-        base.join(shard_base, ["source", "shard"])
-        .join(F.broadcast(src_base), "source")
+        base.join(sb, F.col("source").eqNullSafe(F.col("src_a"))
+                  & (F.col("shard") == F.col("shard_a")))
+        .join(F.broadcast(src_base), F.col("source").eqNullSafe(F.col("src_b")))
         .select(
             "source", "doc_id", "n_tokens",
             F.floor(gp / seq_len).cast("bigint").alias("seq_id"),

@@ -31,9 +31,11 @@ _PPM = 1_000_000
 _KNUTH = 2654435761
 
 
-def _accept_ppm_hash(col):
-    """Deterministic pseudo-uniform value in [0, 1e6) from a long id."""
-    return (col * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(_PPM)
+def _accept_ppm_hash(col, salt: int = 0):
+    """Deterministic pseudo-uniform value in [0, 1e6) from a long id.
+    ``salt`` decorrelates independent decisions over the same ids
+    (sampling acceptance vs split assignment)."""
+    return (col * F.lit(_KNUTH) + F.lit(salt)) % F.lit(4294967296) % F.lit(_PPM)
 
 
 def stratified_sample(documents: DataFrame, rates: dict[str, int],
@@ -248,8 +250,7 @@ def split_expr(id_col: str = "doc_id", train_ppm: int = 800_000,
     """The train/val/test bucket as a bare Column — lets pipelines
     (jobs/curate_job.py ``split`` step) annotate rows in place with
     zero shuffle instead of joining ``dataset_split``'s output back."""
-    h = (F.col(id_col) * F.lit(_KNUTH) + F.lit(99991)) \
-        % F.lit(4294967296) % F.lit(_PPM)
+    h = _accept_ppm_hash(F.col(id_col), salt=99991)
     return (
         F.when(h < train_ppm, "train")
         .when(h < train_ppm + val_ppm, "val")

@@ -166,20 +166,26 @@ def _cos_to(p_emb):
     return _dot(F.col("embedding"), p_emb) / (_norm(F.col("embedding")) * _norm(p_emb))
 
 
-def _assign_with_embedding(embeddings: DataFrame, n_cells: int) -> DataFrame:
-    """(vec_id, embedding, ivf_cell) with ZERO shuffle on the vectors:
-    the K-pivot row broadcasts and the argmax-cosine cell is computed
-    in the scan's own task — consumers that need the vectors alongside
-    their cell (semantic_dedup, ivf_topk-style probes) use this
-    instead of joining ``ivf_assign``'s output back on vec_id, which
-    would shuffle every embedding."""
+def _assign_with_embedding(
+    embeddings: DataFrame, n_cells: int, with_cos: bool = False
+) -> DataFrame:
+    """(vec_id, embedding, ivf_cell[, cos]) with ZERO shuffle on the
+    vectors: the K-pivot row broadcasts and the argmax-cosine cell is
+    computed in the scan's own task — consumers that need the vectors
+    alongside their cell (semantic_dedup, ivf_topk-style probes) use
+    this instead of joining ``ivf_assign``'s output back on vec_id,
+    which would shuffle every embedding. ``with_cos`` adds the winning
+    cosine itself (centrality-ranked consumers)."""
     prow = _pivot_row(embeddings, n_cells)
     scored = embeddings.crossJoin(F.broadcast(prow))
     scores = F.transform(F.col("pivots"), lambda p: _cos_to(p["p_emb"]))
-    cell = F.array_position(scores, F.array_max(scores)) - 1
-    return scored.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
-        cell.cast("int").alias("ivf_cell"))
+    best = F.array_max(scores)
+    cell = F.array_position(scores, best) - 1
+    cols = [F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
+            cell.cast("int").alias("ivf_cell")]
+    if with_cos:
+        cols.append(best.alias("cos"))
+    return scored.select(*cols)
 
 
 def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
@@ -757,14 +763,8 @@ def cluster_balanced_sample(
     task pre-reduces to k rows per cell before the (n_cells-key)
     shuffle: the window never sees an unbounded group.
     """
-    prow = _pivot_row(embeddings, n_cells)
-    scored = embeddings.crossJoin(F.broadcast(prow))
-    ss = F.transform(F.col("pivots"), lambda p: _cos_to(p["p_emb"]))
-    best = F.array_max(ss)
-    cell = (F.array_position(ss, best) - 1).cast("int")
-    base = scored.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        cell.alias("ivf_cell"), best.alias("cos"))
+    base = _assign_with_embedding(embeddings, n_cells, with_cos=True).select(
+        "vec_id", "ivf_cell", "cos")
     w = Window.partitionBy("ivf_cell").orderBy(F.desc("cos"), "vec_id")
     return (
         base.withColumn("rank", F.row_number().over(w))

@@ -34,7 +34,11 @@ catalog:
 - ``sample``       deterministic per-lang keep rates (integer ppm);
 - ``split``        annotate each surviving doc with its deterministic
                    growth-stable train/val/test bucket (pure
-                   projection; ``--train-ppm``/``--val-ppm``).
+                   projection; ``--train-ppm``/``--val-ppm``;
+                   ``--split-id-col`` hashes a different id column —
+                   pass a near-dup canonical id so every member of a
+                   dup cluster lands in ONE split, the leakage control
+                   ``tdp.sampling.dataset_split`` documents).
 """
 
 from __future__ import annotations
@@ -153,7 +157,8 @@ def apply_steps(spark, docs, args):
             from camelot_spark.tdp.sampling import split_expr
 
             docs = docs.withColumn(
-                "split", split_expr("doc_id", args.train_ppm, args.val_ppm))
+                "split",
+                split_expr(args.split_id_col, args.train_ppm, args.val_ppm))
         else:
             raise SystemExit(f"unknown step {step!r}")
         docs = note(step, docs)
@@ -180,6 +185,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--strata-col", default="lang")
     ap.add_argument("--train-ppm", type=int, default=800_000)
     ap.add_argument("--val-ppm", type=int, default=100_000)
+    ap.add_argument("--split-id-col", default="doc_id",
+                    help="split: column hashed into the bucket; pass a "
+                         "canonical near-dup group id to keep whole dup "
+                         "clusters in one split (leakage control)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession

@@ -614,3 +614,25 @@ def test_pack_sequences_global_matches_serial_scan(spark):
              for r in pack_sequences_global(
                  docs.repartition(13), seq_len=64, shard_docs=10).collect()}
     assert again == {k: (v["seq_id"], v["seq_offset"]) for k, v in rows.items()}
+
+
+def test_pack_sequences_global_keeps_null_source(spark):
+    """NULL-source docs pack (null-safe joins), placed LAST in the
+    stream exactly as the twin's ORDER BY source (DuckDB NULLS LAST)
+    places them — a plain equi-join would silently drop the rows."""
+    from camelot_spark.tdp.packing import pack_sequences_global
+
+    docs = spark.createDataFrame(
+        [(0, "a", "t t t"), (1, None, "t t"), (2, "b", "t t t t"),
+         (3, None, "t t t")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            pack_sequences_global(docs, seq_len=4, shard_docs=2).collect()}
+    assert len(rows) == 4                      # nothing dropped
+    # serial order: a(3), b(4), NULLS LAST: doc1(2), doc3(3)
+    assert (rows[0]["seq_id"], rows[0]["seq_offset"]) == (0, 0)
+    assert (rows[2]["seq_id"], rows[2]["seq_offset"]) == (0, 3)
+    assert (rows[1]["seq_id"], rows[1]["seq_offset"]) == (1, 3)
+    assert (rows[3]["seq_id"], rows[3]["seq_offset"]) == (2, 1)
+    assert rows[1]["source"] is None

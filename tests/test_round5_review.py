@@ -595,8 +595,6 @@ def test_dedup_incremental_classifies_new_batch(spark):
     assert "LeftSemi" in plan and "HashAggregate" in plan
     # production hook: passing persisted band buckets reproduces the
     # inline-minhash result exactly
-    from pyspark.sql import functions as F
-
     from camelot_spark.tdp.dedup import banded_signatures, minhash_signatures
 
     def buckets(df):
@@ -609,6 +607,26 @@ def test_dedup_incremental_classifies_new_batch(spark):
                 new, ref, portable=True, new_banded=buckets(new),
                 ref_banded=buckets(ref)).collect()}
     assert got2 == got
+    # operator-layer guard: buckets built WITHOUT the length filter
+    # (the natural upstream banded_signatures(minhash_signatures(df)))
+    # band short docs to '' on both sides — the degenerate-bucket drop
+    # inside dedup_incremental must keep short novel docs 'kept'
+    def raw_buckets(df):
+        return banded_signatures(
+            minhash_signatures(df, 32, 3, portable=True), 8, 4)
+
+    both = new.unionByName(new2)
+    got3 = {r["doc_id"]: r["status"]
+            for r in dedup_incremental(
+                both, ref, portable=True, new_banded=raw_buckets(both),
+                ref_banded=raw_buckets(ref)).collect()}
+    assert got3[9] == "kept"
+    assert {k: got3[k] for k in got} == got
+    # num_hashes must divide bands evenly — silent truncation refused
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup_incremental(new, ref, num_hashes=30, bands=8)
 
 
 def test_cluster_balanced_sample_quota_and_plan(spark):
