@@ -158,7 +158,8 @@ def apply_steps(spark, docs, args):
 
             docs = docs.withColumn(
                 "split",
-                split_expr(args.split_id_col, args.train_ppm, args.val_ppm))
+                split_expr(getattr(args, "split_id_col", "doc_id"),
+                           args.train_ppm, args.val_ppm))
         else:
             raise SystemExit(f"unknown step {step!r}")
         docs = note(step, docs)
