@@ -337,6 +337,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KenLM-perplexity-filter surrogate (new r5)
         "lm_bigram_score": lambda s, d: tdp_text.lm_bigram_score(
             _load(s, d, "documents")),
+        # CCNet head/middle/tail perplexity tertiles per lang + ppm
+        # mix — exact quantiles over the bounded surprisal value
+        # space, never a per-lang sort (new r5)
+        "perplexity_bucket_mix": lambda s, d: sampling.perplexity_bucket_mix(
+            _load(s, d, "documents")),
+        # per-source document-frequency boilerplate n-gram strip (the
+        # C4 "same line on most pages" filter) (new r5)
+        "boilerplate_strip": lambda s, d: tdp_text.boilerplate_strip(
+            _load(s, d, "documents"), min_ratio_ppm=120_000),
         # integer Rocchio quality classifier distilling a stopword-
         # ratio weak label into hashed-bucket weights (new r5)
         "train_quality_classifier": lambda s, d: perceptron.train_quality_classifier(
@@ -589,6 +598,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": tdp_text.TOKEN_STATS_SQL,
         "token_rarity": tdp_text.TOKEN_RARITY_SQL,
         "lm_bigram_score": tdp_text.LM_BIGRAM_SQL,
+        "perplexity_bucket_mix": sampling.PERPLEXITY_BUCKET_MIX_SQL,
+        "boilerplate_strip": tdp_text.BOILERPLATE_STRIP_SQL,
         "train_quality_classifier": perceptron.TRAIN_QUALITY_CLASSIFIER_SQL,
         "quality_classifier_predictions": perceptron.QUALITY_CLASSIFIER_PREDICTIONS_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,

@@ -267,3 +267,109 @@ FROM (SELECT doc_id,
              (doc_id * 2654435761 + 99991) % 4294967296 % 1000000 AS h
       FROM documents)
 """
+
+
+def perplexity_bucket_mix(
+    documents: DataFrame, head_ppm: int = 1_000_000,
+    middle_ppm: int = 500_000, tail_ppm: int = 100_000,
+    salt: int = 77773,
+) -> DataFrame:
+    """CCNet-style perplexity-bucketed corpus mixing: per language,
+    split documents into head/middle/tail TERTILES of LM surprisal
+    (``tdp.text.lm_bigram_score`` — low bits = fluent) and keep each
+    bucket at its own deterministic ppm rate — the "keep the fluent
+    third, downsample the noisy tail" mix every web-corpus pipeline
+    runs after quality filtering. Output:
+    (doc_id, lang, bits_x1000, bucket, kept). Docs with fewer than
+    two tokens carry no surprisal and are omitted (same contract as
+    lm_bigram_score).
+
+    Scale shape — EXACT tertiles without a per-lang sort: surprisal
+    is integer thousandths of whole bits per bigram, so its value
+    space is <= ~64,000 distinct values regardless of corpus size.
+    Counting docs per (lang, bits_x1000) is a partial-agg shuffle of
+    short keys; the cumulative sum then runs over a VALUE-SPACE
+    bounded group (never corpus-cardinality — the shape the plan
+    audit's window discipline demands), thresholds are two rows per
+    lang broadcast back, and the bucket+keep decision is a pure
+    projection. A quantile-by-sort would put a whole language in one
+    reducer task; this never holds more than the score histogram.
+    """
+    from .text import lm_bigram_score
+
+    lm = lm_bigram_score(documents).select("doc_id", "bits_x1000")
+    sc = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang").join(
+        lm, "doc_id")
+    cnt = sc.groupBy("lang", "bits_x1000").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("bits_x1000")
+    cum = cnt.select("lang", "bits_x1000", F.sum("c").over(w).alias("cum"))
+    nt = sc.groupBy("lang").agg(F.count(F.lit(1)).alias("ntot"))
+    th = (
+        cum.join(nt, "lang")
+        .withColumn("tgt1", F.expr("(ntot + 2) DIV 3"))
+        .withColumn("tgt2", F.expr("(2 * ntot + 2) DIV 3"))
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("tgt1"),
+                         F.col("bits_x1000"))).alias("t1"),
+            F.min(F.when(F.col("cum") >= F.col("tgt2"),
+                         F.col("bits_x1000"))).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("bits_x1000") <= F.col("t1"), "head")
+        .when(F.col("bits_x1000") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    rate = (
+        F.when(bucket == "head", F.lit(int(head_ppm)))
+        .when(bucket == "middle", F.lit(int(middle_ppm)))
+        .otherwise(F.lit(int(tail_ppm)))
+    )
+    kept = (_accept_ppm_hash(F.col("doc_id"), salt=salt) < rate).cast("int")
+    return sc.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "bits_x1000",
+        bucket.alias("bucket"), kept.alias("kept"))
+
+
+def _perplexity_bucket_mix_sql(head_ppm: int = 1_000_000,
+                               middle_ppm: int = 500_000,
+                               tail_ppm: int = 100_000,
+                               salt: int = 77773) -> str:
+    from .text import LM_BIGRAM_SQL
+
+    return f"""
+WITH lm AS (SELECT * FROM ({LM_BIGRAM_SQL})),
+sc AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, lm.bits_x1000
+  FROM documents d JOIN lm ON d.doc_id = lm.doc_id),
+cnt AS (SELECT lang, bits_x1000, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+cum AS (
+  SELECT lang, bits_x1000,
+         SUM(c) OVER (PARTITION BY lang ORDER BY bits_x1000) AS cum
+  FROM cnt),
+nt AS (SELECT lang, COUNT(*) AS ntot FROM sc GROUP BY 1),
+th AS (
+  SELECT lang,
+         MIN(CASE WHEN cum >= (ntot + 2) // 3 THEN bits_x1000 END) AS t1,
+         MIN(CASE WHEN cum >= (2 * ntot + 2) // 3 THEN bits_x1000 END) AS t2
+  FROM cum JOIN nt USING (lang) GROUP BY lang),
+b AS (
+  SELECT doc_id, lang, bits_x1000,
+         CASE WHEN bits_x1000 <= t1 THEN 'head'
+              WHEN bits_x1000 <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM sc JOIN th USING (lang))
+SELECT doc_id, lang, bits_x1000, bucket,
+       CAST(CASE WHEN (doc_id * 2654435761 + {salt}) % 4294967296 % 1000000
+                      < (CASE bucket WHEN 'head' THEN {head_ppm}
+                                     WHEN 'middle' THEN {middle_ppm}
+                                     ELSE {tail_ppm} END)
+                 THEN 1 ELSE 0 END AS INT) AS kept
+FROM b
+"""
+
+
+PERPLEXITY_BUCKET_MIX_SQL = _perplexity_bucket_mix_sql()

@@ -550,3 +550,115 @@ SELECT doc_id,
 FROM bi JOIN uni USING (w1) JOIN bic USING (w1, w2)
 GROUP BY doc_id
 """
+
+
+def boilerplate_strip(
+    documents: DataFrame, n: int = 3,
+    min_ratio_ppm: int = 500_000, min_docs: int = 2,
+) -> DataFrame:
+    """Per-source boilerplate removal, document-frequency based (the
+    C4/RefinedWeb "same line on most pages of a site" filter, over
+    token ``n``-grams since this corpus has no line structure): an
+    n-gram occurring in >= ``min_ratio_ppm``/1e6 of a source's docs
+    (and >= ``min_docs`` absolute) is boilerplate — every occurrence
+    is struck from every doc of that source, removing the covered
+    token positions (overlapping hits union). Distinct from
+    ``substr_dedup`` (which targets long LITERAL spans duplicated
+    anywhere): this keys on how many documents repeat a short gram,
+    the header/footer signature. Output:
+    (doc_id, n_tokens, n_removed, clean_text).
+
+    Plan shape: gram formation is scan-local (array transform);
+    document frequency is a two-phase count-distinct on
+    (source, gram) keys — partial-agg both phases, shuffled rows are
+    short-string keys + longs, never texts. The boilerplate set (tiny
+    after the ratio filter: only grams repeated across most of a
+    source survive) joins back against per-position gram rows; cover
+    masking is a per-row array filter. No full-text shuffle: the only
+    wide op carrying text is the final left join keyed on doc_id.
+    """
+    toks = documents.select(
+        "doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    grams = toks.withColumn(
+        "grams",
+        F.when(
+            F.size("toks") >= n,
+            F.expr(f"transform(sequence(0, size(toks) - {n}),"
+                   f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    df_counts = (
+        grams.select("source", F.explode("grams").alias("gram"), "doc_id")
+        .groupBy("source", "gram")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    )
+    n_docs = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    boil = (
+        df_counts.join(n_docs, "source")
+        .where((F.col("df") >= min_docs)
+               & (F.col("df") * F.lit(1_000_000)
+                  >= F.col("n_docs") * F.lit(min_ratio_ppm)))
+        .select("source", "gram")
+    )
+    hits = (
+        grams.select(
+            "doc_id", "source",
+            F.posexplode("grams").alias("pos", "gram"))
+        .join(F.broadcast(boil), ["source", "gram"])
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+            lambda s: (i >= s) & (i < s + F.lit(n))),
+    )
+    return (
+        toks.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+    )
+
+
+# 1-based starts/positions throughout (DuckDB lists); coverage test is
+# s <= j <= s + n - 1, identical to the Spark 0-based i in [s, s+n).
+# Twin pins min_ratio_ppm=120000 (the driver query's setting — the
+# synthetic corpus is near-uniform token soup, so the production 50%
+# default never fires there; 12% exercises the strip path at both
+# driver SFs while staying far above single-doc noise).
+BOILERPLATE_STRIP_SQL = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, source, unnest(
+           [struct_pack(s := i, gram := array_to_string(toks[i:i+2], ' '))
+            FOR i IN range(1, len(toks) - 1)], recursive := true)
+  FROM t WHERE len(toks) >= 3),
+dfc AS (
+  SELECT source, gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM g GROUP BY 1, 2),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1),
+boil AS (
+  SELECT source, gram FROM dfc JOIN nd USING (source)
+  WHERE df >= 2 AND df * 1000000 >= n_docs * 120000),
+hits AS (
+  SELECT doc_id, list(DISTINCT s) AS starts
+  FROM g JOIN boil USING (source, gram) GROUP BY doc_id),
+m AS (
+  SELECT t.doc_id, toks,
+         list_filter(toks, (tk, j) -> len(list_filter(
+             COALESCE(starts, []), s -> s <= j AND j <= s + 2)) = 0) AS kept
+  FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       array_to_string(kept, ' ') AS clean_text
+FROM m
+"""

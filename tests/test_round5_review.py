@@ -651,3 +651,71 @@ def test_cluster_balanced_sample_quota_and_plan(spark):
         per_cell.setdefault(r["ivf_cell"], []).append(r["rank"])
     assert per_cell and all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 5
                             for v in per_cell.values())
+
+
+def test_boilerplate_strip_df_threshold_and_cover(spark):
+    """Grams in >= ratio of a source's docs are struck (every
+    occurrence, overlapping covers union); rare grams survive; short
+    docs (<n tokens) pass through untouched; sources are independent."""
+    from camelot_spark.tdp.text import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [(0, "s1", "x foo bar baz y"),
+         (1, "s1", "foo bar baz foo bar baz"),
+         (2, "s1", "p q foo bar baz"),
+         (3, "s1", "nothing shared here at all"),
+         # same gram but unique within s2: kept
+         (4, "s2", "x foo bar baz y"),
+         (5, "s2", "totally different words"),
+         (6, "s2", "ab"),                       # <3 tokens: untouched
+         ],
+        "doc_id long, source string, text string")
+    got = {r["doc_id"]: r for r in
+           boilerplate_strip(docs, n=3, min_ratio_ppm=500_000).collect()}
+    assert got[0]["clean_text"] == "x y" and got[0]["n_removed"] == 3
+    assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 6
+    assert got[2]["clean_text"] == "p q" and got[2]["n_removed"] == 3
+    assert got[3]["n_removed"] == 0
+    # s2: gram in 1 of 3 docs (33% < 50%) -> kept
+    assert got[4]["clean_text"] == "x foo bar baz y" and got[4]["n_removed"] == 0
+    assert got[6]["clean_text"] == "ab" and got[6]["n_tokens"] == 1
+    # determinism under a different layout
+    again = {r["doc_id"]: r["clean_text"] for r in
+             boilerplate_strip(docs.repartition(5), n=3,
+                               min_ratio_ppm=500_000).collect()}
+    assert again == {k: v["clean_text"] for k, v in got.items()}
+
+
+def test_perplexity_bucket_mix_tertiles_and_rates(spark):
+    """Bucket thresholds are per-lang surprisal tertiles (head =
+    lowest-bits third); keep decisions follow the per-bucket ppm rates
+    deterministically; <2-token docs are omitted."""
+    from camelot_spark.tdp.sampling import perplexity_bucket_mix
+
+    rows = []
+    for i in range(30):
+        # fluent docs: repeated common bigram; noisy docs: unique pairs
+        if i % 3 == 0:
+            txt = "the cat sat on the mat the cat sat"
+        elif i % 3 == 1:
+            txt = f"w{i} common pair common pair w{i} tail{i}"
+        else:
+            txt = f"a{i} b{i} c{i} d{i} e{i} f{i}"
+        rows.append((i, "en", txt))
+    rows.append((99, "en", "single"))          # no bigrams -> omitted
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_bucket_mix(docs, head_ppm=1_000_000,
+                                middle_ppm=1_000_000, tail_ppm=0).collect()
+    assert {r["doc_id"] for r in out} == set(range(30))
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["bits_x1000"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # ppm 1e6 keeps everything, ppm 0 keeps nothing
+    for r in out:
+        assert r["kept"] == (0 if r["bucket"] == "tail" else 1)
+    # tertile mass: head holds at least ceil(n/3) docs
+    n = len(out)
+    assert len(by_bucket["head"]) >= (n + 2) // 3

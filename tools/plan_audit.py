@@ -86,6 +86,11 @@ BOUNDED_WINDOW_GROUPS = {
     # group = the per-source fixed bucket list (256 histogram buckets),
     # bounded by construction
     "histogram_quantiles",
+    # group = one lang's DISTINCT surprisal values (bits_x1000 is
+    # integer thousandths of whole bits per bigram: <= ~64,000
+    # possible values however large the corpus) — the cumsum runs
+    # over the score histogram, never over documents
+    "perplexity_bucket_mix",
     # group = one packing shard: sub-sharded via shard_docs so a task
     # holds at most that many docs regardless of source skew (packing
     # is sequential per shard by definition)
