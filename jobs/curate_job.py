@@ -26,6 +26,15 @@ catalog:
                    (tdp.dedup.dedup_groups);
 - ``strip_substr`` cut corpus-wide duplicate substring regions out of
                    the surviving text (tdp.substr_dedup);
+- ``boilerplate``  strike per-source high-document-frequency n-grams
+                   from every doc of the source — the C4 "same line
+                   on most pages of a site" filter
+                   (tdp.text.boilerplate_strip,
+                   ``--boilerplate-ratio-ppm``);
+- ``ppl_mix``      keep head/middle/tail LM-surprisal tertiles at
+                   ``--ppl-rates`` ppm (CCNet perplexity mixing,
+                   tdp.sampling.perplexity_bucket_mix); docs with no
+                   bigrams PASS THROUGH unmixed;
 - ``decontaminate`` drop docs overlapping the benchmark n-gram set;
 - ``classifier``   learned quality gate: train the integer Rocchio
                    model on the surviving corpus (stopword-ratio weak
@@ -112,6 +121,28 @@ def apply_steps(spark, docs, args):
                     .join(cleaned.select("doc_id",
                                          F.col("clean_text").alias("text")),
                           "doc_id"))
+        elif step == "boilerplate":
+            from camelot_spark.tdp.text import boilerplate_strip
+
+            cleaned = boilerplate_strip(
+                docs,
+                min_ratio_ppm=getattr(args, "boilerplate_ratio_ppm", 500_000))
+            docs = (docs.drop("text")
+                    .join(cleaned.select("doc_id",
+                                         F.col("clean_text").alias("text")),
+                          "doc_id"))
+        elif step == "ppl_mix":
+            from camelot_spark.tdp.sampling import perplexity_bucket_mix
+
+            head, middle, tail = (int(x) for x in getattr(
+                args, "ppl_rates", "1000000,500000,100000").split(","))
+            mixed = perplexity_bucket_mix(
+                docs, head_ppm=head, middle_ppm=middle, tail_ppm=tail)
+            # no-bigram docs have no bucket — pass through (the
+            # classifier step's no-prediction discipline), so only
+            # docs the mixer DECIDED to drop are dropped
+            drop = mixed.where(F.col("kept") == 0).select("doc_id")
+            docs = docs.join(drop, "doc_id", "left_anti")
         elif step == "decontaminate":
             from camelot_spark.tdp.contamination import decontaminate
 
@@ -186,6 +217,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--strata-col", default="lang")
     ap.add_argument("--train-ppm", type=int, default=800_000)
     ap.add_argument("--val-ppm", type=int, default=100_000)
+    ap.add_argument("--boilerplate-ratio-ppm", type=int, default=500_000,
+                    help="boilerplate: strike n-grams present in >= this "
+                         "fraction (ppm) of a source's docs")
+    ap.add_argument("--ppl-rates", default="1000000,500000,100000",
+                    metavar="HEAD,MIDDLE,TAIL",
+                    help="ppl_mix: per-tertile keep rates in ppm")
     ap.add_argument("--split-id-col", default="doc_id",
                     help="split: column hashed into the bucket; pass a "
                          "canonical near-dup group id to keep whole dup "

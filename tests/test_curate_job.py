@@ -223,3 +223,48 @@ def test_curate_split_step_annotates_without_filtering(spark):
     want = {r["doc_id"]: r["split"] for r in dataset_split(
         docs, train_ppm=600_000, val_ppm=200_000).collect()}
     assert got == want
+
+
+def test_curate_boilerplate_and_ppl_mix_steps(spark):
+    """boilerplate strikes the shared per-source gram from every doc's
+    text in place; ppl_mix drops only docs the mixer DECIDED to drop
+    (kept=0) — no-bigram docs pass through."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate_job import apply_steps
+
+    class Args:
+        steps = "boilerplate"
+        min_quality = 300
+        substr_k = 40
+        cc_algorithm = "star"
+        sample_rates = ""
+        strata_col = "lang"
+        boilerplate_ratio_ppm = 500_000
+
+    docs = _corpus(spark)
+    curated, report = apply_steps(spark, docs, Args)
+    assert curated.count() == 23             # annotating edit, no drops
+    # the shared "good" prefix grams clear 50% df within src -> struck
+    texts = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert "quick brown fox" not in texts[0]
+    assert texts[0].endswith("doc0")         # per-doc tail survives
+
+    class Args2:
+        steps = "ppl_mix"
+        min_quality = 300
+        substr_k = 40
+        cc_algorithm = "star"
+        sample_rates = ""
+        strata_col = "lang"
+        ppl_rates = "1000000,1000000,1000000"
+
+    all_kept, _ = apply_steps(spark, docs, Args2)
+    assert all_kept.count() == 23            # rate 1e6 keeps everything
+
+    class Args3(Args2):
+        ppl_rates = "0,0,0"
+
+    none_kept, _ = apply_steps(spark, docs, Args3)
+    # every doc with bigrams dropped; none have <2 tokens here
+    assert none_kept.count() == 0
