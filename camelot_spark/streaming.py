@@ -90,6 +90,38 @@ def windowed_ingest_metrics(df, event_ts_col: str = "event_ts",
     )
 
 
+def streaming_session_rollup(events, gap_s: int = 1800,
+                             watermark_delay: str = "10 minutes"):
+    """STREAMING form of ``tdp.relational.session_rollup`` — the same
+    native ``session_window`` expression over an unbounded event
+    stream: per (user, session) one row with start/count/span, a
+    session emitting exactly once in append mode when the watermark
+    passes ``gap_s`` beyond its last event (the window can no longer
+    grow). State per key = OPEN sessions only — closed sessions leave
+    the store with their emission, so state is bounded by concurrent
+    activity, never stream history; events later than
+    ``watermark_delay`` are dropped. Identical merge semantics to the
+    batch operator (exactly-gap merges, ``> gap`` splits), pinned by
+    the batch-equivalence e2e in tests/test_streaming_session.py."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.max("ts").alias("ts_max"))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("bigint").alias("session_start"),
+            F.col("n").cast("bigint").alias("n_events"),
+            (F.unix_timestamp("ts_max")
+             - F.unix_timestamp(F.col("session_window.start")))
+            .cast("bigint").alias("span_s"),
+        )
+    )
+
+
 ASSEMBLE_OUT_SCHEMA = ("doc_id string, text string, n_parts int, "
                        "n_received int, complete int")
 ASSEMBLE_STATE_SCHEMA = ("idxs array<int>, chunks array<string>, "

@@ -587,10 +587,15 @@ def boilerplate_strip(
                    f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"),
         ).otherwise(F.array().cast("array<string>")),
     )
+    # df = docs-containing-gram: dedup WITHIN the doc map-side
+    # (array_distinct) so the shuffle is a plain partial-agg count of
+    # one row per (doc, distinct gram) — a countDistinct over raw
+    # occurrences would carry every repeat and pay a distinct state
     df_counts = (
-        grams.select("source", F.explode("grams").alias("gram"), "doc_id")
+        grams.select("source",
+                     F.explode(F.array_distinct("grams")).alias("gram"))
         .groupBy("source", "gram")
-        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
     n_docs = documents.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"))
