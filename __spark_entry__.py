@@ -346,6 +346,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4 "same line on most pages" filter) (new r5)
         "boilerplate_strip": lambda s, d: tdp_text.boilerplate_strip(
             _load(s, d, "documents"), min_ratio_ppm=120_000),
+        # shuffle-key skew diagnostics over the corpus token key:
+        # log2 group-size histogram + hottest keys (new r5)
+        "token_skew_profile": lambda s, d: relational.key_skew_profile(
+            _load(s, d, "documents").select(
+                F.explode(F.split("text", " ")).alias("tok")), "tok"),
+        "token_hot_keys": lambda s, d: relational.hot_keys(
+            _load(s, d, "documents").select(
+                F.explode(F.split("text", " ")).alias("tok")), "tok"),
         # integer Rocchio quality classifier distilling a stopword-
         # ratio weak label into hashed-bucket weights (new r5)
         "train_quality_classifier": lambda s, d: perceptron.train_quality_classifier(
@@ -600,6 +608,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_score": tdp_text.LM_BIGRAM_SQL,
         "perplexity_bucket_mix": sampling.PERPLEXITY_BUCKET_MIX_SQL,
         "boilerplate_strip": tdp_text.BOILERPLATE_STRIP_SQL,
+        "token_skew_profile": relational.TOKEN_SKEW_PROFILE_SQL,
+        "token_hot_keys": relational.TOKEN_HOT_KEYS_SQL,
         "train_quality_classifier": perceptron.TRAIN_QUALITY_CLASSIFIER_SQL,
         "quality_classifier_predictions": perceptron.QUALITY_CLASSIFIER_PREDICTIONS_SQL,
         "doc_fingerprint": tdp_text.FINGERPRINT_SQL,

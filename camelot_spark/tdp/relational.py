@@ -574,3 +574,74 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS span_s
 FROM s GROUP BY user_id, sid
 """
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the log2-bucket histogram of
+    per-key group sizes — the measurement that decides whether a
+    groupBy/join on ``key_col`` needs salting, AQE skew handling, or a
+    bounded-aggregate restructure (the tool behind this repo's
+    inverted_index hot-term fix). One row per occupied size bucket b
+    (keys whose group size has floor(log2) = b): how many keys, how
+    many rows they carry, and the largest group in the bucket — the
+    top bucket's max_rows IS the hottest key's reducer load.
+
+    Two partial-agg passes, both scale-safe: per-key counts (short
+    key + long), then at most 64 bucket rows. Never sorts, never holds
+    a group."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = (F.length(F.bin(F.col("c"))) - 1).cast("bigint")
+    return (
+        counts.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+             F.sum("c").cast("bigint").alias("sum_rows"),
+             F.max("c").cast("bigint").alias("max_rows"))
+        .orderBy("bucket")
+    )
+
+
+def hot_keys(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """The k hottest keys of a prospective shuffle, with their row
+    counts and corpus share in ppm — the companion readout to
+    ``key_skew_profile`` naming WHICH keys need the salt/cap. Per-key
+    partial-agg count, then orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k, k-row merge — no
+    global sort); the total joins in as one broadcast row."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    total = counts.agg(F.sum("c").cast("bigint").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "k", "c",
+            F.expr("c * CAST(1000000 AS BIGINT) DIV total")
+            .cast("bigint").alias("share_ppm"),
+        )
+        .orderBy(F.desc("c"), "k")
+        .limit(k)
+    )
+
+
+# driver registration profiles the corpus TOKEN key — the skewed
+# shuffle key every text operator here groups or joins on
+TOKEN_SKEW_PROFILE_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS k FROM documents),
+counts AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY k)
+SELECT CAST(LENGTH(BIN(c)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS sum_rows,
+       CAST(MAX(c) AS BIGINT) AS max_rows
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+
+TOKEN_HOT_KEYS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS k FROM documents),
+counts AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY k),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts)
+SELECT k, c, CAST(c * 1000000 // total AS BIGINT) AS share_ppm
+FROM counts, tot
+ORDER BY c DESC, k LIMIT 10
+"""

@@ -719,3 +719,26 @@ def test_perplexity_bucket_mix_tertiles_and_rates(spark):
     # tertile mass: head holds at least ceil(n/3) docs
     n = len(out)
     assert len(by_bucket["head"]) >= (n + 2) // 3
+
+
+def test_key_skew_profile_and_hot_keys(spark):
+    """Histogram buckets = floor(log2(group size)); hot_keys returns
+    the k largest with deterministic tie-break and ppm share, via a
+    TakeOrdered merge (never a global sort)."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.relational import hot_keys, key_skew_profile
+
+    # key 'a' x8 (bucket 3), 'b' x3 (bucket 1), 'c','d' x1 (bucket 0)
+    rows = [("a",)] * 8 + [("b",)] * 3 + [("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k0 string")
+    prof = {r["bucket"]: (r["n_keys"], r["sum_rows"], r["max_rows"])
+            for r in key_skew_profile(df, "k0").collect()}
+    assert prof == {3: (1, 8, 8), 1: (1, 3, 3), 0: (2, 2, 1)}
+
+    hk = hot_keys(df, "k0", k=3).collect()
+    assert [(r["k"], r["c"]) for r in hk] == [("a", 8), ("b", 3), ("c", 1)]
+    assert hk[0]["share_ppm"] == 8 * 1_000_000 // 13
+    plan = hot_keys(df, "k0", k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -41,6 +41,10 @@ BOUNDED_SINGLE_PARTITION = {
     # partition pre-reduces to one partial row before the 1-row merge,
     # which then broadcasts; plus the TakeOrdered top-k tail
     "bm25_topk",
+    # token_hot_keys: same corpus-totals class — the share_ppm
+    # denominator is a 1-row SUM merge of partial-agg rows, broadcast
+    # back; the key ranking itself is the TakeOrdered merge
+    "token_hot_keys",
     # decontaminate_bloom: the filter-assembly aggregate — its input is
     # the DISTINCT Bloom bit positions, <= m = 65536 longs by
     # construction regardless of corpus size, merged into the 1-row
