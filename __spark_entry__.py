@@ -417,6 +417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": lambda s, d: similarity.ivf_assign(_load(s, d, "embeddings")),
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(_load(s, d, "embeddings")),
         "ivf_topk": lambda s, d: similarity.ivf_topk(_load(s, d, "embeddings")),
+        # product quantization: 8x4-bit codes per vector + asymmetric-
+        # distance top-k in the compressed domain (new r5)
+        "pq_encode": lambda s, d: similarity.pq_encode(_load(s, d, "embeddings")),
+        "pq_topk": lambda s, d: similarity.pq_topk(_load(s, d, "embeddings")),
         # recall@k of both bucketed ANN paths vs exact ground truth —
         # the per-index-build eval a production ANN tracks (new r5)
         "ann_recall": lambda s, d: similarity.ann_recall(
@@ -661,6 +665,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_refine": similarity.IVF_REFINE_SQL,
         "ann_recall": similarity.ANN_RECALL_SQL,
         "quantize_embeddings": similarity.QUANTIZE_SQL,
+        "pq_encode": similarity.PQ_ENCODE_SQL,
+        "pq_topk": similarity.PQ_TOPK_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_TOPK_SQL,
         "embedding_neardup": similarity.NEARDUP_SQL,
         "embedding_neardup_pairs": similarity.NEARDUP_PAIRS_SQL,

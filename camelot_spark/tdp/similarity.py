@@ -784,3 +784,162 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(row_number() OVER (PARTITION BY cell ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
 FROM assigned QUALIFY rank <= 8
 """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-domain ANN path.
+# dim-64 vectors -> M=8 subspaces of DSUB=8 dims, KS=16 codewords per
+# subspace = 8 small ints (4 bits each) per vector, a 64x compression
+# of float32 storage. Codebooks are data-derived with the same seeded
+# hash shuffle as the IVF pivots (subspace j's codewords are the KS
+# pivot vectors' j-th subvectors), so both engines rebuild the model
+# from the data with no stored artifact.
+
+_PQ_M, _PQ_DSUB, _PQ_KS = 8, 8, 16
+
+
+def _sqdist(a, b):
+    """Squared L2 between a DOUBLE array and a FLOAT array, summed
+    left-to-right — the fold order the DuckDB twins replay."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y.cast("double"))
+                   * (x - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_staged(embeddings: DataFrame, m: int = _PQ_M, dsub: int = _PQ_DSUB,
+               ks: int = _PQ_KS) -> DataFrame:
+    """(vec_id, xs, pivots, codes) with ZERO shuffle on the vectors:
+    the KS-pivot row broadcasts, and each row's M subspace argmin
+    assignments run as array folds in the scan's own task.
+
+    The per-subspace distance table ``dd`` is bound as a column before
+    the argmin reads it — an array expression referenced inside a
+    lambda is re-evaluated per element (the quantize_embeddings
+    lesson), as a bound column it is computed once per row."""
+    prow = _pivot_row(embeddings, ks)
+    base = embeddings.crossJoin(F.broadcast(prow)).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("xs"),
+        "pivots",
+    )
+    dd = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.col("pivots"),
+            lambda p: _sqdist(F.slice(F.col("xs"), j * dsub + 1, dsub),
+                              F.slice(p["p_emb"], j * dsub + 1, dsub)),
+        ),
+    )
+    staged = base.select("vec_id", "xs", "pivots", dd.alias("dd"))
+    codes = F.transform(
+        "dd", lambda d: F.array_position(d, F.array_min(d)) - 1)
+    return staged.select("vec_id", "xs", "pivots", codes.alias("codes"))
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """PQ codes per vector: (vec_id, codes_str, code_sum), where
+    codes_str is the dash-joined M-code word (e.g. '3-15-0-…', each
+    code in [0, KS)) and code_sum its integer checksum. Pure
+    projection after one broadcast — the shape that encodes 100 B
+    vectors in a single scan wave with no shuffle at all."""
+    st = _pq_staged(embeddings)
+    return st.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), "-"
+        ).alias("codes_str"),
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, c: a + c).alias("code_sum"),
+    )
+
+
+def pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
+            k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k in the compressed domain: the
+    query stays a raw vector, every candidate is scored ONLY through
+    its M codes — distance = sum over subspaces of
+    ||q_sub_j − codeword(codes[j])_j||², i.e. what a PQ index computes
+    from a lookup table without touching the original vectors. At
+    100 TB the scan reads 8-byte codes instead of 256-byte floats; the
+    top-k is the same lone-rank window the other ANN paths use
+    (WindowGroupLimit: per-task k-row pre-reduce before the 1-row-ish
+    merge). Output (vec_id, rank), rank 1 = nearest."""
+    m, dsub = _PQ_M, _PQ_DSUB
+    st = _pq_staged(embeddings)
+    q = st.where(F.col("vec_id") == query_vec_id).select(
+        F.col("xs").alias("q_xs"))
+    cword = lambda j: F.element_at(  # noqa: E731 — local plan helper
+        F.col("pivots"),
+        (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
+    )["p_emb"]
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc + _sqdist(
+            F.slice(F.col("q_xs"), j * dsub + 1, dsub),
+            F.slice(cword(j), j * dsub + 1, dsub),
+        ),
+    )
+    scored = (
+        st.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dist.alias("dist"))
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+_PQ_CODES_CTE = """
+piv AS (
+  SELECT row_number() OVER (ORDER BY (vec_id * 2654435761 + 40503) % 1000000007, vec_id) AS pid,
+         embedding AS p_emb
+  FROM embeddings QUALIFY pid <= 16),
+plist AS (SELECT list(p_emb ORDER BY pid) AS pivots FROM piv),
+x AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings),
+dd AS (
+  SELECT vec_id, xs, pivots,
+         list_transform(range(0, 8), j ->
+           list_transform(pivots, p ->
+             list_sum(list_transform(range(1, 9), i ->
+               (xs[j*8 + i] - CAST(p[j*8 + i] AS DOUBLE))
+               * (xs[j*8 + i] - CAST(p[j*8 + i] AS DOUBLE)) )))) AS dd
+  FROM x, plist),
+codes AS (
+  SELECT vec_id, xs, pivots,
+         list_transform(dd, d -> list_position(d, list_min(d)) - 1) AS codes
+  FROM dd)
+"""
+
+PQ_ENCODE_SQL = f"""
+WITH {_PQ_CODES_CTE}
+SELECT vec_id,
+       list_aggregate(list_transform(codes, c -> CAST(c AS VARCHAR)),
+                      'string_agg', '-') AS codes_str,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum
+FROM codes
+"""
+
+PQ_TOPK_SQL = f"""
+WITH {_PQ_CODES_CTE},
+q AS (SELECT xs AS q_xs FROM x WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id,
+         list_sum(list_transform(range(0, 8), j ->
+           list_sum(list_transform(range(1, 9), i ->
+             (q_xs[j*8 + i] - CAST(pivots[codes[j + 1] + 1][j*8 + i] AS DOUBLE))
+             * (q_xs[j*8 + i] - CAST(pivots[codes[j + 1] + 1][j*8 + i] AS DOUBLE)) ))))
+         AS dist
+  FROM codes c, q WHERE c.vec_id <> 0)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(row_number() OVER (ORDER BY dist, vec_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10
+"""

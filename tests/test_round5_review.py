@@ -742,3 +742,67 @@ def test_key_skew_profile_and_hot_keys(spark):
     plan = hot_keys(df, "k0", k=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_encode_matches_bruteforce_and_topk_adc(spark):
+    """PQ codes equal a plain-Python replication (argmin of left-to-
+    right-summed squared L2 per subspace against the hash-ranked
+    pivots), and pq_topk ranks by the exact ADC distance over those
+    codes. Also pins the scale shape: encode's plan has no shuffle on
+    the vectors (broadcast-only), topk's lone rank stays
+    WindowGroupLimit-eligible."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from camelot_spark.tdp.similarity import pq_encode, pq_topk
+
+    rng_rows = []
+    # deterministic synthetic vectors, dim 64
+    for v in range(40):
+        emb = [float(((v * 37 + i * 11) % 97) - 48) / 7.0 for i in range(64)]
+        rng_rows.append((v, emb))
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+
+    # pivots: 16 smallest (vec_id*2654435761 + 40503) % 1e9+7
+    h = sorted(range(40), key=lambda v: ((v * 2654435761 + 40503) % 1000000007, v))
+    pivots = [rng_rows[v][1] for v in h[:16]]
+
+    import struct as _st
+    f32 = lambda x: _st.unpack("f", _st.pack("f", x))[0]  # noqa: E731
+
+    def sqdist(xs, ps, j):
+        acc = 0.0
+        for i in range(8):
+            d = xs[j * 8 + i] - f32(ps[j * 8 + i])
+            acc += d * d
+        return acc
+
+    def codes_of(emb):
+        xs = [f32(x) for x in emb]
+        out = []
+        for j in range(8):
+            dists = [sqdist(xs, p, j) for p in pivots]
+            out.append(dists.index(min(dists)))
+        return out
+
+    expected = {v: codes_of(emb) for v, emb in rng_rows}
+    got = {r["vec_id"]: r["codes_str"] for r in pq_encode(df).collect()}
+    for v, codes in expected.items():
+        assert got[v] == "-".join(str(c) for c in codes), v
+
+    # ADC distance replication for topk
+    q_xs = [f32(x) for x in rng_rows[0][1]]
+    def adc(codes):
+        acc = 0.0
+        for j in range(8):
+            acc += sqdist(q_xs, pivots[codes[j]], j)
+        return acc
+    order = sorted((adc(expected[v]), v) for v in range(1, 40))[:10]
+    want = [v for _, v in order]
+    topk = pq_topk(df, k=10).orderBy("rank").collect()
+    assert [r["vec_id"] for r in topk] == want
+    assert [r["rank"] for r in topk] == list(range(1, 11))
+
+    # plan shape: encode = broadcast only, no vector shuffle
+    enc_plan = pq_encode(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in enc_plan
+    assert "Exchange hashpartitioning" not in enc_plan
