@@ -102,24 +102,16 @@ def streaming_session_rollup(events, gap_s: int = 1800,
     activity, never stream history; events later than
     ``watermark_delay`` are dropped. Identical merge semantics to the
     batch operator (exactly-gap merges, ``> gap`` splits), pinned by
-    the batch-equivalence e2e in tests/test_streaming_session.py."""
-    from pyspark.sql import functions as F
+    the batch-equivalence e2e in tests/test_streaming_session.py.
 
-    return (
-        events.withWatermark("ts", watermark_delay)
-        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.max("ts").alias("ts_max"))
-        .select(
-            F.col("user_id").cast("bigint").alias("user_id"),
-            F.unix_timestamp(F.col("session_window.start"))
-            .cast("bigint").alias("session_start"),
-            F.col("n").cast("bigint").alias("n_events"),
-            (F.unix_timestamp("ts_max")
-             - F.unix_timestamp(F.col("session_window.start")))
-            .cast("bigint").alias("span_s"),
-        )
-    )
+    Implementation IS the batch operator: ``session_window`` plans the
+    same MergingSessions aggregation in both modes, so the streaming
+    form is exactly the batch rollup over a watermarked input — one
+    definition, no drift."""
+    from .tdp.relational import session_rollup
+
+    return session_rollup(
+        events.withWatermark("ts", watermark_delay), gap_s=gap_s)
 
 
 ASSEMBLE_OUT_SCHEMA = ("doc_id string, text string, n_parts int, "

@@ -282,7 +282,8 @@ def perplexity_bucket_mix(
     runs after quality filtering. Output:
     (doc_id, lang, bits_x1000, bucket, kept). Docs with fewer than
     two tokens carry no surprisal and are omitted (same contract as
-    lm_bigram_score).
+    lm_bigram_score); a NULL lang groups as 'und' rather than
+    silently dropping out of the lang equi-joins.
 
     Scale shape — EXACT tertiles without a per-lang sort: surprisal
     is integer thousandths of whole bits per bigram, so its value
@@ -298,14 +299,21 @@ def perplexity_bucket_mix(
     from .text import lm_bigram_score
 
     lm = lm_bigram_score(documents).select("doc_id", "bits_x1000")
+    # lang NULL would silently vanish at the equi-joins below (NULL
+    # never matches); fold it into its own 'und' group instead so
+    # every scored doc gets a bucket+keep decision.
     sc = documents.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "lang").join(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang")).join(
         lm, "doc_id")
     cnt = sc.groupBy("lang", "bits_x1000").agg(
         F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("lang").orderBy("bits_x1000")
     cum = cnt.select("lang", "bits_x1000", F.sum("c").over(w).alias("cum"))
-    nt = sc.groupBy("lang").agg(F.count(F.lit(1)).alias("ntot"))
+    # per-lang totals from the (lang, score) histogram — summing cnt
+    # re-aggregates <= 64k short rows instead of re-executing the
+    # whole lm_bigram_score join subtree a third time
+    nt = cnt.groupBy("lang").agg(F.sum("c").alias("ntot"))
     th = (
         cum.join(nt, "lang")
         .withColumn("tgt1", F.expr("(ntot + 2) DIV 3"))
@@ -343,14 +351,15 @@ def _perplexity_bucket_mix_sql(head_ppm: int = 1_000_000,
     return f"""
 WITH lm AS (SELECT * FROM ({LM_BIGRAM_SQL})),
 sc AS (
-  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, lm.bits_x1000
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         COALESCE(d.lang, 'und') AS lang, lm.bits_x1000
   FROM documents d JOIN lm ON d.doc_id = lm.doc_id),
 cnt AS (SELECT lang, bits_x1000, COUNT(*) AS c FROM sc GROUP BY 1, 2),
 cum AS (
   SELECT lang, bits_x1000,
          SUM(c) OVER (PARTITION BY lang ORDER BY bits_x1000) AS cum
   FROM cnt),
-nt AS (SELECT lang, COUNT(*) AS ntot FROM sc GROUP BY 1),
+nt AS (SELECT lang, SUM(c) AS ntot FROM cnt GROUP BY 1),
 th AS (
   SELECT lang,
          MIN(CASE WHEN cum >= (ntot + 2) // 3 THEN bits_x1000 END) AS t1,

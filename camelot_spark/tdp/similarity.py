@@ -864,9 +864,11 @@ def pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
     ||q_sub_j − codeword(codes[j])_j||², i.e. what a PQ index computes
     from a lookup table without touching the original vectors. At
     100 TB the scan reads 8-byte codes instead of 256-byte floats; the
-    top-k is the same lone-rank window the other ANN paths use
-    (WindowGroupLimit: per-task k-row pre-reduce before the 1-row-ish
-    merge). Output (vec_id, rank), rank 1 = nearest."""
+    global lone-rank filter is rewritten by LimitPushDownThroughWindow
+    into a TakeOrderedAndProject under the window (per-task k-row
+    pre-reduce before the single k-row merge — the global-window
+    analogue of WindowGroupLimit). Output (vec_id, rank), rank 1 =
+    nearest."""
     m, dsub = _PQ_M, _PQ_DSUB
     st = _pq_staged(embeddings)
     q = st.where(F.col("vec_id") == query_vec_id).select(

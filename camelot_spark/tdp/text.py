@@ -610,7 +610,11 @@ def boilerplate_strip(
         grams.select(
             "doc_id", "source",
             F.posexplode("grams").alias("pos", "gram"))
-        .join(F.broadcast(boil), ["source", "gram"])
+        # no broadcast hint: boil's size is data-dependent (a low
+        # min_ratio_ppm can sweep in a large slice of the gram
+        # vocabulary), so let AQE broadcast it only when it actually
+        # measures small and fall back to a shuffle join otherwise
+        .join(boil, ["source", "gram"])
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("starts"))
     )

@@ -749,8 +749,8 @@ def test_pq_encode_matches_bruteforce_and_topk_adc(spark):
     right-summed squared L2 per subspace against the hash-ranked
     pivots), and pq_topk ranks by the exact ADC distance over those
     codes. Also pins the scale shape: encode's plan has no shuffle on
-    the vectors (broadcast-only), topk's lone rank stays
-    WindowGroupLimit-eligible."""
+    the vectors (broadcast-only), topk's global lone-rank filter
+    plans a TakeOrderedAndProject pre-reduce."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from camelot_spark.tdp.similarity import pq_encode, pq_topk
@@ -806,3 +806,12 @@ def test_pq_encode_matches_bruteforce_and_topk_adc(spark):
     enc_plan = pq_encode(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in enc_plan
     assert "Exchange hashpartitioning" not in enc_plan
+
+    # topk: the GLOBAL lone-rank filter is rewritten by
+    # LimitPushDownThroughWindow into a TakeOrderedAndProject under
+    # the window — per-task k-row pre-reduce, the single window task
+    # only ever sees k rows (the global-window analogue of
+    # WindowGroupLimit)
+    top_plan = (pq_topk(df, k=10)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in top_plan
