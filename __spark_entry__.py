@@ -342,6 +342,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # space, never a per-lang sort (new r5)
         "perplexity_bucket_mix": lambda s, d: sampling.perplexity_bucket_mix(
             _load(s, d, "documents")),
+        # hashing-trick text embeddings: text -> signed integer vector,
+        # zero shuffle, the bridge from text tables to the ANN ops
+        # (new r5)
+        "feature_hash_embed": lambda s, d: tdp_text.feature_hash_embed(
+            _load(s, d, "documents")),
+        # exact integer L2 top-k over the hashed vectors — the whole
+        # text->vector->search chain pinned by one oracle (new r5)
+        "hashed_topk": lambda s, d: tdp_text.hashed_topk(
+            _load(s, d, "documents")),
+        # deterministic training-shuffle shard + order-key assignment
+        # (materialized by sinks.write_training_shards) (new r5)
+        "shuffle_shards": lambda s, d: sampling.shuffle_shards(
+            _load(s, d, "documents")),
         # per-source document-frequency boilerplate n-gram strip (the
         # C4 "same line on most pages" filter) (new r5)
         "boilerplate_strip": lambda s, d: tdp_text.boilerplate_strip(
@@ -611,6 +624,9 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": tdp_text.TOKEN_RARITY_SQL,
         "lm_bigram_score": tdp_text.LM_BIGRAM_SQL,
         "perplexity_bucket_mix": sampling.PERPLEXITY_BUCKET_MIX_SQL,
+        "feature_hash_embed": tdp_text.FEATURE_HASH_EMBED_SQL,
+        "hashed_topk": tdp_text.HASHED_TOPK_SQL,
+        "shuffle_shards": sampling.SHUFFLE_SHARDS_SQL,
         "boilerplate_strip": tdp_text.BOILERPLATE_STRIP_SQL,
         "token_skew_profile": relational.TOKEN_SKEW_PROFILE_SQL,
         "token_hot_keys": relational.TOKEN_HOT_KEYS_SQL,

@@ -381,3 +381,34 @@ def span_stats(extracted: DataFrame) -> DataFrame:
         contiguous.cast("int").alias("order_contiguous"),
         F.coalesce(media_ok, F.lit(True)).cast("int").alias("media_refs_ok"),
     )
+
+
+def write_training_shards(documents: DataFrame, path: str,
+                          n_shards: int = 64,
+                          mode: str = "overwrite") -> None:
+    """Materialize the deterministic training shuffle
+    (``tdp.sampling.shuffle_shards``): one directory per shard, rows
+    inside each shard's files in order_key order — the layout a
+    sequential trainer streams shard-by-shard for a reproducible,
+    ingest-order-decorrelated epoch.
+
+    Scale shape: ONE hash-partition exchange on the shard id (the
+    unavoidable data movement of a global shuffle), then an in-task
+    sort per shard — never a global sort, never a corpus-cardinality
+    window. Deterministic end to end: shard and order_key are pure
+    functions of doc_id, the exchange is hash-by-shard, and the
+    per-partition sort fixes row order regardless of the input's
+    partitioning — byte-identical output for any cluster layout."""
+    from pyspark.sql import functions as F
+
+    from .tdp.sampling import order_key_expr, shard_expr
+
+    keyed = documents.withColumns({
+        "shard": shard_expr(n_shards),
+        "order_key": order_key_expr(),
+    })
+    (
+        keyed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "order_key")
+        .write.mode(mode).partitionBy("shard").parquet(path)
+    )

@@ -382,3 +382,56 @@ FROM b
 
 
 PERPLEXITY_BUCKET_MIX_SQL = _perplexity_bucket_mix_sql()
+
+
+def shuffle_shards(documents: DataFrame, n_shards: int = 64,
+                   salt: int = 50923) -> DataFrame:
+    """Deterministic global training-shuffle assignment: every doc gets
+    a shard and a within-shard order key, both pure functions of
+    doc_id — the reproducible corpus shuffle every training-data
+    export needs (examples decorrelated from ingest order, identical
+    across reruns/cluster sizes, growth-stable: new docs never move
+    existing ones).
+
+    shard = salted multiplicative hash mod n_shards (uniform across
+    shards); order_key = an independently-salted full-width hash (the
+    reader sorts a shard by it — no materialized global position, so
+    there is NO corpus-cardinality window anywhere). Pure projection:
+    zero shuffle; the actual data movement happens once, at write time
+    (``sinks.write_training_shards``, which annotates rows in place
+    with these same expressions — no join back). Output
+    (doc_id, shard, order_key)."""
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        shard_expr(n_shards, salt).alias("shard"),
+        order_key_expr(salt).alias("order_key"),
+    )
+
+
+def shard_expr(n_shards: int = 64, salt: int = 50923):
+    """The shard id as a bare Column (cf. ``split_expr``) — lets the
+    shard writer annotate rows in place instead of joining
+    ``shuffle_shards`` output back on doc_id."""
+    h = (F.col("doc_id") * F.lit(_KNUTH) + F.lit(salt)) % F.lit(4294967296)
+    return (h % F.lit(n_shards)).cast("bigint")
+
+
+def order_key_expr(salt: int = 50923):
+    """The within-shard order key as a bare Column; independently
+    salted so shard and in-shard order are decorrelated."""
+    return ((F.col("doc_id") * F.lit(_KNUTH) + F.lit(salt * 2 + 1))
+            % F.lit(4294967296)).cast("bigint")
+
+
+def _shuffle_shards_sql(n_shards: int = 64, salt: int = 50923) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((doc_id * {_KNUTH} + {salt}) % 4294967296 % {n_shards}
+            AS BIGINT) AS shard,
+       CAST((doc_id * {_KNUTH} + {salt * 2 + 1}) % 4294967296
+            AS BIGINT) AS order_key
+FROM documents
+"""
+
+
+SHUFFLE_SHARDS_SQL = _shuffle_shards_sql()

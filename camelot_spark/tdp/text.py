@@ -9,7 +9,7 @@ operation order is used on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # pseudo-language stopword profiles over the synthetic corpus vocab
@@ -670,4 +670,140 @@ SELECT doc_id,
        CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
        array_to_string(kept, ' ') AS clean_text
 FROM m
+"""
+
+
+def feature_hash_vec(documents: DataFrame, dim: int = 64):
+    """Hashing-trick document vectors (Weinberger et al.'s feature
+    hashing): text -> dim-D SIGNED INTEGER vector with zero external
+    model — each token's portable hash picks a bucket (low bits) and a
+    sign (the next bit); the vector is the signed bucket-count sum.
+    The standard cheap embedding for dedup/clustering/retrieval when
+    no learned encoder is in the pipeline, and the bridge from the
+    text tables to every ANN operator here (identical array<long>
+    geometry, exact cross-engine arithmetic — a float encoder could
+    never be oracle-pinned).
+
+    ``dim`` must be a power of two: bucket = h & (dim-1) and
+    sign = bit log2(dim) of h are pure integer bit ops on BOTH
+    engines (no DIV-vs-// or float-division divergence).
+
+    Scale shape: per-row array algebra only — token hashes projected
+    once (the winnowing discipline), then a dim-wide signed sum per
+    row. ZERO shuffle at any corpus size; throughput = scan speed.
+    Returns (doc_id, vec: array<long>).
+    """
+    if dim & (dim - 1) or dim <= 0:
+        raise ValueError("dim must be a power of two")
+    sign_bit = dim.bit_length() - 1
+    toks = F.filter(_tokens(F.lower(F.col("text"))),
+                    lambda t: F.length(t) > 0)
+    base = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.transform(toks, portable_token_hash).alias("hs"),
+    )
+    sign = lambda h: (  # noqa: E731 — +1 / -1 from one hash bit
+        F.lit(1) - F.shiftright(h, sign_bit).bitwiseAND(F.lit(1)) * F.lit(2)
+    ).cast("long")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.col("hs"), F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(dim - 1)) == i.cast("long"), sign(h)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return base.select("doc_id", vec.alias("vec"))
+
+
+def feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Driver-query surface over ``feature_hash_vec``: the vector as a
+    comma-joined string plus integer invariants, so the cross-engine
+    compare pins every component exactly. Output
+    (doc_id, vec_str, norm_sq, nnz)."""
+    v = feature_hash_vec(documents, dim)
+    return v.select(
+        "doc_id",
+        F.array_join(F.transform("vec", lambda x: x.cast("string")),
+                     ",").alias("vec_str"),
+        F.aggregate("vec", F.lit(0).cast("long"),
+                    lambda a, x: a + x * x).alias("norm_sq"),
+        F.size(F.filter("vec", lambda x: x != 0))
+        .cast("bigint").alias("nnz"),
+    )
+
+
+def hashed_topk(documents: DataFrame, query_doc_id: int = 0,
+                k: int = 10, dim: int = 64) -> DataFrame:
+    """Exact integer nearest-neighbour search over the hashed vectors:
+    top-k docs by squared L2 distance to the query doc's vector —
+    the full text -> vector -> search chain with no float anywhere,
+    so the whole pipeline (tokenize, hash, embed, score, rank) is
+    pinned by one oracle. Ties break on doc_id.
+
+    Scale shape: one scan computes vectors in place (zero shuffle),
+    the 1-row query broadcasts, and the global lone-rank filter plans
+    a TakeOrderedAndProject k-row pre-reduce per task (same shape as
+    ``pq_topk``). Output (doc_id, dist, rank)."""
+    emb = feature_hash_vec(documents, dim)
+    q = emb.where(F.col("doc_id") == query_doc_id).select(
+        F.col("vec").alias("q_vec"))
+    dist = F.aggregate(
+        F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (
+        emb.where(F.col("doc_id") != query_doc_id)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", dist.alias("dist"))
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "dist", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+# Both engines: bucket = h & (dim-1), sign = 1 - 2*((h >> 6) & 1) for
+# dim 64 — pure bit ops, no integer-division dialect divergence.
+_HASHED_VEC_CTE = """
+h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(
+           list_filter(string_split(lower(text), ' '), t -> len(t) > 0),
+           t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(t[1:8], ''),
+                                   c -> CAST(ord(c) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+  FROM documents),
+v AS (
+  SELECT doc_id,
+         [CAST(COALESCE(list_sum(list_transform(hs,
+              x -> CASE WHEN (x & 63) = i
+                        THEN 1 - 2 * ((x >> 6) & 1) ELSE 0 END)), 0) AS BIGINT)
+          FOR i IN range(0, 64)] AS vec
+  FROM h)"""
+
+FEATURE_HASH_EMBED_SQL = f"""
+WITH {_HASHED_VEC_CTE}
+SELECT doc_id,
+       array_to_string(vec, ',') AS vec_str,
+       CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS norm_sq,
+       CAST(len(list_filter(vec, x -> x != 0)) AS BIGINT) AS nnz
+FROM v
+"""
+
+HASHED_TOPK_SQL = f"""
+WITH {_HASHED_VEC_CTE},
+q AS (SELECT vec AS q_vec FROM v WHERE doc_id = 0),
+sc AS (
+  SELECT v.doc_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (vec[i] - q_vec[i]) * (vec[i] - q_vec[i]))) AS BIGINT)
+           AS dist
+  FROM v CROSS JOIN q WHERE v.doc_id != 0)
+SELECT doc_id, dist,
+       CAST(row_number() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rank
+FROM sc ORDER BY dist, doc_id LIMIT 10
 """

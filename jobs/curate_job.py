@@ -227,6 +227,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="split: column hashed into the bucket; pass a "
                          "canonical near-dup group id to keep whole dup "
                          "clusters in one split (leakage control)")
+    ap.add_argument("--shards-output", default="",
+                    help="also materialize the curated corpus as "
+                         "deterministic training shards (one dir per "
+                         "shard, order_key-sorted within)")
+    ap.add_argument("--n-shards", type=int, default=64)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -243,6 +248,15 @@ def main(argv: list[str] | None = None) -> int:
     curated, report = apply_steps(spark, docs, args)
     manifest = SnapshotLog(args.output).append(
         curated, metrics={"steps": report})
+    if args.shards_output:
+        from camelot_spark.sinks import write_training_shards
+
+        # read the just-committed snapshot back so the shard exchange
+        # starts from materialized parquet, not a re-execution of the
+        # whole curation subtree
+        write_training_shards(
+            SnapshotLog(args.output).read(spark), args.shards_output,
+            n_shards=args.n_shards)
     print(json.dumps({"status": "ok", "snapshot_id": manifest["snapshot_id"],
                       "version": manifest["version"], "steps": report}))
     return 0

@@ -104,7 +104,9 @@ def test_spark_submit_curate_end_to_end(spark, tmp_path):
          "--input", inp, "--output", outp,
          "--steps", "quality,dedup_exact,sample",
          "--min-quality", "300",
-         "--sample-rates", "en=1000000,fr=0"],
+         "--sample-rates", "en=1000000,fr=0",
+         "--shards-output", str(tmp_path / "shards"),
+         "--n-shards", "4"],
         capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -118,6 +120,20 @@ def test_spark_submit_curate_end_to_end(spark, tmp_path):
     log = SnapshotLog(outp)
     assert log.latest()["snapshot_id"] == status["snapshot_id"]
     assert log.read(spark).count() == 20
+
+    # the shard export materialized every curated doc exactly once,
+    # partitioned by shard and sorted by order_key within each
+    shards = spark.read.parquet(str(tmp_path / "shards"))
+    assert shards.count() == 20
+    assert sorted(r["shard"] for r in
+                  shards.select("shard").distinct().collect()) \
+        == sorted(set(r["shard"] for r in shards.collect()))
+    from camelot_spark.tdp.sampling import shuffle_shards
+    want = {r["doc_id"]: r["shard"] for r in
+            shuffle_shards(log.read(spark), n_shards=4).collect()}
+    got = {r["doc_id"]: r["shard"] for r in
+           shards.select("doc_id", "shard").collect()}
+    assert got == want
 
 
 def test_curate_classifier_step(spark):

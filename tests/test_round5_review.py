@@ -815,3 +815,108 @@ def test_pq_encode_matches_bruteforce_and_topk_adc(spark):
     top_plan = (pq_topk(df, k=10)
                 ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in top_plan
+
+
+def test_feature_hash_embed_matches_python_and_plan(spark):
+    """Hashed vectors equal a plain-Python replication of the portable
+    hash -> bucket/sign -> signed sum pipeline; dim must be a power of
+    two; the plan has no exchange at all (pure projection)."""
+    import pytest
+
+    from camelot_spark.tdp.text import feature_hash_embed, feature_hash_vec
+
+    rows = [(1, "aa bb cc aa"), (2, ""), (3, "zebra  moon"),
+            (4, "x" * 20 + " yy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def phash(t):
+        a = 0
+        for c in t[:8]:
+            a = (a * 31 + ord(c)) % 1_000_000_007
+        return a
+
+    def vec_of(text):
+        v = [0] * 64
+        for t in text.lower().split(" "):
+            if not t:
+                continue
+            h = phash(t)
+            v[h & 63] += 1 - 2 * ((h >> 6) & 1)
+        return v
+
+    got = {r["doc_id"]: r["vec_str"]
+           for r in feature_hash_embed(df).collect()}
+    for doc_id, text in rows:
+        want = vec_of(text)
+        assert got[doc_id] == ",".join(str(x) for x in want), doc_id
+
+    with pytest.raises(ValueError):
+        feature_hash_vec(df, dim=48)
+
+    plan = (feature_hash_vec(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_hashed_topk_plan_is_take_ordered(spark):
+    from camelot_spark.tdp.text import hashed_topk
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} alpha") for i in range(30)],
+        "doc_id long, text string")
+    out = hashed_topk(df, query_doc_id=0, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # distances non-decreasing, ties broken by doc_id
+    dists = [(r["dist"], r["doc_id"]) for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """The shard writer's output order is a pure function of doc_id:
+    writing the same corpus from two different input partitionings
+    yields identical per-shard row sequences, each sorted by
+    order_key."""
+    from camelot_spark.sinks import write_training_shards
+    from camelot_spark.tdp.sampling import shuffle_shards
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(7)
+    df2 = spark.createDataFrame(list(reversed(rows)),
+                                "doc_id long, text string").repartition(3)
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df1, p1, n_shards=8)
+    write_training_shards(df2, p2, n_shards=8)
+
+    key = {r["doc_id"]: (r["shard"], r["order_key"])
+           for r in shuffle_shards(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               n_shards=8).collect()}
+
+    import pyarrow.parquet as pq
+    import glob as g
+    for shard in range(8):
+        seqs = []
+        for p in (p1, p2):
+            files = sorted(g.glob(f"{p}/shard={shard}/*.parquet"))
+            ids = []
+            for f in files:
+                ids += pq.read_table(f, columns=["doc_id"])["doc_id"] \
+                    .to_pylist()
+            seqs.append(ids)
+        assert seqs[0] == seqs[1], shard
+        # in-shard order == order_key order; shard assignment honored
+        oks = [key[i][1] for i in seqs[0]]
+        assert oks == sorted(oks), shard
+        assert all(key[i][0] == shard for i in seqs[0]), shard
+    # every doc lands in exactly one shard
+    total = sum(len(g.glob(f"{p1}/shard={s}/*.parquet")) >= 0 or 0
+                for s in range(8))
+    assert sorted(i for s in range(8)
+                  for f in g.glob(f"{p1}/shard={s}/*.parquet")
+                  for i in pq.read_table(f, columns=["doc_id"])["doc_id"]
+                  .to_pylist()) == [r[0] for r in rows]
