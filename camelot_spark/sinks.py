@@ -388,9 +388,11 @@ def write_training_shards(documents: DataFrame, path: str,
                           mode: str = "overwrite") -> None:
     """Materialize the deterministic training shuffle
     (``tdp.sampling.shuffle_shards``): one directory per shard, rows
-    inside each shard's files in order_key order — the layout a
-    sequential trainer streams shard-by-shard for a reproducible,
-    ingest-order-decorrelated epoch.
+    inside each shard's files in (order_key, doc_id) order — the
+    layout a sequential trainer streams shard-by-shard for a
+    reproducible, ingest-order-decorrelated epoch. The doc_id
+    tiebreaker keeps the output deterministic even when order_key
+    collides (ids beyond one 2^32 window, or an un-deduped input).
 
     Scale shape: ONE hash-partition exchange on the shard id (the
     unavoidable data movement of a global shuffle), then an in-task
@@ -399,8 +401,6 @@ def write_training_shards(documents: DataFrame, path: str,
     functions of doc_id, the exchange is hash-by-shard, and the
     per-partition sort fixes row order regardless of the input's
     partitioning — byte-identical output for any cluster layout."""
-    from pyspark.sql import functions as F
-
     from .tdp.sampling import order_key_expr, shard_expr
 
     keyed = documents.withColumns({
@@ -409,6 +409,6 @@ def write_training_shards(documents: DataFrame, path: str,
     })
     (
         keyed.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "order_key")
+        .sortWithinPartitions("shard", "order_key", "doc_id")
         .write.mode(mode).partitionBy("shard").parquet(path)
     )

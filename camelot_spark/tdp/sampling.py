@@ -393,10 +393,12 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 64,
     across reruns/cluster sizes, growth-stable: new docs never move
     existing ones).
 
-    shard = salted multiplicative hash mod n_shards (uniform across
-    shards); order_key = an independently-salted full-width hash (the
-    reader sorts a shard by it — no materialized global position, so
-    there is NO corpus-cardinality window anywhere). Pure projection:
+    shard = multiply-shift on the salted multiplicative hash's HIGH
+    bits (uniform for any n_shards and any structured id space — see
+    ``shard_expr``); order_key = a full-width hash under a DIFFERENT
+    multiplier (the reader sorts a shard by (order_key, doc_id) — no
+    materialized global position, so there is NO corpus-cardinality
+    window anywhere). Pure projection:
     zero shuffle; the actual data movement happens once, at write time
     (``sinks.write_training_shards``, which annotates rows in place
     with these same expressions — no join back). Output
@@ -408,27 +410,46 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 64,
     )
 
 
+# second odd multiplier (xxhash32 prime 2) — a DIFFERENT multiplier,
+# not a re-salt: (id*K+s1) and (id*K+s2) differ by a constant, so the
+# same multiplier would make in-shard order a function of the shard
+# hash itself
+_PRIME2 = 2246822519
+
+
 def shard_expr(n_shards: int = 64, salt: int = 50923):
     """The shard id as a bare Column (cf. ``split_expr``) — lets the
     shard writer annotate rows in place instead of joining
-    ``shuffle_shards`` output back on doc_id."""
+    ``shuffle_shards`` output back on doc_id.
+
+    Multiply-shift (Knuth): shard = (h * n_shards) >> 32 takes the
+    HIGH bits of the 32-bit hash. ``h % n_shards`` would take the low
+    bits, and multiplication mod 2^32 never mixes high bits downward —
+    for any n dividing 2^32 that collapses to an affine map of
+    ``doc_id mod n`` (an all-even id space would fill only half the
+    shards). High bits are where a multiplicative hash is actually
+    uniform; works for ANY n_shards, no power-of-two requirement."""
     h = (F.col("doc_id") * F.lit(_KNUTH) + F.lit(salt)) % F.lit(4294967296)
-    return (h % F.lit(n_shards)).cast("bigint")
+    return F.shiftright(h * F.lit(int(n_shards)), 32).cast("bigint")
 
 
 def order_key_expr(salt: int = 50923):
-    """The within-shard order key as a bare Column; independently
-    salted so shard and in-shard order are decorrelated."""
-    return ((F.col("doc_id") * F.lit(_KNUTH) + F.lit(salt * 2 + 1))
+    """The within-shard order key as a bare Column; a DIFFERENT
+    multiplier (not just a different salt — an affine re-salt of the
+    same hash is the shard hash plus a constant) so shard and
+    in-shard order are genuinely decorrelated. Injective over a
+    2^32 id window; the writer adds doc_id as the final sort
+    tiebreaker so collisions beyond it stay deterministic."""
+    return ((F.col("doc_id") * F.lit(_PRIME2) + F.lit(salt))
             % F.lit(4294967296)).cast("bigint")
 
 
 def _shuffle_shards_sql(n_shards: int = 64, salt: int = 50923) -> str:
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST((doc_id * {_KNUTH} + {salt}) % 4294967296 % {n_shards}
-            AS BIGINT) AS shard,
-       CAST((doc_id * {_KNUTH} + {salt * 2 + 1}) % 4294967296
+       CAST((((doc_id * {_KNUTH} + {salt}) % 4294967296) * {n_shards})
+            >> 32 AS BIGINT) AS shard,
+       CAST((doc_id * {_PRIME2} + {salt}) % 4294967296
             AS BIGINT) AS order_key
 FROM documents
 """

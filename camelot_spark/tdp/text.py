@@ -696,7 +696,11 @@ def feature_hash_vec(documents: DataFrame, dim: int = 64):
     if dim & (dim - 1) or dim <= 0:
         raise ValueError("dim must be a power of two")
     sign_bit = dim.bit_length() - 1
-    toks = F.filter(_tokens(F.lower(F.col("text"))),
+    # NULL text -> zero vector (not a NULL-propagated vector that
+    # array_join silently empties and that would rank FIRST in
+    # hashed_topk under asc nulls-first); DuckDB's COALESCE on the
+    # per-element sums lands on the same zeros
+    toks = F.filter(_tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))),
                     lambda t: F.length(t) > 0)
     base = documents.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),

@@ -125,9 +125,8 @@ def test_spark_submit_curate_end_to_end(spark, tmp_path):
     # partitioned by shard and sorted by order_key within each
     shards = spark.read.parquet(str(tmp_path / "shards"))
     assert shards.count() == 20
-    assert sorted(r["shard"] for r in
-                  shards.select("shard").distinct().collect()) \
-        == sorted(set(r["shard"] for r in shards.collect()))
+    assert all(0 <= r["shard"] < 4 for r in
+               shards.select("shard").distinct().collect())
     from camelot_spark.tdp.sampling import shuffle_shards
     want = {r["doc_id"]: r["shard"] for r in
             shuffle_shards(log.read(spark), n_shards=4).collect()}

@@ -913,10 +913,45 @@ def test_write_training_shards_deterministic(spark, tmp_path):
         oks = [key[i][1] for i in seqs[0]]
         assert oks == sorted(oks), shard
         assert all(key[i][0] == shard for i in seqs[0]), shard
-    # every doc lands in exactly one shard
-    total = sum(len(g.glob(f"{p1}/shard={s}/*.parquet")) >= 0 or 0
-                for s in range(8))
+    # every doc lands in exactly one shard, and exactly the expected
+    # shard dirs exist (each expected shard is non-empty on disk)
     assert sorted(i for s in range(8)
                   for f in g.glob(f"{p1}/shard={s}/*.parquet")
                   for i in pq.read_table(f, columns=["doc_id"])["doc_id"]
                   .to_pylist()) == [r[0] for r in rows]
+    expected_shards = {v[0] for v in key.values()}
+    on_disk = {s for s in range(8) if g.glob(f"{p1}/shard={s}/*.parquet")}
+    assert on_disk == expected_shards
+
+
+def test_shard_high_bits_uniform_on_structured_ids(spark):
+    """Multiply-shift sharding stays uniform on a structured id space:
+    an all-even corpus must fill ALL shards (the low-bits form
+    ``h % n`` collapses to an affine map of doc_id mod n and fills
+    only half), and shard/order_key must not be affinely related."""
+    from camelot_spark.tdp.sampling import shuffle_shards
+
+    rows = [(2 * i, "x") for i in range(512)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shuffle_shards(df, n_shards=8).collect()
+    assert {r["shard"] for r in out} == set(range(8))
+    # order_key minus the shard hash is NOT constant (different
+    # multiplier, not an affine re-salt of the same hash)
+    K, P2, salt = 2654435761, 2246822519, 50923
+    diffs = {(r["order_key"] - (r["doc_id"] * K + salt)) % 4294967296
+             for r in out[:50]}
+    assert len(diffs) > 1
+
+
+def test_feature_hash_embed_null_text_is_zero_vector(spark):
+    from camelot_spark.tdp.text import feature_hash_embed, hashed_topk
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, None), (2, "alpha gamma")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in feature_hash_embed(df).collect()}
+    assert rows[1]["vec_str"] == ",".join(["0"] * 64)
+    assert rows[1]["norm_sq"] == 0 and rows[1]["nnz"] == 0
+    # and the NULL doc gets a real (not NULL-first) distance in topk
+    top = hashed_topk(df, query_doc_id=0, k=2).collect()
+    assert all(r["dist"] is not None for r in top)
