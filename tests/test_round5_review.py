@@ -820,7 +820,9 @@ def test_pq_encode_matches_bruteforce_and_topk_adc(spark):
 def test_feature_hash_embed_matches_python_and_plan(spark):
     """Hashed vectors equal a plain-Python replication of the portable
     hash -> bucket/sign -> signed sum pipeline; dim must be a power of
-    two; the plan has no exchange at all (pure projection)."""
+    two; the plan's only exchanges are the bounded (doc_id[, bucket])
+    partial-agg shuffles (<= dim rows per doc), never the token
+    explode itself."""
     import pytest
 
     from camelot_spark.tdp.text import feature_hash_embed, feature_hash_vec
@@ -853,9 +855,13 @@ def test_feature_hash_embed_matches_python_and_plan(spark):
     with pytest.raises(ValueError):
         feature_hash_vec(df, dim=48)
 
+    # partial aggregation fires BEFORE the exchange (map-side combine
+    # bounds the shuffle at dim rows per doc), and the aggregate keys
+    # are (doc_id[, bucket]) — never the raw token
     plan = (feature_hash_vec(df)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Exchange" not in plan
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert "hashpartitioning(tok" not in plan
 
 
 def test_hashed_topk_plan_is_take_ordered(spark):
