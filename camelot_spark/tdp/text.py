@@ -38,11 +38,16 @@ def portable_token_hash(t):
     Implemented FLAT (branch-on-length over 8 incremental Horner
     partial sums) rather than as an aggregate-over-split-chars lambda:
     higher-order-function lambdas are interpreted per element, and
-    this hash runs once per token of the corpus. The unreduced partial
-    sums stay < 255·31⁷ ≈ 6.4e13 (int64-safe), and one trailing
+    this hash runs once per token of the corpus. ``ascii()`` returns
+    full codepoints (≤ 0x10FFFF), so the unreduced partial sums stay
+    < 0x10FFFF·31⁷·31/30 ≈ 3.2e16 (int64-safe; do NOT extend past
+    ~10 chars without re-deriving this bound), and one trailing
     ``% M`` equals the per-step mod of the reference fold — value
-    equality with the old form is pinned by test and by the unchanged
-    DuckDB twins (which keep the list_reduce shape)."""
+    equality with the old aggregate-over-split form is pinned by
+    tests/test_round5_review.py::test_portable_token_hash_flat_equals_reference
+    and by the unchanged DuckDB twins (which keep the list_reduce
+    shape). A NULL token hashes to NULL, as the old form's
+    split-propagation did."""
     def a(i):
         # ascii('') = 0 = the fold's skipped-step identity, so probing
         # past the token's end is harmless; non-ASCII chars hash by
@@ -59,7 +64,12 @@ def portable_token_hash(t):
     h = F.when(ln <= 1, partial[0])
     for k in range(2, 9):
         h = h.when(ln == k, partial[k - 1])
-    return h.otherwise(F.lit(0).cast("long")) % F.lit(_POLY_M)
+    # ln is NULL for a NULL token: every when() is false, otherwise()
+    # would turn that into 0 — gate it so NULL propagates like the
+    # old split/aggregate form
+    return F.when(
+        t.isNotNull(),
+        h.otherwise(F.lit(0).cast("long")) % F.lit(_POLY_M))
 
 
 def langid(documents: DataFrame) -> DataFrame:
@@ -711,16 +721,20 @@ def feature_hash_vec(documents: DataFrame, dim: int = 64):
     sign = bit log2(dim) of h are pure integer bit ops on BOTH
     engines (no DIV-vs-// or float-division divergence).
 
-    Scale shape: explode -> partial-agg signed sum on (doc_id,
-    bucket) -> per-doc map -> dense array. Spark does NOT codegen
-    higher-order-function lambdas, so the tempting per-row form
-    (transform over dim buckets x aggregate over tokens) is
-    O(dim·tokens) INTERPRETED evals per doc — measured 30x slower
-    than this shape at sf0.1. Here everything except one O(dim²)
-    map-probe projection per doc is whole-stage codegen, and the
-    shuffle after map-side combine carries at most ``dim`` short
-    rows per doc — bounded, skew-free (doc_id keys), linear to any
-    corpus size. Returns (doc_id, vec: array<long>).
+    Scale shape: explode_outer -> partial-agg signed sum on (doc_id,
+    bucket) -> per-doc map -> dense array, ONE scan end to end.
+    Spark does NOT codegen higher-order-function lambdas, so the
+    tempting per-row form (transform over dim buckets x aggregate
+    over tokens) is O(dim·tokens) INTERPRETED evals per doc —
+    measured 30x slower than this shape at sf0.1. Here everything
+    except one O(dim²) map-probe projection per doc is whole-stage
+    codegen, and the shuffle after map-side combine carries at most
+    ``dim`` short rows per doc — bounded, skew-free (doc_id keys),
+    linear to any corpus size. Returns (doc_id, vec: array<long>).
+
+    Contract: ``doc_id`` is the table's primary key (as everywhere in
+    this package). Rows sharing a doc_id — or multiple NULL doc_ids —
+    aggregate into ONE pooled vector per key, not one per row.
     """
     if dim & (dim - 1) or dim <= 0:
         raise ValueError("dim must be a power of two")
@@ -734,14 +748,18 @@ def feature_hash_vec(documents: DataFrame, dim: int = 64):
     h = portable_token_hash(F.col("tok"))
     sign = (F.lit(1)
             - F.shiftright(h, sign_bit).bitwiseAND(F.lit(1)) * F.lit(2))
+    # explode_OUTER keeps tokenless docs as one (tok=NULL) row that
+    # contributes weight 0 to bucket 0 — the zero vector falls out of
+    # the same aggregate, with no second documents scan + join back
     per_bucket = (
         documents.select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.explode(toks).alias("tok"))
+            F.explode_outer(toks).alias("tok"))
         .select(
             "doc_id",
-            h.bitwiseAND(F.lit(dim - 1)).cast("int").alias("bucket"),
-            sign.cast("long").alias("s"))
+            F.coalesce(h.bitwiseAND(F.lit(dim - 1)).cast("int"),
+                       F.lit(0)).alias("bucket"),
+            F.coalesce(sign.cast("long"), F.lit(0).cast("long")).alias("s"))
         .groupBy("doc_id", "bucket")
         .agg(F.sum("s").alias("w"))
     )
@@ -753,13 +771,7 @@ def feature_hash_vec(documents: DataFrame, dim: int = 64):
         lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
                              F.lit(0).cast("long")),
     )
-    # tokenless docs (empty/NULL text) vanish at the explode — join
-    # back so they emit the zero vector
-    return (
-        documents.select(F.col("doc_id").cast("bigint").alias("doc_id"))
-        .join(maps, "doc_id", "left")
-        .select("doc_id", vec.alias("vec"))
-    )
+    return maps.select("doc_id", vec.alias("vec"))
 
 
 def feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
@@ -787,9 +799,10 @@ def hashed_topk(documents: DataFrame, query_doc_id: int = 0,
     so the whole pipeline (tokenize, hash, embed, score, rank) is
     pinned by one oracle. Ties break on doc_id.
 
-    Scale shape: one scan computes vectors in place (zero shuffle),
-    the 1-row query broadcasts, and the global lone-rank filter plans
-    a TakeOrderedAndProject k-row pre-reduce per task (same shape as
+    Scale shape: the vectors come from ``feature_hash_vec``'s bounded
+    partial-agg pipeline (≤ dim shuffle rows per doc), the 1-row
+    query broadcasts, and the global lone-rank filter plans a
+    TakeOrderedAndProject k-row pre-reduce per task (same shape as
     ``pq_topk``). Output (doc_id, dist, rank)."""
     emb = feature_hash_vec(documents, dim)
     q = emb.where(F.col("doc_id") == query_doc_id).select(

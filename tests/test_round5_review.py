@@ -855,13 +855,20 @@ def test_feature_hash_embed_matches_python_and_plan(spark):
     with pytest.raises(ValueError):
         feature_hash_vec(df, dim=48)
 
-    # partial aggregation fires BEFORE the exchange (map-side combine
-    # bounds the shuffle at dim rows per doc), and the aggregate keys
-    # are (doc_id[, bucket]) — never the raw token
+    # partial aggregation fires BEFORE the first exchange (map-side
+    # combine bounds the shuffle at dim rows per doc), the aggregate
+    # keys are (doc_id[, bucket]) — never the raw token — and there
+    # is no join back (explode_outer keeps tokenless docs in-pipeline)
     plan = (feature_hash_vec(df)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "partial_" in plan or "HashAggregate" in plan
+    assert "partial_sum" in plan
+    # the plan string prints root-first, so "below the deepest
+    # Exchange" (= executed before any shuffle) means partial_sum
+    # appears AFTER the last Exchange occurrence
+    below_deepest_exchange = plan[plan.rindex("Exchange"):]
+    assert "partial_sum" in below_deepest_exchange
     assert "hashpartitioning(tok" not in plan
+    assert "Join" not in plan
 
 
 def test_hashed_topk_plan_is_take_ordered(spark):
@@ -961,3 +968,31 @@ def test_feature_hash_embed_null_text_is_zero_vector(spark):
     # and the NULL doc gets a real (not NULL-first) distance in topk
     top = hashed_topk(df, query_doc_id=0, k=2).collect()
     assert all(r["dist"] is not None for r in top)
+
+
+def test_portable_token_hash_flat_equals_reference(spark):
+    """The flat branch-on-length Horner hash equals the original
+    aggregate-over-split-chars fold for every length 0-10 and
+    non-ASCII codepoints, and propagates NULL tokens as NULL."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.text import portable_token_hash
+
+    def reference(t):
+        return F.aggregate(
+            F.split(F.substring(t, 1, 8), ""), F.lit(0).cast("long"),
+            lambda a, c: (a * 31 + F.coalesce(F.ascii(c), F.lit(0)))
+            % 1_000_000_007,
+        )
+
+    toks = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+            "abcdefgh", "abcdefghi", "abcdefghij", "é", "é⊕", "日本語テスト漢字拡張",
+            "\U0010FFFF" * 9, "Zz0!~ \t.", None]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    rows = df.select(
+        portable_token_hash(F.col("tok")).alias("flat"),
+        reference(F.col("tok")).alias("ref"),
+        "tok").collect()
+    for r in rows:
+        assert r["flat"] == r["ref"], r["tok"]
+    assert [r["flat"] for r in rows if r["tok"] is None] == [None]
