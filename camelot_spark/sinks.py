@@ -385,7 +385,8 @@ def span_stats(extracted: DataFrame) -> DataFrame:
 
 def write_training_shards(documents: DataFrame, path: str,
                           n_shards: int = 64,
-                          mode: str = "overwrite") -> None:
+                          mode: str = "overwrite",
+                          epoch: int = 0) -> None:
     """Materialize the deterministic training shuffle
     (``tdp.sampling.shuffle_shards``): one directory per shard, rows
     inside each shard's files in (order_key, doc_id) order — the
@@ -393,6 +394,8 @@ def write_training_shards(documents: DataFrame, path: str,
     reproducible, ingest-order-decorrelated epoch. The doc_id
     tiebreaker keeps the output deterministic even when order_key
     collides (ids beyond one 2^32 window, or an un-deduped input).
+    ``epoch`` re-salts shard AND order (an independent deterministic
+    shuffle per training epoch — write each epoch to its own path).
 
     Scale shape: ONE hash-partition exchange on the shard id (the
     unavoidable data movement of a global shuffle), then an in-task
@@ -401,11 +404,12 @@ def write_training_shards(documents: DataFrame, path: str,
     functions of doc_id, the exchange is hash-by-shard, and the
     per-partition sort fixes row order regardless of the input's
     partitioning — byte-identical output for any cluster layout."""
-    from .tdp.sampling import order_key_expr, shard_expr
+    from .tdp.sampling import _epoch_salt, order_key_expr, shard_expr
 
+    s = _epoch_salt(epoch)
     keyed = documents.withColumns({
-        "shard": shard_expr(n_shards),
-        "order_key": order_key_expr(),
+        "shard": shard_expr(n_shards, s),
+        "order_key": order_key_expr(s),
     })
     (
         keyed.repartition(n_shards, F.col("shard"))

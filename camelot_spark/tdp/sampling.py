@@ -385,13 +385,15 @@ PERPLEXITY_BUCKET_MIX_SQL = _perplexity_bucket_mix_sql()
 
 
 def shuffle_shards(documents: DataFrame, n_shards: int = 64,
-                   salt: int = 50923) -> DataFrame:
+                   salt: int = 50923, epoch: int = 0) -> DataFrame:
     """Deterministic global training-shuffle assignment: every doc gets
     a shard and a within-shard order key, both pure functions of
     doc_id — the reproducible corpus shuffle every training-data
     export needs (examples decorrelated from ingest order, identical
     across reruns/cluster sizes, growth-stable: new docs never move
-    existing ones).
+    existing ones). ``epoch`` folds into the salt so each training
+    epoch gets an independent (still fully deterministic) order —
+    same epoch, same order, forever.
 
     shard = multiply-shift on the salted multiplicative hash's HIGH
     bits (uniform for any n_shards and any structured id space — see
@@ -403,11 +405,18 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 64,
     (``sinks.write_training_shards``, which annotates rows in place
     with these same expressions — no join back). Output
     (doc_id, shard, order_key)."""
+    s = _epoch_salt(epoch, salt)
     return documents.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        shard_expr(n_shards, salt).alias("shard"),
-        order_key_expr(salt).alias("order_key"),
+        shard_expr(n_shards, s).alias("shard"),
+        order_key_expr(s).alias("order_key"),
     )
+
+
+def _epoch_salt(epoch: int, salt: int = 50923) -> int:
+    """Fold a training-epoch counter into the base salt (epoch 0 ==
+    the bare salt, so existing outputs/oracles are unchanged)."""
+    return salt + 65537 * int(epoch)
 
 
 # second odd multiplier (xxhash32 prime 2) — a DIFFERENT multiplier,

@@ -232,6 +232,9 @@ def main(argv: list[str] | None = None) -> int:
                          "deterministic training shards (one dir per "
                          "shard, order_key-sorted within)")
     ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--shard-epoch", type=int, default=0,
+                    help="re-salt the shard/order assignment for this "
+                         "training epoch (deterministic per epoch)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -256,7 +259,8 @@ def main(argv: list[str] | None = None) -> int:
         # whole curation subtree
         write_training_shards(
             SnapshotLog(args.output).read(spark), args.shards_output,
-            n_shards=args.n_shards)
+            n_shards=args.n_shards,
+            epoch=getattr(args, "shard_epoch", 0))
     print(json.dumps({"status": "ok", "snapshot_id": manifest["snapshot_id"],
                       "version": manifest["version"], "steps": report}))
     return 0

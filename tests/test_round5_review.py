@@ -996,3 +996,25 @@ def test_portable_token_hash_flat_equals_reference(spark):
     for r in rows:
         assert r["flat"] == r["ref"], r["tok"]
     assert [r["flat"] for r in rows if r["tok"] is None] == [None]
+
+
+def test_shard_epoch_resalts_deterministically(spark):
+    """epoch=0 is byte-identical to the default assignment (oracles
+    unchanged); a different epoch yields a different — but equally
+    deterministic — shard+order assignment."""
+    from camelot_spark.tdp.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i, "x") for i in range(300)],
+                               "doc_id long, text string")
+    base = {r["doc_id"]: (r["shard"], r["order_key"])
+            for r in shuffle_shards(df, n_shards=8).collect()}
+    e0 = {r["doc_id"]: (r["shard"], r["order_key"])
+          for r in shuffle_shards(df, n_shards=8, epoch=0).collect()}
+    e1 = {r["doc_id"]: (r["shard"], r["order_key"])
+          for r in shuffle_shards(df, n_shards=8, epoch=1).collect()}
+    e1b = {r["doc_id"]: (r["shard"], r["order_key"])
+           for r in shuffle_shards(df, n_shards=8, epoch=1).collect()}
+    assert e0 == base
+    assert e1 == e1b                      # per-epoch determinism
+    assert e1 != base                     # epochs decorrelate
+    assert {s for s, _ in e1.values()} == set(range(8))  # still uniform
