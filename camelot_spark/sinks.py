@@ -404,12 +404,12 @@ def write_training_shards(documents: DataFrame, path: str,
     functions of doc_id, the exchange is hash-by-shard, and the
     per-partition sort fixes row order regardless of the input's
     partitioning — byte-identical output for any cluster layout."""
-    from .tdp.sampling import _epoch_salt, order_key_expr, shard_expr
+    from .tdp.sampling import _epoch_mults, order_key_expr, shard_expr
 
-    s = _epoch_salt(epoch)
+    m1, m2 = _epoch_mults(epoch)
     keyed = documents.withColumns({
-        "shard": shard_expr(n_shards, s),
-        "order_key": order_key_expr(s),
+        "shard": shard_expr(n_shards, mult=m1),
+        "order_key": order_key_expr(mult=m2),
     })
     (
         keyed.repartition(n_shards, F.col("shard"))

@@ -391,9 +391,10 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 64,
     doc_id — the reproducible corpus shuffle every training-data
     export needs (examples decorrelated from ingest order, identical
     across reruns/cluster sizes, growth-stable: new docs never move
-    existing ones). ``epoch`` folds into the salt so each training
-    epoch gets an independent (still fully deterministic) order —
-    same epoch, same order, forever.
+    existing ones). ``epoch`` swaps in per-epoch hash MULTIPLIERS
+    (``_epoch_mults``) so each training epoch gets an independent
+    (still fully deterministic) shard assignment and order — same
+    epoch, same order, forever.
 
     shard = multiply-shift on the salted multiplicative hash's HIGH
     bits (uniform for any n_shards and any structured id space — see
@@ -405,18 +406,27 @@ def shuffle_shards(documents: DataFrame, n_shards: int = 64,
     (``sinks.write_training_shards``, which annotates rows in place
     with these same expressions — no join back). Output
     (doc_id, shard, order_key)."""
-    s = _epoch_salt(epoch, salt)
+    m1, m2 = _epoch_mults(epoch)
     return documents.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        shard_expr(n_shards, s).alias("shard"),
-        order_key_expr(s).alias("order_key"),
+        shard_expr(n_shards, salt, mult=m1).alias("shard"),
+        order_key_expr(salt, mult=m2).alias("order_key"),
     )
 
 
-def _epoch_salt(epoch: int, salt: int = 50923) -> int:
-    """Fold a training-epoch counter into the base salt (epoch 0 ==
-    the bare salt, so existing outputs/oracles are unchanged)."""
-    return salt + 65537 * int(epoch)
+def _epoch_mults(epoch: int) -> tuple[int, int]:
+    """Per-epoch ODD multipliers for the shard and order hashes
+    (epoch 0 == the base multipliers, so existing outputs/oracles are
+    unchanged). An additive per-epoch SALT would be affine — it
+    shifts every hash by one constant, preserving the shard high
+    bits and the induced within-shard order almost everywhere (only
+    the mod-2^32 wrap moves) — so epochs would train on the same
+    order. Changing the MULTIPLIER re-permutes the whole id space;
+    odd multipliers stay bijective mod 2^32."""
+    e = int(epoch)
+    m1 = (_KNUTH + 2 * e * 0x9E3779B9) % 4294967296
+    m2 = (_PRIME2 + 2 * e * 0x85EBCA77) % 4294967296
+    return m1, m2
 
 
 # second odd multiplier (xxhash32 prime 2) — a DIFFERENT multiplier,
@@ -426,7 +436,8 @@ def _epoch_salt(epoch: int, salt: int = 50923) -> int:
 _PRIME2 = 2246822519
 
 
-def shard_expr(n_shards: int = 64, salt: int = 50923):
+def shard_expr(n_shards: int = 64, salt: int = 50923,
+               mult: int = _KNUTH):
     """The shard id as a bare Column (cf. ``split_expr``) — lets the
     shard writer annotate rows in place instead of joining
     ``shuffle_shards`` output back on doc_id.
@@ -437,19 +448,22 @@ def shard_expr(n_shards: int = 64, salt: int = 50923):
     for any n dividing 2^32 that collapses to an affine map of
     ``doc_id mod n`` (an all-even id space would fill only half the
     shards). High bits are where a multiplicative hash is actually
-    uniform; works for ANY n_shards, no power-of-two requirement."""
-    h = (F.col("doc_id") * F.lit(_KNUTH) + F.lit(salt)) % F.lit(4294967296)
+    uniform; works for ANY n_shards, no power-of-two requirement.
+    ``mult`` must be odd (bijective mod 2^32); per-epoch variants
+    come from ``_epoch_mults``."""
+    h = (F.col("doc_id") * F.lit(int(mult)) + F.lit(salt)) \
+        % F.lit(4294967296)
     return F.shiftright(h * F.lit(int(n_shards)), 32).cast("bigint")
 
 
-def order_key_expr(salt: int = 50923):
+def order_key_expr(salt: int = 50923, mult: int = _PRIME2):
     """The within-shard order key as a bare Column; a DIFFERENT
     multiplier (not just a different salt — an affine re-salt of the
     same hash is the shard hash plus a constant) so shard and
     in-shard order are genuinely decorrelated. Injective over a
     2^32 id window; the writer adds doc_id as the final sort
     tiebreaker so collisions beyond it stay deterministic."""
-    return ((F.col("doc_id") * F.lit(_PRIME2) + F.lit(salt))
+    return ((F.col("doc_id") * F.lit(int(mult)) + F.lit(salt))
             % F.lit(4294967296)).cast("bigint")
 
 

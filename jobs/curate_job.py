@@ -260,7 +260,7 @@ def main(argv: list[str] | None = None) -> int:
         write_training_shards(
             SnapshotLog(args.output).read(spark), args.shards_output,
             n_shards=args.n_shards,
-            epoch=getattr(args, "shard_epoch", 0))
+            epoch=args.shard_epoch)
     print(json.dumps({"status": "ok", "snapshot_id": manifest["snapshot_id"],
                       "version": manifest["version"], "steps": report}))
     return 0

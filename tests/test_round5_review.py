@@ -998,23 +998,34 @@ def test_portable_token_hash_flat_equals_reference(spark):
     assert [r["flat"] for r in rows if r["tok"] is None] == [None]
 
 
-def test_shard_epoch_resalts_deterministically(spark):
+def test_shard_epoch_reshuffles_deterministically(spark):
     """epoch=0 is byte-identical to the default assignment (oracles
-    unchanged); a different epoch yields a different — but equally
-    deterministic — shard+order assignment."""
+    unchanged); a different epoch yields a genuinely different
+    INDUCED shuffle — shard membership moves for a large fraction of
+    docs and the per-shard document sequences change — not merely
+    shifted raw order_key values (an additive re-salt is affine: it
+    preserves shard high bits and induced order, which is the bug
+    this test exists to keep out)."""
     from camelot_spark.tdp.sampling import shuffle_shards
 
     df = spark.createDataFrame([(i, "x") for i in range(300)],
                                "doc_id long, text string")
-    base = {r["doc_id"]: (r["shard"], r["order_key"])
-            for r in shuffle_shards(df, n_shards=8).collect()}
-    e0 = {r["doc_id"]: (r["shard"], r["order_key"])
-          for r in shuffle_shards(df, n_shards=8, epoch=0).collect()}
-    e1 = {r["doc_id"]: (r["shard"], r["order_key"])
-          for r in shuffle_shards(df, n_shards=8, epoch=1).collect()}
-    e1b = {r["doc_id"]: (r["shard"], r["order_key"])
-           for r in shuffle_shards(df, n_shards=8, epoch=1).collect()}
+
+    def induced(epoch):
+        rows = shuffle_shards(df, n_shards=8, epoch=epoch).collect()
+        seq = {}
+        for r in sorted(rows, key=lambda r: (r["order_key"], r["doc_id"])):
+            seq.setdefault(r["shard"], []).append(r["doc_id"])
+        return seq
+
+    base, e0 = induced(0), induced(0)
+    e1, e1b = induced(1), induced(1)
     assert e0 == base
-    assert e1 == e1b                      # per-epoch determinism
-    assert e1 != base                     # epochs decorrelate
-    assert {s for s, _ in e1.values()} == set(range(8))  # still uniform
+    assert e1 == e1b                          # per-epoch determinism
+    # shard membership actually moves (affine re-salt moved ~0%)
+    moved = sum(1 for s in base for d in base[s]
+                if d not in e1.get(s, []))
+    assert moved > 100                        # > 1/3 of 300 docs
+    # and the per-shard sequences are not the base sequences
+    assert all(e1.get(s) != base[s] for s in base)
+    assert set(e1) == set(range(8))           # still uniform
