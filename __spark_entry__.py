@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text->vector->search chain pinned by one oracle (new r5)
         "hashed_topk": lambda s, d: tdp_text.hashed_topk(
             _load(s, d, "documents")),
+        # contrastive-training hard negatives: max vocabulary overlap
+        # with the query doc, outside the near-dup radius (new r5)
+        "mine_hard_negatives": lambda s, d: tdp_text.mine_hard_negatives(
+            _load(s, d, "documents")),
         # deterministic training-shuffle shard + order-key assignment
         # (materialized by sinks.write_training_shards) (new r5)
         "shuffle_shards": lambda s, d: sampling.shuffle_shards(
@@ -626,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_bucket_mix": sampling.PERPLEXITY_BUCKET_MIX_SQL,
         "feature_hash_embed": tdp_text.FEATURE_HASH_EMBED_SQL,
         "hashed_topk": tdp_text.HASHED_TOPK_SQL,
+        "mine_hard_negatives": tdp_text.MINE_HARD_NEGATIVES_SQL,
         "shuffle_shards": sampling.SHUFFLE_SHARDS_SQL,
         "boilerplate_strip": tdp_text.BOILERPLATE_STRIP_SQL,
         "token_skew_profile": relational.TOKEN_SKEW_PROFILE_SQL,

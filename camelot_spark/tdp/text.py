@@ -865,3 +865,85 @@ SELECT doc_id, dist,
        CAST(row_number() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rank
 FROM sc ORDER BY dist, doc_id LIMIT 10
 """
+
+
+def mine_hard_negatives(documents: DataFrame, query_doc_id: int = 0,
+                        k: int = 10, min_overlap: int = 3,
+                        dup_dist: int = 8) -> DataFrame:
+    """Hard-negative mining for contrastive training: the k documents
+    that SHARE the most vocabulary with the query doc (lexically
+    confusable — the negatives a bi-encoder actually needs) while
+    sitting OUTSIDE the near-duplicate radius in hashed-vector space
+    (so true positives/dups never get labeled negative). Standard
+    curation step for building retrieval/embedding training pairs.
+
+    Signals, both exact integers: overlap = |distinct-token
+    intersection| with the query doc (per-row array_intersect against
+    the broadcast query token set — codegen, zero shuffle); dist =
+    squared L2 between ``feature_hash_vec`` vectors. Keep docs with
+    overlap >= ``min_overlap`` AND dist > ``dup_dist``; rank by
+    (overlap desc, dist asc, doc_id) — most confusable first.
+
+    Scale shape: vectors from the bounded partial-agg pipeline, a
+    2-column 1-row query broadcast into both signal joins, and the
+    global lone-rank filter plans the TakeOrderedAndProject k-row
+    pre-reduce (same shape as ``hashed_topk``). Output
+    (doc_id, overlap, dist, rank)."""
+    toks = F.array_distinct(
+        F.filter(_tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                 lambda t: F.length(t) > 0))
+    base = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        toks.alias("toks"))
+    emb = feature_hash_vec(documents)
+    q = (base.where(F.col("doc_id") == query_doc_id)
+         .select(F.col("toks").alias("q_toks"))
+         .crossJoin(emb.where(F.col("doc_id") == query_doc_id)
+                    .select(F.col("vec").alias("q_vec"))))
+    dist = F.aggregate(
+        F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    overlap = F.size(F.array_intersect("toks", "q_toks")).cast("bigint")
+    scored = (
+        base.where(F.col("doc_id") != query_doc_id)
+        .join(emb, "doc_id")
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", overlap.alias("overlap"), dist.alias("dist"))
+        .where((F.col("overlap") >= min_overlap)
+               & (F.col("dist") > dup_dist))
+    )
+    w = Window.orderBy(F.desc("overlap"), F.asc("dist"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "overlap", "dist",
+                F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+MINE_HARD_NEGATIVES_SQL = f"""
+WITH {_HASHED_VEC_CTE},
+t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_distinct(list_filter(string_split(lower(COALESCE(text, '')),
+                                                ' '),
+                                   tk -> len(tk) > 0)) AS toks
+  FROM documents),
+q AS (
+  SELECT t.toks AS q_toks, v.vec AS q_vec
+  FROM t JOIN v USING (doc_id) WHERE doc_id = 0),
+sc AS (
+  SELECT t.doc_id,
+         CAST(len(list_intersect(t.toks, q_toks)) AS BIGINT) AS overlap,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (vec[i] - q_vec[i]) * (vec[i] - q_vec[i]))) AS BIGINT)
+           AS dist
+  FROM t JOIN v USING (doc_id) CROSS JOIN q
+  WHERE t.doc_id != 0)
+SELECT doc_id, overlap, dist,
+       CAST(row_number() OVER (ORDER BY overlap DESC, dist, doc_id)
+            AS BIGINT) AS rank
+FROM sc
+WHERE overlap >= 3 AND dist > 8
+ORDER BY overlap DESC, dist, doc_id LIMIT 10
+"""

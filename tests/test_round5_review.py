@@ -1029,3 +1029,32 @@ def test_shard_epoch_reshuffles_deterministically(spark):
     # and the per-shard sequences are not the base sequences
     assert all(e1.get(s) != base[s] for s in base)
     assert set(e1) == set(range(8))           # still uniform
+
+
+def test_mine_hard_negatives_excludes_dups_and_ranks_by_overlap(spark):
+    """Near-dups of the query (dist <= dup_dist) are never negatives;
+    low-overlap docs are filtered; rank = overlap desc, dist asc."""
+    from camelot_spark.tdp.text import mine_hard_negatives
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),       # query
+        (1, "alpha beta gamma delta epsilon"),       # exact dup: dist 0
+        (2, "alpha beta gamma delta zeta"),          # 4-overlap, far?
+        (3, "alpha beta gamma eta theta"),           # 3-overlap
+        (4, "alpha iota kappa lam mu"),              # 1-overlap: dropped
+        (5, "nu xi omicron pi rho"),                 # 0-overlap: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = mine_hard_negatives(df, query_doc_id=0, k=10,
+                              min_overlap=3, dup_dist=0).orderBy("rank") \
+        .collect()
+    ids = [r["doc_id"] for r in got]
+    assert 1 not in ids          # exact dup excluded (dist 0 not > 0)
+    assert 4 not in ids and 5 not in ids
+    assert ids[0] == 2           # highest overlap first
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert all(r["overlap"] >= 3 for r in got)
+
+    plan = (mine_hard_negatives(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
