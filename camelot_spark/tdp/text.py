@@ -884,8 +884,13 @@ def mine_hard_negatives(documents: DataFrame, query_doc_id: int = 0,
     overlap >= ``min_overlap`` AND dist > ``dup_dist``; rank by
     (overlap desc, dist asc, doc_id) — most confusable first.
 
-    Scale shape: vectors from the bounded partial-agg pipeline, a
-    2-column 1-row query broadcast into both signal joins, and the
+    Scale shape: each signal reduces to one (doc_id, long) column in
+    its own branch — overlap is a zero-shuffle scan projection
+    against the broadcast query token set, dist rides the bounded
+    partial-agg vector pipeline — and only those SLIM rows meet at
+    the equi-join (shipping the token arrays and vectors through one
+    fat join measured ~2x slower at sf0.1). The overlap >= threshold
+    filter runs scan-side, pre-shrinking the join's left input; the
     global lone-rank filter plans the TakeOrderedAndProject k-row
     pre-reduce (same shape as ``hashed_topk``). Output
     (doc_id, overlap, dist, rank)."""
@@ -896,22 +901,28 @@ def mine_hard_negatives(documents: DataFrame, query_doc_id: int = 0,
         F.col("doc_id").cast("bigint").alias("doc_id"),
         toks.alias("toks"))
     emb = feature_hash_vec(documents)
-    q = (base.where(F.col("doc_id") == query_doc_id)
-         .select(F.col("toks").alias("q_toks"))
-         .crossJoin(emb.where(F.col("doc_id") == query_doc_id)
-                    .select(F.col("vec").alias("q_vec"))))
+    q_toks = (base.where(F.col("doc_id") == query_doc_id)
+              .select(F.col("toks").alias("q_toks")))
+    q_vec = (emb.where(F.col("doc_id") == query_doc_id)
+             .select(F.col("vec").alias("q_vec")))
+    overlaps = (
+        base.where(F.col("doc_id") != query_doc_id)
+        .crossJoin(F.broadcast(q_toks))
+        .select("doc_id",
+                F.size(F.array_intersect("toks", "q_toks"))
+                .cast("bigint").alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+    )
     dist = F.aggregate(
         F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    overlap = F.size(F.array_intersect("toks", "q_toks")).cast("bigint")
-    scored = (
-        base.where(F.col("doc_id") != query_doc_id)
-        .join(emb, "doc_id")
-        .crossJoin(F.broadcast(q))
-        .select("doc_id", overlap.alias("overlap"), dist.alias("dist"))
-        .where((F.col("overlap") >= min_overlap)
-               & (F.col("dist") > dup_dist))
+    dists = (
+        emb.where(F.col("doc_id") != query_doc_id)
+        .crossJoin(F.broadcast(q_vec))
+        .select("doc_id", dist.alias("dist"))
+        .where(F.col("dist") > dup_dist)
     )
+    scored = overlaps.join(dists, "doc_id")
     w = Window.orderBy(F.desc("overlap"), F.asc("dist"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
