@@ -26,6 +26,16 @@ def _tokens(col):
     return F.split(col, " ")
 
 
+def _clean_toks(col_name: str = "text"):
+    """Lowercased non-empty tokens with NULL text folded to the empty
+    list — the one definition of the NULL-safe tokenizer shared by
+    the feature-hash embeddings and hard-negative mining (mirrored in
+    the DuckDB twins' list_filter/COALESCE form)."""
+    return F.filter(
+        _tokens(F.lower(F.coalesce(F.col(col_name), F.lit("")))),
+        lambda t: F.length(t) > 0)
+
+
 _POLY_M = 1_000_000_007
 
 
@@ -743,8 +753,7 @@ def feature_hash_vec(documents: DataFrame, dim: int = 64):
     # array_join silently empties and that would rank FIRST in
     # hashed_topk under asc nulls-first); DuckDB's COALESCE on the
     # per-element sums lands on the same zeros
-    toks = F.filter(_tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))),
-                    lambda t: F.length(t) > 0)
+    toks = _clean_toks()
     h = portable_token_hash(F.col("tok"))
     sign = (F.lit(1)
             - F.shiftright(h, sign_bit).bitwiseAND(F.lit(1)) * F.lit(2))
@@ -804,22 +813,30 @@ def hashed_topk(documents: DataFrame, query_doc_id: int = 0,
     query broadcasts, and the global lone-rank filter plans a
     TakeOrderedAndProject k-row pre-reduce per task (same shape as
     ``pq_topk``). Output (doc_id, dist, rank)."""
-    emb = feature_hash_vec(documents, dim)
-    q = emb.where(F.col("doc_id") == query_doc_id).select(
-        F.col("vec").alias("q_vec"))
-    dist = F.aggregate(
-        F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    scored = (
-        emb.where(F.col("doc_id") != query_doc_id)
-        .crossJoin(F.broadcast(q))
-        .select("doc_id", dist.alias("dist"))
-    )
+    scored = _query_dists(feature_hash_vec(documents, dim), query_doc_id)
     w = Window.orderBy(F.asc("dist"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("doc_id", "dist", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def _query_dists(emb, query_doc_id: int):
+    """(doc_id, dist) for every non-query vector: exact integer
+    squared L2 to the query doc's hashed vector, 1-row query
+    broadcast. The one definition of the cross-engine-sensitive
+    distance branch, shared by ``hashed_topk`` and
+    ``mine_hard_negatives``."""
+    q = emb.where(F.col("doc_id") == query_doc_id).select(
+        F.col("vec").alias("q_vec"))
+    dist = F.aggregate(
+        F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (
+        emb.where(F.col("doc_id") != query_doc_id)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", dist.alias("dist"))
     )
 
 
@@ -894,17 +911,11 @@ def mine_hard_negatives(documents: DataFrame, query_doc_id: int = 0,
     global lone-rank filter plans the TakeOrderedAndProject k-row
     pre-reduce (same shape as ``hashed_topk``). Output
     (doc_id, overlap, dist, rank)."""
-    toks = F.array_distinct(
-        F.filter(_tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))),
-                 lambda t: F.length(t) > 0))
     base = documents.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        toks.alias("toks"))
-    emb = feature_hash_vec(documents)
+        F.array_distinct(_clean_toks()).alias("toks"))
     q_toks = (base.where(F.col("doc_id") == query_doc_id)
               .select(F.col("toks").alias("q_toks")))
-    q_vec = (emb.where(F.col("doc_id") == query_doc_id)
-             .select(F.col("vec").alias("q_vec")))
     overlaps = (
         base.where(F.col("doc_id") != query_doc_id)
         .crossJoin(F.broadcast(q_toks))
@@ -913,15 +924,8 @@ def mine_hard_negatives(documents: DataFrame, query_doc_id: int = 0,
                 .cast("bigint").alias("overlap"))
         .where(F.col("overlap") >= min_overlap)
     )
-    dist = F.aggregate(
-        F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    dists = (
-        emb.where(F.col("doc_id") != query_doc_id)
-        .crossJoin(F.broadcast(q_vec))
-        .select("doc_id", dist.alias("dist"))
+    dists = _query_dists(feature_hash_vec(documents), query_doc_id) \
         .where(F.col("dist") > dup_dist)
-    )
     scored = overlaps.join(dists, "doc_id")
     w = Window.orderBy(F.desc("overlap"), F.asc("dist"), F.asc("doc_id"))
     return (
