@@ -283,3 +283,49 @@ def test_curate_boilerplate_and_ppl_mix_steps(spark):
     none_kept, _ = apply_steps(spark, docs, Args3)
     # every doc with bigrams dropped; none have <2 tokens here
     assert none_kept.count() == 0
+
+
+def test_maintain_job_compact_expire_orphans(spark, tmp_path):
+    """The maintenance job compacts the live data into one replacing
+    snapshot, expires old manifests, and removes orphan dirs — with
+    row counts preserved end to end and the audit report accurate."""
+    import json
+    import os
+
+    from camelot_spark.snapshots import SnapshotLog
+    from jobs.maintain_job import main
+
+    out = str(tmp_path / "t")
+    log = SnapshotLog(out)
+    docs = _corpus(spark)
+    for i in range(3):  # a 3-version chain of small appends
+        log.append(docs.where(docs.doc_id % 3 == i))
+    n = log.read(spark).count()
+    # plant an orphan (crashed-writer dir, no manifest references it)
+    orphan = os.path.join(out, "data", "orphan-123")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").write(b"junk")
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--table", out, "--steps", "compact,expire,orphans",
+                   "--keep-last", "2", "--target-partitions", "2"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["status"] == "ok"
+    assert rep["version_before"] == 3
+    assert rep["compacted_version"] == 4
+    # keep-last 2 of versions [1,2,3,4] -> 1 and 2 expired
+    assert rep["expired_versions"] == [1, 2]
+    assert rep["orphans_removed"] == [orphan]
+    assert not os.path.exists(orphan)
+    assert rep["rows"] == n == log.read(spark).count()
+    # compaction replaced the chain tail: live data is the compacted
+    # dir only, and the expired versions no longer time-travel
+    assert rep["version_after"] == 4
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        log.manifest(1)
