@@ -309,10 +309,30 @@ def test_maintain_job_compact_expire_orphans(spark, tmp_path):
     import io
     from contextlib import redirect_stdout
 
+    # dry-run first: full preview, ZERO mutation
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = main(["--table", out, "--steps", "compact,expire,orphans",
-                   "--keep-last", "2", "--target-partitions", "2"])
+                   "--keep-last", "2", "--dry-run"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["dry_run"] is True
+    assert rep["would_expire_versions"] == [1]
+    assert rep["orphans_found"] == [orphan]
+    assert rep["version_after"] == 3 and os.path.exists(orphan)
+    assert "compacted_version" not in rep
+
+    # a typo'd step list aborts BEFORE anything runs
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--table", out, "--steps", "compact,expires"])
+    assert log.latest()["version"] == 3
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--table", out, "--steps", "compact,expire,orphans",
+                   "--keep-last", "2", "--target-partitions", "2",
+                   "--count-rows"])
     assert rc == 0
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["status"] == "ok"
@@ -326,6 +346,35 @@ def test_maintain_job_compact_expire_orphans(spark, tmp_path):
     # compaction replaced the chain tail: live data is the compacted
     # dir only, and the expired versions no longer time-travel
     assert rep["version_after"] == 4
-    import pytest
     with pytest.raises(FileNotFoundError):
         log.manifest(1)
+
+
+def test_maintain_job_reports_commit_conflict(spark, tmp_path, monkeypatch):
+    """A concurrent append during compact surfaces as status=conflict
+    with the audit line still printed and exit code 1 — never an
+    unhandled traceback that loses the scheduler's record."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from camelot_spark import snapshots as snap
+    from camelot_spark.snapshots import SnapshotLog
+    from jobs.maintain_job import main
+
+    out = str(tmp_path / "t")
+    SnapshotLog(out).append(_corpus(spark))
+
+    def racing_compact(self, spark_, target_partitions=1, metrics=None):
+        raise snap.CommitConflict("concurrent commit during compaction")
+
+    monkeypatch.setattr(snap.SnapshotLog, "compact", racing_compact)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--table", out, "--steps", "compact,expire"])
+    assert rc == 1
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["status"] == "conflict"
+    # expire did NOT run after the conflict (stop-mutating rule)
+    assert "expired_versions" not in rep
+    assert rep["version_after"] == 1
