@@ -216,24 +216,25 @@ def main() -> None:
         # timings for every query are on the detail line above)
         by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
         keep = len(by_cost)
-        while keep > 0:
+        line = None
+        while True:
             summary = {
                 "metric": "docs/sec extraction throughput + slowest-query sec",
                 "value": total,
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in by_cost[:keep]},
                 "queries_omitted_under": (
-                    None if keep == len(by_cost)
-                    else round(by_cost[keep][1], 2)),
+                    round(by_cost[keep][1], 2)
+                    if keep < len(by_cost) else None),
                 "n_queries": len(by_cost),
                 "sf": SF_DIR,
                 "docs_per_sec": round(docs_per_sec, 1),
                 "cpus": args.cpus,
             }
             line = json.dumps(summary, separators=(",", ":"))
-            if len(line) <= 1900:
-                break
-            keep -= 5
+            if len(line) <= 1900 or keep == 0:
+                break  # keep==0 summary (no per-query dict) is bounded
+            keep = max(keep - 5, 0)
         print(line)
     finally:
         spark.stop()

@@ -155,7 +155,15 @@ def assemble_multipart_stream(parts, timeout_ms: int = 0,
     Built-ins cannot express this: ``dropDuplicatesWithinWatermark``
     dedups whole rows, windowed aggs cannot emit-on-condition mid-
     window; this is exactly the arbitrary-stateful-processing seam.
-    State per key is O(parts of one doc), never O(stream)."""
+    State per key is O(parts of one doc), never O(stream).
+
+    .. warning:: state-schema change — ``ASSEMBLE_STATE_SCHEMA`` gained
+       a 4th field (``max_ts_ms``, for event-time timeouts). Spark does
+       NOT migrate ``applyInPandasWithState`` state schemas: a query
+       resuming from a checkpoint written before that change will fail
+       or misparse its 3-tuple state. Restart such streams with a FRESH
+       checkpoint directory (replay the source; the operator's
+       first-seen dedup makes replay safe)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -315,8 +323,16 @@ def streaming_neardup_pairs(documents, num_hashes: int = 32, bands: int = 8,
 
     A pair can emit once per band it collides in; consumers treat the
     output as a candidate stream (dedupe downstream / verify with
-    exact Jaccard), exactly like the batch LSH candidates."""
+    exact Jaccard), exactly like the batch LSH candidates.
+
+    Shingle-less docs (< ``n`` tokens, band_sig='') are dropped before
+    the stateful step — same short-doc guard as ``dedup_incremental``.
+    (Batch ``minhash_lsh_pairs`` emits those degenerate pairs and lets
+    the Jaccard verify kill them; a stream has no downstream verify
+    before state, so the '' bucket would accumulate every short doc
+    ever seen and saturate ``bucket_cap``.)"""
     import pandas as pd
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .tdp import dedup as tdp_dedup
@@ -359,6 +375,12 @@ def streaming_neardup_pairs(documents, num_hashes: int = 32, bands: int = 8,
 
     timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
                     else GroupStateTimeout.NoTimeout)
+    # shingle-less (<n tokens) docs bucket to band_sig='' under both
+    # hash families; without this guard every short doc across all
+    # batches lands in the (band, '') bucket — spurious pairs that
+    # saturate bucket_cap and then suppress real collisions. Same
+    # short-doc guard as batch dedup_incremental (dedup.py real_bucket).
+    banded = banded.where(F.col("band_sig") != "")
     return banded.groupBy("band", "band_sig").applyInPandasWithState(
         pair_up, "a_id bigint, b_id bigint", "ids array<bigint>",
         "append", timeout_conf)

@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     unknown = [s for s in steps if s not in _KNOWN_STEPS]
     if unknown:  # fail BEFORE any step mutates the table
         raise SystemExit(f"unknown steps {unknown!r}; known: {_KNOWN_STEPS}")
+    if "expire" in steps and args.keep_last < 1:
+        # expire_snapshots requires keep_last >= 1; validate upfront so
+        # the dry run predicts the wet run instead of slicing [:-0] == []
+        raise SystemExit("--keep-last must be >= 1 when running expire")
 
     from pyspark.sql import SparkSession
 

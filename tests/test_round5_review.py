@@ -437,6 +437,19 @@ class TestStreamingNeardup:
         got = self._run(spark, [docs], tmp_path, bucket_cap=2)
         assert got == {(0, 1)}
 
+    def test_short_docs_never_pair(self, spark, tmp_path):
+        """Shingle-less (<n tokens) docs bucket to band_sig='' — the
+        guard must drop them before state, so unrelated short docs
+        across batches emit NO pairs and cannot saturate bucket_cap."""
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        short = [(10, "hi"), (11, "ok"), (12, "yo there")]
+        real = [(0, t), (2, t + " lambda")]
+        got = self._run(spark, [short[:2], [short[2]] + real],
+                        tmp_path, bucket_cap=2)
+        # with cap=2 a saturated '' bucket would also have blocked
+        # nothing here — but the spurious (10,11) pair is the signal
+        assert got == {(0, 2)}
+
 
 class TestQualityClassifier:
     def test_rocchio_learns_and_mirrors_python(self, spark):
