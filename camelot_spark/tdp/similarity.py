@@ -522,7 +522,8 @@ SELECT a_id, b_id, cos_x10k FROM scored WHERE cos_x10k >= 3000
 
 
 def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
-                   threshold_x10k: int = 3000) -> DataFrame:
+                   threshold_x10k: int = 3000,
+                   cell_cap: int = 10000) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): IVF coarse clusters bound the pair space, then within
     each cluster a vector is DROPPED when a lower-id member sits at
@@ -538,6 +539,15 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
       point (cluster count scales with corpus so cluster sizes stay
       bounded; the default K=16 is what SEMANTIC_DEDUP_SQL pins —
       pass a different K only with a matching _ivf_scores_cte(K) twin);
+    - ``cell_cap`` bounds a HOT cell: only the first ``cell_cap``
+      members of a cell (by vec_id — deterministic) act as the pair
+      join's a-side ("representatives"); the b-side stays unrestricted,
+      so every member is still compared against the cell's head but the
+      per-cell pair space is cap·|cell| (linear), never |cell|² — the
+      same skew guard as ``embedding_neardup_pairs``' bucket_cap.
+      Output is IDENTICAL to uncapped whenever no cell exceeds the cap
+      (keep-first drops the higher id of a close pair, and the likely
+      droppers — low ids — are exactly the representatives);
     - the drop set is a DISTINCT on bare ids, and the final flag is a
       broadcast-able left-semi-style join, all 8-byte traffic.
     Comparisons use the floor(cos·10⁴) integer the twin mirrors."""
@@ -549,9 +559,17 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
     # computing them per PAIR would redo the O(dim) fold ~cell_size
     # times per vector; dot/(na*nb) is the same expression tree, so
     # results stay bit-identical to the oracle's per-pair formula
-    a = e.select(F.col("ivf_cell"), F.col("vec_id").alias("a_id"),
+    #
+    # the a-side rank filter (WindowGroupLimit over the same ivf_cell
+    # partitioning the join shuffles on — one exchange serves both)
+    # is the cell_cap guard documented above
+    rep_rn = F.row_number().over(
+        Window.partitionBy("ivf_cell").orderBy("vec_id"))
+    a = (e.withColumn("cell_rn", rep_rn)
+         .where(F.col("cell_rn") <= cell_cap)
+         .select(F.col("ivf_cell"), F.col("vec_id").alias("a_id"),
                  F.col("embedding").alias("emb_a"),
-                 _norm(F.col("embedding")).alias("norm_a"))
+                 _norm(F.col("embedding")).alias("norm_a")))
     b = e.select(F.col("ivf_cell"), F.col("vec_id").alias("b_id"),
                  F.col("embedding").alias("emb_b"),
                  _norm(F.col("embedding")).alias("norm_b"))
@@ -577,9 +595,15 @@ assigned AS (
   SELECT vec_id, embedding,
          CAST(list_position(ss, list_max(ss)) - 1 AS INTEGER) AS ivf_cell
   FROM scored),
+reps AS (
+  -- cell_cap mirror: only the first 10000 members of a cell (by
+  -- vec_id) participate as the dropping side, like the Spark plan
+  SELECT vec_id, embedding, ivf_cell FROM assigned
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY ivf_cell ORDER BY vec_id)
+          <= 10000),
 dropped AS (
   SELECT DISTINCT b.vec_id AS vec_id
-  FROM assigned a JOIN assigned b
+  FROM reps a JOIN assigned b
     ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
   WHERE CAST(FLOOR(
           list_sum(list_transform(a.embedding,

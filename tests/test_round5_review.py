@@ -220,6 +220,39 @@ def test_semantic_dedup_keep_first(spark):
     assert len(out) == 4
 
 
+def test_semantic_dedup_cell_cap_bounds_hot_cell(spark):
+    """A planted hot cell cannot go quadratic: with cell_cap=2, only
+    the first 2 members of the cell (by vec_id) drop others — tail
+    members are compared against the head (linear, cap x |cell|) but
+    never against EACH OTHER. And when the cap doesn't bind, output is
+    identical to uncapped."""
+    from camelot_spark.tdp.similarity import semantic_dedup
+
+    u = [1.0, 0.0, 0.0, 0.0]
+    v = [0.7, 0.7, 0.0, 0.0]            # cos(u, v) ~ 0.707 < 0.99
+    rows = [(0, u), (1, u), (2, v), (3, v), (4, v)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # n_cells=1 makes the whole corpus ONE hot cell by construction
+    uncapped = {r["vec_id"]: r["is_kept"] for r in semantic_dedup(
+        emb, n_cells=1, threshold_x10k=9900).collect()}
+    # reps {0,1} drop 1; tail pairs (2,3),(3,4),(2,4) drop 3,4
+    assert uncapped == {0: 1, 1: 0, 2: 1, 3: 0, 4: 0}
+
+    capped = {r["vec_id"]: r["is_kept"] for r in semantic_dedup(
+        emb, n_cells=1, threshold_x10k=9900, cell_cap=2).collect()}
+    # reps {0,1}: (0,1) still compared (drop 1); head x tail compared
+    # but cos < threshold; tail x tail (2,3),(2,4),(3,4) NEVER compared
+    # => 3 and 4 survive — the observable proof the pair space is
+    # cap x |cell|, not |cell|^2
+    assert capped == {0: 1, 1: 0, 2: 1, 3: 1, 4: 1}
+
+    # non-binding cap (>= cell size) reproduces uncapped exactly
+    roomy = {r["vec_id"]: r["is_kept"] for r in semantic_dedup(
+        emb, n_cells=1, threshold_x10k=9900, cell_cap=5).collect()}
+    assert roomy == uncapped
+
+
 def test_lm_bigram_score_brute_force(spark):
     """Integer bigram surprisal against a from-scratch reference."""
     import math
