@@ -64,6 +64,23 @@ def ngram_jaccard_adjacent(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _prod_minhash_hash(s, k: int):
+    """The production minhash hash family: xxhash64 seeded per-k.
+
+    Module-level on purpose — no DuckDB oracle can reach xxhash64, so
+    the wire-verification test (tests/test_round6.py) monkeypatches
+    THIS symbol with the portable hash and runs the production
+    ``portable=False`` code path end-to-end, asserting pair-set
+    equality with ``portable=True``. That pins the prod branch's
+    signature assembly / banding wiring, not just the shared logic."""
+    return F.xxhash64(s, F.lit(k))
+
+
+def _prod_simhash_token_hash(w):
+    """The production simhash token hash (same test seam rationale)."""
+    return F.xxhash64(w)
+
+
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, n: int = 3, portable: bool = False
 ) -> DataFrame:
@@ -93,7 +110,9 @@ def minhash_signatures(
         return lambda h: (h * (2654435761 + k) + 40503 * (k + 1)) % _POLY_M
 
     def _seeded(k):
-        return lambda s: F.xxhash64(s, F.lit(k))
+        # late-bound module global: tests swap _prod_minhash_hash for a
+        # portable hash to wire-verify the PRODUCTION branch below
+        return lambda s: _prod_minhash_hash(s, k)
 
     if portable:
         ph = F.transform("sh", portable_token_hash)
@@ -205,7 +224,8 @@ def simhash64(documents: DataFrame) -> DataFrame:
     the scan."""
     from . import spread
 
-    hashes = F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+    hashes = F.transform(F.split("text", " "),
+                         lambda w: _prod_simhash_token_hash(w))
 
     def bits_of(h):  # ±1 per bit of one 64-bit hash (unrolled: the
         # shift amount must be a Python int, not a lambda variable)
