@@ -294,21 +294,23 @@ FROM off
 # green row is ever more than one round old. Update this set from
 # CORRECTNESS_r{N}.json each round.
 _DRIVER_CHECKED_LAST_ROUND = frozenset({
-    "media_features", "audio_meta", "audio_features", "token_rarity",
-    "link_rank", "rank_weighted_sample", "lineage_report", "span_stats",
-    "parsing_report", "table_export_csv", "media_meta",
-    "frame_sample_counts", "media_resize", "ann_topk",
-    "embedding_neardup", "embedding_neardup_pairs", "ann_lsh_topk",
-    "ivf_assign", "quantize_embeddings", "ivf_topk", "simhash_near_dups",
-    "simhash_near_dups_portable", "neardup_verified_portable",
-    "dedup_groups_verified", "extract_stream_corpus",
-    "extract_lattice_corpus", "sessionize_gaps", "interval_islands",
-    "mode_of_counts", "argmax_vote", "topk_cap", "grid_metrics",
-    "range_predicate", "asof_join", "range_join", "histogram_quantiles",
-    "event_props_stats", "time_rollup", "langid_vote", "quality_score",
-    "token_stats", "doc_fingerprint", "winnow_fingerprints",
-    "normalize_text", "repetition_stats", "scrub_pii", "top_ngrams",
-    "html_strip", "html_main_content", "html_links",
+    # = the 50 keys in CORRECTNESS_r05.json
+    "ann_recall", "avi_audio_roundtrip", "bm25_topk", "boilerplate_strip",
+    "bpe_token_counts", "bpe_train", "chunk_documents", "clean_corpus",
+    "cluster_balanced_sample", "corpus_mix", "dataset_split",
+    "decontaminate", "decontaminate_bloom", "dedup_exact", "dedup_groups",
+    "dedup_groups_portable", "dedup_groups_star", "dedup_incremental",
+    "dedup_keep_first", "dup_substring_spans", "dup_substring_stats",
+    "feature_hash_embed", "hashed_topk", "inverted_index", "ivf_refine",
+    "kmv_distinct", "kmv_distinct_partial", "length_histogram",
+    "lm_bigram_score", "media_features", "mine_hard_negatives",
+    "minhash_lsh_pairs", "minhash_lsh_pairs_portable",
+    "minhash_neardup_verified", "ngram_jaccard", "pack_sequences",
+    "pack_sequences_global", "perplexity_bucket_mix", "pq_encode",
+    "pq_topk", "quality_classifier_predictions", "semantic_dedup",
+    "session_rollup", "shuffle_shards", "stratified_sample",
+    "stratified_topk_sample", "strip_dup_substrings", "token_hot_keys",
+    "token_skew_profile", "train_quality_classifier",
 })
 
 # Queries with no DuckDB twin (xxhash64 / extraction-kernel based) get
@@ -350,6 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integer L2 top-k over the hashed vectors — the whole
         # text->vector->search chain pinned by one oracle (new r5)
         "hashed_topk": lambda s, d: tdp_text.hashed_topk(
+            _load(s, d, "documents")),
+        # hybrid text+vector search: hashed text vectors through the
+        # bucketed IVF ANN path, all-integer (new r6)
+        "hashed_ivf_topk": lambda s, d: tdp_text.hashed_ivf_topk(
             _load(s, d, "documents")),
         # contrastive-training hard negatives: max vocabulary overlap
         # with the query doc, outside the near-dup radius (new r5)
@@ -630,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_bucket_mix": sampling.PERPLEXITY_BUCKET_MIX_SQL,
         "feature_hash_embed": tdp_text.FEATURE_HASH_EMBED_SQL,
         "hashed_topk": tdp_text.HASHED_TOPK_SQL,
+        "hashed_ivf_topk": tdp_text.HASHED_IVF_TOPK_SQL,
         "mine_hard_negatives": tdp_text.MINE_HARD_NEGATIVES_SQL,
         "shuffle_shards": sampling.SHUFFLE_SHARDS_SQL,
         "boilerplate_strip": tdp_text.BOILERPLATE_STRIP_SQL,

@@ -884,6 +884,108 @@ FROM sc ORDER BY dist, doc_id LIMIT 10
 """
 
 
+def hashed_ivf_topk(documents: DataFrame, query_doc_id: int = 0,
+                    k: int = 10, dim: int = 64, n_cells: int = 8,
+                    probes: int = 2) -> DataFrame:
+    """Hybrid text+vector search: ``feature_hash_vec`` text vectors
+    through the IVF bucketed ANN path — the scale answer when exact
+    ``hashed_topk`` (a full corpus scan per query) gets too expensive.
+    Same inverted-file plan as ``similarity.ivf_topk`` (pivots via the
+    shared ``_pivot_row``), but ALL-INTEGER: cell = argmin squared-L2
+    to the pivot (first-min wins ties), so there is no float cosine
+    anywhere and the whole hybrid chain is pinned by one hash oracle.
+
+    Scale shape: the K-pivot row and the query's probe-cell list
+    broadcast; cell assignment is a per-row JVM fold in the scan's own
+    task (zero shuffle on vectors); only the ~probes/n_cells candidate
+    slice reaches the exact distance rank, whose lone-rank filter plans
+    the k-row TakeOrdered pre-reduce. Output (doc_id, dist, rank)."""
+    from .similarity import _pivot_row
+
+    emb = feature_hash_vec(documents, dim)
+    prow = _pivot_row(
+        emb.select(F.col("doc_id").alias("vec_id"),
+                   F.col("vec").alias("embedding")), n_cells)
+
+    def dist_to(p_vec, vec=F.col("vec")):
+        return F.aggregate(
+            F.zip_with(vec, p_vec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    scored = emb.crossJoin(F.broadcast(prow))
+    ds = F.transform(F.col("pivots"), lambda p: dist_to(p["p_emb"]))
+    cells = scored.select(
+        "doc_id", "vec",
+        (F.array_position(ds, F.array_min(ds)) - 1).cast("int").alias("cell"))
+    # the query doc's `probes` nearest cells by the SAME integer metric
+    # (asc dist, pivot index tie-break), as a broadcast ≤probes-row side
+    ranked = F.array_sort(F.transform(
+        F.col("pivots"),
+        lambda p, i: F.struct(dist_to(p["p_emb"]).alias("d"),
+                              i.alias("idx"))))
+    q_cells = (
+        emb.where(F.col("doc_id") == query_doc_id)
+        .crossJoin(F.broadcast(prow))
+        .select(F.explode(F.transform(
+            F.slice(ranked, 1, probes),
+            lambda s: s["idx"].cast("int"))).alias("q_cell")))
+    cand = (
+        cells.join(F.broadcast(q_cells),
+                   cells.cell == q_cells.q_cell, "left_semi")
+        .where(F.col("doc_id") != query_doc_id))
+    q = emb.where(F.col("doc_id") == query_doc_id).select(
+        F.col("vec").alias("q_vec"))
+    dist = F.aggregate(
+        F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = Window.orderBy(F.asc("dist"), F.asc("doc_id"))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("doc_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "dist", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+HASHED_IVF_TOPK_SQL = f"""
+WITH {_HASHED_VEC_CTE},
+piv AS (
+  SELECT row_number() OVER (
+           ORDER BY (doc_id * 2654435761 + 40503) % 1000000007, doc_id)
+           AS pid,
+         vec AS p_vec
+  FROM v QUALIFY pid <= 8),
+plist AS (SELECT list(p_vec ORDER BY pid) AS pivots FROM piv),
+assigned AS (
+  SELECT doc_id, vec,
+         list_transform(pivots, p ->
+           list_sum(list_transform(range(1, 65),
+                    i -> (vec[i] - p[i]) * (vec[i] - p[i])))) AS ds
+  FROM v, plist),
+cells AS (
+  SELECT doc_id, vec, list_position(ds, list_min(ds)) - 1 AS cell
+  FROM assigned),
+qcells AS (
+  SELECT u.gs.i - 1 AS q_cell
+  FROM (SELECT unnest(list_sort(
+                 [{{'d': ds[i], 'i': i}} FOR i IN range(1, len(ds) + 1)]
+               )[1:2]) AS gs
+        FROM assigned WHERE doc_id = 0) u),
+q AS (SELECT vec AS q_vec FROM v WHERE doc_id = 0),
+sc AS (
+  SELECT c.doc_id,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (c.vec[i] - q_vec[i]) * (c.vec[i] - q_vec[i])))
+           AS BIGINT) AS dist
+  FROM cells c, q
+  WHERE c.cell IN (SELECT q_cell FROM qcells) AND c.doc_id <> 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, dist,
+       CAST(row_number() OVER (ORDER BY dist, doc_id) AS BIGINT) AS rank
+FROM sc QUALIFY rank <= 10
+"""
+
+
 def mine_hard_negatives(documents: DataFrame, query_doc_id: int = 0,
                         k: int = 10, min_overlap: int = 3,
                         dup_dist: int = 8) -> DataFrame:
