@@ -331,6 +331,37 @@ def doc_twotables(doc_id: str = "twotables-0", dx: float = 0.0, dy: float = 0.0)
     return b
 
 
+def doc_stacked(doc_id: str = "stacked-0", dx: float = 0.0, dy: float = 0.0):
+    """Two vertically-adjacent stream tables whose columns ALIGN to
+    within ~1pt (models `tests/files/tabula/12s0324.pdf` +
+    `test_common.py:55-64` test_stream_two_tables) — the classic
+    Stream false-merge geometry that `doc_twotables` sidesteps with
+    7-21pt column offsets.
+
+    Reference semantics under test (`camelot/core.py:63-75,98-106`):
+    table 2's lines x-match table 1's edges only within atol=0.5, so a
+    1.2pt offset creates NEW edges for table 2; the >edge_tol vertical
+    gap keeps them from chaining; disjoint y-ranges keep the two areas
+    from merging — TWO tables, top one first. (At offsets < 0.5pt the
+    reference would silently DROP table 2 — the found-but-too-far
+    quirk; kernels/textedges.py mirrors that too.)"""
+    b = DocBuilder(doc_id)
+    col_x1 = [72.0 + dx, 190.0 + dx, 310.0 + dx]
+    # aligned to 1.2pt: outside find()'s 0.5 atol, inside visual
+    # alignment — the 12s0324 shape
+    col_x2 = [x + 1.2 for x in col_x1]
+    cells1 = _grid_texts(7, 3, "u")
+    cells2 = _grid_texts(7, 3, "v")
+    y_top1 = 700.0 + dy
+    t1 = add_stream_table(b, cells1, col_x1, y_top1)
+    y_top2 = t1["y_bottom_line"] - 100.0   # gap 100 > edge_tol 50
+    t2 = add_stream_table(b, cells2, col_x2, y_top2)
+    b.add_table_golden(t1["anchor_estimate"] - 10.0, col_x1[0] - 10.0, 1, cells1)
+    b.add_table_golden(t2["anchor_estimate"] - 10.0, col_x2[0] - 10.0, 2, cells2)
+    b.add_prose("Adjacent aligned summaries follow", 72.0 + dx, y_top1 + H + 70.0)
+    return b
+
+
 def doc_rowspan(doc_id: str = "rowspan-0", dx: float = 0.0, dy: float = 0.0):
     """Lattice grid with a missing interior horizontal edge → vspan;
     shift_text=['l','t'] default moves text up (models row_span_1.pdf)."""
@@ -739,6 +770,7 @@ FAMILIES = {
     "sidebyside": doc_sidebyside,
     "manytables": doc_manytables,
     "twotables": doc_twotables,
+    "stacked": doc_stacked,
     "rowspan": doc_rowspan,
     "colspan": doc_colspan,
     "copytext": doc_copytext,

@@ -30,6 +30,32 @@ def test_family_golden_jittered(family):
     assert res["spans"] == b.golden()
 
 
+def test_stacked_sub_tolerance_x_drops_second_table():
+    """The found-but-too-far reference quirk (`camelot/core.py:63-75`):
+    when a lower table's columns match an upper table's edges within
+    find()'s 0.5pt atol but sit > edge_tol below, its lines neither
+    extend the edge nor create a new one — the second table is
+    silently DROPPED, not merged. doc_stacked's 1.2pt offset is what
+    keeps the real family on the two-tables side of this cliff."""
+    from camelot_spark.fixtures import (DocBuilder, _grid_texts,
+                                        add_stream_table)
+
+    b = DocBuilder("stacked-drop")
+    col_x = [72.0, 190.0, 310.0]
+    cells1 = _grid_texts(7, 3, "u")
+    cells2 = _grid_texts(7, 3, "v")
+    t1 = add_stream_table(b, cells1, col_x, 700.0)
+    add_stream_table(b, cells2, col_x, t1["y_bottom_line"] - 100.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = extract_document(b.spans, make_config("stream"))
+    kinds = {text[0]: kind for kind, text, _, _ in res["spans"] if text}
+    assert kinds["u"] == "cell"   # table 1 extracted as a table
+    # table 2 dropped from table detection (its lines demote to prose,
+    # never cells), exactly the reference's silent-drop behavior
+    assert kinds["v"] == "prose"
+
+
 def test_parsing_report_metrics():
     """accuracy/whitespace replicate the reference formulas
     (`camelot/utils.py:709-760`): clean fixtures → 100 / 0."""
