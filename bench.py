@@ -176,6 +176,26 @@ def main() -> None:
         runs.append((sec, n_docs, skew))
         timings["extract_corpus_headline"] = round(sec, 3)
 
+        # full-corpus honesty line (VERDICT r5 #6): ALL fixture
+        # families, raster decoding included — the headline's 5-family
+        # mix underweights the heavy lattice/raster goldens, so this
+        # second number is the whole-corpus throughput a user of every
+        # family would see. One timed pass (trend line, not median).
+        from camelot_spark import fixtures as fx
+
+        full_stream, full_lattice = fx.families_by_flavor()
+        from camelot_spark.pipeline import synthesize_and_extract
+
+        keys_full = replicated_keys(spark, SF_DIR, REPL, args.cpus)
+        t0 = time.monotonic()
+        _force(synthesize_and_extract(
+            keys_full, "stream", families=full_stream,
+            fail_fast=True).unionByName(synthesize_and_extract(
+                keys_full, "lattice", families=full_lattice,
+                fail_fast=True)))
+        full_sec = time.monotonic() - t0
+        timings["extract_corpus_full"] = round(full_sec, 3)
+
         for name, q in entrymod.queries().items():
             # steady-state timing: first run pays one-off plan compile +
             # JIT (amortized to ~0 at production scale); report the min

@@ -797,6 +797,17 @@ STREAM_FAMILIES = ["health", "twotables", "prose"]
 LATTICE_FAMILIES = ["foo", "rowspan"]
 
 
+def families_by_flavor() -> tuple[list[str], list[str]]:
+    """Every family split by its native flavor — the bench's
+    full-corpus (raster-weighted) tiling, vs the 5-family headline."""
+    st: list[str] = []
+    lat: list[str] = []
+    for name, make in FAMILIES.items():
+        b = make(f"{name}-probe")
+        (lat if b.flavor == "lattice" else st).append(name)
+    return st, lat
+
+
 def builder_for(doc_key: str, families: list[str] | None = None,
                 skew_family: str = "twotables", skew_frac: float = 0.05,
                 raw: bool = False) -> DocBuilder:

@@ -90,39 +90,81 @@ def minhash_signatures(
     codegen. Seeds are column literals so one pass computes all K.
 
     ``portable=False`` (default, the scale path) uses xxhash64(s, k) —
-    the fastest built-in 64-bit hash, but with no DuckDB twin.
+    the fastest built-in 64-bit hash, computed scan-locally inside the
+    array fold (one JVM call per element is cheap even interpreted, and
+    the signature never leaves its scan task — zero added shuffle).
     ``portable=True`` derives hash_k from the polynomial token hash
     ((ph·(2654435761+k) + 40503·(k+1)) mod 1e9+7), fully reproducible
     in SQL, so the banded-LSH candidate logic is hash-verified by the
-    DuckDB oracle; slower per shingle (a char fold instead of one JVM
-    hash call), so production keeps the default."""
+    DuckDB oracle.
+
+    The portable branch is explode → codegen projection → partial-agg
+    MIN per seed, NOT a transform() fold: higher-order-function lambda
+    bodies are interpreted per element, and the flat branch-on-length
+    hash that wins 10× inside whole-stage codegen (feature_hash_vec)
+    loses 2.5× interpreted — measured r6, 3.5 s vs 1.3 s at sf0.1. The
+    hash projects ONCE per shingle into ``ph`` and the 32 seed mixes
+    read that column in a second projection (32 inline copies of the
+    hash overflow janino's 64 KB method limit and kill codegen
+    entirely). Cost of the shape: one extra exchange of
+    (doc_id, 32 longs) per doc — partial aggregation combines the
+    exploded shingle rows map-side, so shuffled bytes equal the
+    signature itself."""
     from . import spread
     from .text import _POLY_M, portable_token_hash
 
     d = spread(documents).select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+
+    if portable and documents.isStreaming:
+        # the explode+agg shape below is a streaming AGGREGATION (would
+        # demand a watermark and delay emission); streams keep the
+        # stateless per-row fold — same values, computed in the batch's
+        # own tasks (streaming_neardup_pairs' micro-batches are small,
+        # so the interpreted-lambda cost the batch path dodges is noise)
+        ph = F.transform("sh", portable_token_hash)
+
+        def _mix(k):
+            return lambda h: (h * (2654435761 + k) + 40503 * (k + 1)) % _POLY_M
+
+        sig = F.array(*[F.array_min(F.transform(ph, _mix(k)))
+                        for k in range(num_hashes)])
+        return d.select("doc_id", sig.alias("sig"))
+
+    if portable:
+        # explode_outer keeps shingle-less docs as one NULL-shingle row
+        # → NULL mins → all-NULL sig → band_sig '' (same as the fold)
+        ex = d.select("doc_id", F.explode_outer("sh").alias("__mh_s"))
+        ex = ex.select(
+            "doc_id", portable_token_hash(F.col("__mh_s")).alias("__mh_ph"))
+        mixes = [
+            ((F.col("__mh_ph") * (2654435761 + k) + 40503 * (k + 1))
+             % _POLY_M).alias(f"__mh_h{k}")
+            for k in range(num_hashes)
+        ]
+        agg = (
+            ex.select("doc_id", *mixes)
+            .groupBy("doc_id")
+            .agg(*[F.min(f"__mh_h{k}").alias(f"__mh_m{k}")
+                   for k in range(num_hashes)])
+        )
+        return agg.select(
+            "doc_id",
+            F.array(*[F.col(f"__mh_m{k}")
+                      for k in range(num_hashes)]).alias("sig"))
 
     # Seeds MUST be closed over via a factory, never a lambda default:
     # Spark's HOF wrapper substitutes a Column for EVERY lambda
     # parameter (defaults included), so `lambda s, k=k:` silently binds
     # k to the array-index column — every "seed" becomes the element
     # index and all K signature entries collapse to the same hash.
-    def _mix(k):
-        return lambda h: (h * (2654435761 + k) + 40503 * (k + 1)) % _POLY_M
-
     def _seeded(k):
         # late-bound module global: tests swap _prod_minhash_hash for a
         # portable hash to wire-verify the PRODUCTION branch below
         return lambda s: _prod_minhash_hash(s, k)
 
-    if portable:
-        ph = F.transform("sh", portable_token_hash)
-        sig = F.array(
-            *[F.array_min(F.transform(ph, _mix(k))) for k in range(num_hashes)]
-        )
-    else:
-        sig = F.array(
-            *[F.array_min(F.transform("sh", _seeded(k))) for k in range(num_hashes)]
-        )
+    sig = F.array(
+        *[F.array_min(F.transform("sh", _seeded(k))) for k in range(num_hashes)]
+    )
     return d.select("doc_id", sig.alias("sig"))
 
 
