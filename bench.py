@@ -186,7 +186,11 @@ def main() -> None:
         full_stream, full_lattice = fx.families_by_flavor()
         from camelot_spark.pipeline import synthesize_and_extract
 
-        keys_full = replicated_keys(spark, SF_DIR, REPL, args.cpus)
+        # repl=1 (2 x 10k docs at sf0.1): the raster families run
+        # ~20x the headline's per-doc kernel time, so one replication
+        # already integrates ~15 s of pure kernel work
+        keys_full = replicated_keys(spark, SF_DIR, 1, args.cpus)
+        n_full = 2 * keys_full.count()
         t0 = time.monotonic()
         _force(synthesize_and_extract(
             keys_full, "stream", families=full_stream,
@@ -195,6 +199,7 @@ def main() -> None:
                 fail_fast=True)))
         full_sec = time.monotonic() - t0
         timings["extract_corpus_full"] = round(full_sec, 3)
+        full_docs_per_sec = round(n_full / full_sec, 1)
 
         for name, q in entrymod.queries().items():
             # steady-state timing: first run pays one-off plan compile +
@@ -224,6 +229,10 @@ def main() -> None:
             "detail": "full-precision panel; the parseable summary is the final line",
             "queries_3dp": timings,
             "docs_per_sec_runs": tp_runs,
+            # all-23-family corpus (raster decode included), repl=1:
+            # the whole-corpus honesty number next to the headline
+            "full_corpus_docs_per_sec": full_docs_per_sec,
+            "full_corpus_docs": n_full,
             "docs_per_sec_dispersion": dispersion,
             "headline_docs": n_docs,
             # per-doc kernel-time skew from the median run's lineage:
