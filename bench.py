@@ -181,22 +181,37 @@ def main() -> None:
         # mix underweights the heavy lattice/raster goldens, so this
         # second number is the whole-corpus throughput a user of every
         # family would see. One timed pass (trend line, not median).
-        from camelot_spark import fixtures as fx
+        # Families extract under their OWN config group (rasterbg's
+        # process_background etc. — see fixtures.families_by_config),
+        # all groups unioned into one forced job.
+        from functools import reduce
 
-        full_stream, full_lattice = fx.families_by_flavor()
+        from pyspark.sql import functions as F
+
+        from camelot_spark import fixtures as fx
         from camelot_spark.pipeline import synthesize_and_extract
 
-        # repl=1 (2 x 10k docs at sf0.1): the raster families run
-        # ~20x the headline's per-doc kernel time, so one replication
-        # already integrates ~15 s of pure kernel work
+        # repl=1 (10k keys at sf0.1): the raster families run ~20x the
+        # headline's per-doc kernel time, so one replication already
+        # integrates ~15 s of pure kernel work. Keys route to config
+        # groups by hash, sized by family count, so the corpus mix
+        # stays ~uniform per family (a single-family group like
+        # rasterbg gets 1/23 of the keys, not a full pass)
         keys_full = replicated_keys(spark, SF_DIR, 1, args.cpus)
-        n_full = 2 * keys_full.count()
+        n_full = keys_full.count()
+        groups = fx.families_by_config()
+        total_fams = sum(len(fams) for _, _, fams in groups)
+        hash_mod = F.pmod(F.xxhash64("doc_id"), F.lit(total_fams))
+        parts = []
+        lo = 0
+        for flavor, kw, fams in groups:
+            hi = lo + len(fams)
+            kg = keys_full.where((hash_mod >= lo) & (hash_mod < hi))
+            parts.append(synthesize_and_extract(
+                kg, flavor, families=fams, fail_fast=True, **kw))
+            lo = hi
         t0 = time.monotonic()
-        _force(synthesize_and_extract(
-            keys_full, "stream", families=full_stream,
-            fail_fast=True).unionByName(synthesize_and_extract(
-                keys_full, "lattice", families=full_lattice,
-                fail_fast=True)))
+        _force(reduce(lambda a, b: a.unionByName(b), parts))
         full_sec = time.monotonic() - t0
         timings["extract_corpus_full"] = round(full_sec, 3)
         full_docs_per_sec = round(n_full / full_sec, 1)

@@ -808,6 +808,28 @@ def families_by_flavor() -> tuple[list[str], list[str]]:
     return st, lat
 
 
+def families_by_config() -> list[tuple[str, dict, list[str]]]:
+    """Full-corpus bench tiling: (flavor, extract_kwargs, families)
+    groups so every family is timed under the config its golden runs
+    with — e.g. rasterbg's process_background=True changes what
+    adaptive_threshold/find_lines actually compute, so timing it under
+    the default config would mis-weight the raster work. Exception:
+    splittext's kwargs encode PER-DOC geometry (the column cuts track
+    the jitter), which no corpus-wide config can honor — it runs in
+    the stream default group (same kernel work minus the user-cut
+    split pass)."""
+    import json as _json
+
+    groups: dict[tuple[str, str], tuple[dict, list[str]]] = {}
+    for name, make in FAMILIES.items():
+        b = make(f"{name}-probe")
+        kwargs = {} if name == "splittext" else dict(b.extract_kwargs)
+        key = (b.flavor, _json.dumps(kwargs, sort_keys=True))
+        groups.setdefault(key, (kwargs, []))[1].append(name)
+    return [(flavor, kw, fams)
+            for (flavor, _), (kw, fams) in sorted(groups.items())]
+
+
 def builder_for(doc_key: str, families: list[str] | None = None,
                 skew_family: str = "twotables", skew_frac: float = 0.05,
                 raw: bool = False) -> DocBuilder:

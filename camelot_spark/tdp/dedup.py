@@ -109,7 +109,14 @@ def minhash_signatures(
     entirely). Cost of the shape: one extra exchange of
     (doc_id, 32 longs) per doc — partial aggregation combines the
     exploded shingle rows map-side, so shuffled bytes equal the
-    signature itself."""
+    signature itself.
+
+    ``doc_id`` is a PRIMARY KEY (same contract as feature_hash_vec):
+    the explode+groupBy shape merges rows sharing a doc_id into one
+    union-of-shingles signature, where the per-row fold (production
+    path, streams) and the DuckDB twin emit one signature per ROW.
+    Duplicate doc_ids are corrupt input to this whole family (pairs,
+    groups, incremental all key on doc_id) — dedupe ids upstream."""
     from . import spread
     from .text import _POLY_M, portable_token_hash
 

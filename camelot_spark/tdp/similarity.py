@@ -560,9 +560,14 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
     # times per vector; dot/(na*nb) is the same expression tree, so
     # results stay bit-identical to the oracle's per-pair formula
     #
-    # the a-side rank filter (WindowGroupLimit over the same ivf_cell
-    # partitioning the join shuffles on — one exchange serves both)
-    # is the cell_cap guard documented above
+    # the a-side rank filter is the cell_cap guard documented above.
+    # NOTE: this plans a FULL per-cell Window sort, not a
+    # WindowGroupLimit — cell_cap (10000) exceeds
+    # spark.sql.optimizer.windowGroupLimitThreshold (default 1000), so
+    # InferWindowGroupLimit declines (see tools/plan_audit.py's
+    # BOUNDED_WINDOW_GROUPS entry). The sort is O(|cell| log |cell|)
+    # over the same ivf_cell exchange the pair join needs anyway —
+    # still the cheap side of the quadratic join it guards.
     rep_rn = F.row_number().over(
         Window.partitionBy("ivf_cell").orderBy("vec_id"))
     a = (e.withColumn("cell_rn", rep_rn)

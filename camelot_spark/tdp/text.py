@@ -822,19 +822,22 @@ def hashed_topk(documents: DataFrame, query_doc_id: int = 0,
     )
 
 
-def _query_dists(emb, query_doc_id: int):
-    """(doc_id, dist) for every non-query vector: exact integer
-    squared L2 to the query doc's hashed vector, 1-row query
-    broadcast. The one definition of the cross-engine-sensitive
-    distance branch, shared by ``hashed_topk`` and
-    ``mine_hard_negatives``."""
+def _query_dists(emb, query_doc_id: int, candidates=None):
+    """(doc_id, dist) per scored vector: exact integer squared L2 to
+    the query doc's hashed vector, 1-row query broadcast. The one
+    definition of the cross-engine-sensitive distance branch, shared
+    by ``hashed_topk``, ``mine_hard_negatives`` and
+    ``hashed_ivf_topk``. ``candidates`` restricts the scored side to a
+    (doc_id, vec) subset (the IVF probe slice); the query vector is
+    always looked up in the full ``emb``."""
     q = emb.where(F.col("doc_id") == query_doc_id).select(
         F.col("vec").alias("q_vec"))
     dist = F.aggregate(
         F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
+    side = emb if candidates is None else candidates
     return (
-        emb.where(F.col("doc_id") != query_doc_id)
+        side.where(F.col("doc_id") != query_doc_id)
         .crossJoin(F.broadcast(q))
         .select("doc_id", dist.alias("dist"))
     )
@@ -929,20 +932,12 @@ def hashed_ivf_topk(documents: DataFrame, query_doc_id: int = 0,
         .select(F.explode(F.transform(
             F.slice(ranked, 1, probes),
             lambda s: s["idx"].cast("int"))).alias("q_cell")))
-    cand = (
-        cells.join(F.broadcast(q_cells),
-                   cells.cell == q_cells.q_cell, "left_semi")
-        .where(F.col("doc_id") != query_doc_id))
-    q = emb.where(F.col("doc_id") == query_doc_id).select(
-        F.col("vec").alias("q_vec"))
-    dist = F.aggregate(
-        F.zip_with("vec", "q_vec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cand = cells.join(F.broadcast(q_cells),
+                      cells.cell == q_cells.q_cell, "left_semi")
+    scored = _query_dists(emb, query_doc_id, candidates=cand)
     w = Window.orderBy(F.asc("dist"), F.asc("doc_id"))
     return (
-        cand.crossJoin(F.broadcast(q))
-        .select("doc_id", dist.alias("dist"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("doc_id", "dist", F.col("rank").cast("bigint").alias("rank"))
     )
