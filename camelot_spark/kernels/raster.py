@@ -196,6 +196,37 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     n = len(rows)
     if n == 0:
         return []
+
+    # adjacent-row overlap pairs, fully vectorized (r6): the old form
+    # looped every IMAGE row in Python (ruling masks are mostly empty
+    # rows) with a per-pair two-pointer merge. Runs arrive row-major
+    # and left-to-right, so within a row both starts and ends are
+    # sorted: run b of row r touches run a of row r-1 (8-connectivity,
+    # exclusive ends give the ±1 slack) iff
+    # starts[a] <= ends[b]  →  a <  searchsorted(prev_starts, ends[b], right)
+    # ends[a] >= starts[b]  →  a >= searchsorted(prev_ends, starts[b], left)
+    urows, first = np.unique(rows, return_index=True)
+    bounds = np.append(first, n)
+    pa_parts: list[np.ndarray] = []
+    pb_parts: list[np.ndarray] = []
+    for i in range(1, len(urows)):
+        if urows[i] != urows[i - 1] + 1:
+            continue  # no vertically adjacent runs — nothing can touch
+        p0, p1 = bounds[i - 1], bounds[i]
+        c0, c1 = bounds[i], bounds[i + 1]
+        hi = np.searchsorted(starts[p0:p1], ends[c0:c1], side="right")
+        lo = np.searchsorted(ends[p0:p1], starts[c0:c1], side="left")
+        cnt = hi - lo
+        pos = cnt > 0
+        if not pos.any():
+            continue
+        cc = cnt[pos]
+        total = int(cc.sum())
+        offs = np.repeat(np.cumsum(cc) - cc, cc)
+        pa_parts.append(p0 + np.repeat(lo[pos], cc)
+                        + (np.arange(total) - offs))
+        pb_parts.append(np.repeat(np.arange(c0, c1)[pos], cc))
+
     parent = list(range(n))
 
     def find(a: int) -> int:
@@ -204,45 +235,31 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
             a = parent[a]
         return a
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
+    if pa_parts:
+        for a, b in zip(np.concatenate(pa_parts).tolist(),
+                        np.concatenate(pb_parts).tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
 
-    # row-major order: group run indices per row
-    row_of = rows
-    row_starts_idx = np.searchsorted(row_of, np.arange(m.shape[0]))
-    row_ends_idx = np.searchsorted(row_of, np.arange(m.shape[0]), side="right")
-    prev_idx: list[int] = []
-    for r in range(m.shape[0]):
-        cur_idx = list(range(row_starts_idx[r], row_ends_idx[r]))
-        if prev_idx and cur_idx:
-            i = j = 0
-            while i < len(prev_idx) and j < len(cur_idx):
-                a, b = prev_idx[i], cur_idx[j]
-                # 8-connectivity: spans [s,e) touch diagonally when
-                # a.start <= b.end and b.start <= a.end (±1 slack)
-                if starts[a] <= ends[b] and starts[b] <= ends[a]:
-                    union(a, b)
-                if ends[a] < ends[b]:
-                    i += 1
-                else:
-                    j += 1
-        prev_idx = cur_idx
-
-    boxes: dict[int, list[int]] = {}
-    for i in range(n):
-        root = find(i)
-        x0, x1, y = int(starts[i]), int(ends[i]), int(rows[i])
-        if root not in boxes:
-            boxes[root] = [x0, y, x1, y + 1]
-        else:
-            bx = boxes[root]
-            bx[0] = min(bx[0], x0)
-            bx[1] = min(bx[1], y)
-            bx[2] = max(bx[2], x1)
-            bx[3] = max(bx[3], y + 1)
-    return [(b[0], b[1], b[2] - b[0], b[3] - b[1]) for b in boxes.values()]
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64,
+                        count=n)
+    # group-by root with numpy scatter mins/maxes; output order = each
+    # component's FIRST run (row-major), matching the old dict order
+    uroots, first_idx, inv = np.unique(
+        roots, return_index=True, return_inverse=True)
+    k = len(uroots)
+    x0 = np.full(k, np.iinfo(np.int64).max)
+    x1 = np.zeros(k, dtype=np.int64)
+    y0 = np.full(k, np.iinfo(np.int64).max)
+    y1 = np.zeros(k, dtype=np.int64)
+    np.minimum.at(x0, inv, starts)
+    np.maximum.at(x1, inv, ends)
+    np.minimum.at(y0, inv, rows)
+    np.maximum.at(y1, inv, rows + 1)
+    order = np.argsort(first_idx, kind="stable")
+    return [(int(x0[g]), int(y0[g]), int(x1[g] - x0[g]), int(y1[g] - y0[g]))
+            for g in order]
 
 
 def find_lines(

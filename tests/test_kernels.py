@@ -455,6 +455,47 @@ class TestRasterKernels:
         assert len(rects) == 2
         assert rects[0] == (0, 0, 2, 2)
 
+    def test_connected_components_matches_brute_force(self):
+        """Randomized exactness of the vectorized run-merge CC (r6)
+        against a from-scratch 8-connectivity BFS — box set equality
+        over mixed densities, incl. 1-pixel rows/cols."""
+        import numpy as np
+
+        from camelot_spark.kernels import raster as rk
+
+        def brute_cc(m):
+            H, W = m.shape
+            lbl = -np.ones((H, W), dtype=int)
+            comps = []
+            for i in range(H):
+                for j in range(W):
+                    if m[i, j] and lbl[i, j] < 0:
+                        stack = [(i, j)]
+                        lbl[i, j] = len(comps)
+                        x0 = x1 = j
+                        y0 = y1 = i
+                        while stack:
+                            a, b = stack.pop()
+                            x0 = min(x0, b); x1 = max(x1, b)
+                            y0 = min(y0, a); y1 = max(y1, a)
+                            for da in (-1, 0, 1):
+                                for db in (-1, 0, 1):
+                                    na, nb = a + da, b + db
+                                    if (0 <= na < H and 0 <= nb < W
+                                            and m[na, nb] and lbl[na, nb] < 0):
+                                        lbl[na, nb] = len(comps)
+                                        stack.append((na, nb))
+                        comps.append((x0, y0, x1 - x0 + 1, y1 - y0 + 1))
+            return comps
+
+        rng = np.random.RandomState(7)
+        for _ in range(120):
+            H, W = rng.randint(1, 20, 2)
+            m = rng.rand(H, W) < rng.choice([0.05, 0.2, 0.5, 0.8])
+            assert sorted(rk.connected_components(m)) == sorted(brute_cc(m))
+        assert rk.connected_components(np.zeros((5, 5), bool)) == []
+        assert rk.connected_components(np.ones((3, 4), bool)) == [(0, 0, 4, 3)]
+
     def test_bitmap_codec_roundtrip(self):
         from camelot_spark.kernels import raster as rk
         import numpy as np
