@@ -906,9 +906,24 @@ def hashed_ivf_topk(documents: DataFrame, query_doc_id: int = 0,
     from .similarity import _pivot_row
 
     emb = feature_hash_vec(documents, dim)
+    # pivot selection depends only on hash(doc_id), so pick the K pivot
+    # ids on the RAW table (doc_id-column TakeOrdered) and run the vec
+    # pipeline for just those K docs (broadcast semi-join pushes the
+    # filter under the explode/agg) — one full corpus-wide vec compute
+    # instead of two (assignment still needs the full one; the query
+    # branch's doc_id filter already pushes to the scan). Local sf0.1
+    # timing is unchanged (~4.3 s — the 8 interpreted per-pivot
+    # distance folds dominate there), but at scale the removed
+    # pipeline is a full scan+explode+agg of the corpus.
+    h = (F.col("doc_id").cast("bigint") * F.lit(2654435761)
+         + F.lit(40503)) % F.lit(1000000007)
+    pivot_ids = (documents.select("doc_id", h.alias("__h"))
+                 .orderBy("__h", "doc_id").limit(n_cells).select("doc_id"))
+    pivot_docs = documents.join(F.broadcast(pivot_ids), "doc_id")
     prow = _pivot_row(
-        emb.select(F.col("doc_id").alias("vec_id"),
-                   F.col("vec").alias("embedding")), n_cells)
+        feature_hash_vec(pivot_docs, dim).select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("vec").alias("embedding")), n_cells)
 
     def dist_to(p_vec, vec=F.col("vec")):
         return F.aggregate(
