@@ -133,6 +133,16 @@ def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return cosine_topk(cands, query_vec_id=query_vec_id, k=k)
 
 
+def _pivot_hash(id_col):
+    """The pivot-selection hash shared by ``_pivot_row`` and
+    ``text.hashed_ivf_topk``'s raw-table pre-selection — one definition
+    so the two rankings can never drift (the pre-selection feeds this
+    ranking a K-doc subset, which is only correct if both use the
+    identical hash + tie-break)."""
+    return (id_col.cast("bigint") * F.lit(2654435761)
+            + F.lit(40503)) % F.lit(1000000007)
+
+
 def _pivot_row(embeddings: DataFrame, n_cells: int) -> DataFrame:
     """1-row DataFrame holding the K data-derived pivots as an ordered
     array<struct<pid, p_emb>> — deterministic sampled centroids: the K
@@ -143,9 +153,7 @@ def _pivot_row(embeddings: DataFrame, n_cells: int) -> DataFrame:
     per-partition top-K then a K-row merge, never a global sort — and
     the result broadcasts as ONE row, so assignment stays a broadcast
     join + per-row array fold."""
-    h = (F.col("vec_id").cast("bigint") * F.lit(2654435761) + F.lit(40503)) % F.lit(
-        1000000007
-    )
+    h = _pivot_hash(F.col("vec_id"))
     pivots = (
         embeddings.select("vec_id", "embedding", h.alias("h"))
         .orderBy("h", "vec_id")
