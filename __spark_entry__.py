@@ -56,11 +56,64 @@ def _extract_corpus(flavor: str, families: list[str]):
         src = src.select("doc_id").repartition(spark.sparkContext.defaultParallelism * 4)
         extracted = synthesize_and_extract(src, flavor, families=families, fail_fast=True)
         return extracted.select(
-            "doc_id", "n_tables", F.size("spans").alias("n_spans"),
+            # the pipeline's doc_id is the builder's "{family}-{key}"
+            # string; the numeric tail is the source key the
+            # expected-values oracle joins on
+            F.substring_index("doc_id", "-", -1).cast("bigint")
+            .alias("doc_id"),
+            F.col("n_tables").cast("bigint").alias("n_tables"),
+            F.size("spans").cast("bigint").alias("n_spans"),
             F.floor(F.coalesce("whitespace", F.lit(0.0)) * 100).cast("bigint").alias("ws_x100"),
         )
 
     return q
+
+
+# Expected-values oracles for the two flagship extraction queries
+# (r6): no SQL engine can run the extraction kernels, but the kernel
+# IS deterministic pure Python — so the oracle is a VALUES literal of
+# the kernel's own per-key output, generated once per process by
+# running extract_document locally over the same builder_for keys the
+# Spark query synthesizes. This pins the DISTRIBUTED pipeline
+# (synthesis, Arrow fusion, partitioning) against the local kernel in
+# the driver's hash compare; kernel CORRECTNESS itself stays pinned by
+# the analytic golden suite (tests/test_golden.py), which never runs
+# the extractor to produce its expectations. Floats are identical by
+# construction: the Spark path computes whitespace in the same Python
+# kernel inside mapInArrow. 500 keys cover the driver's sf0.01 ids;
+# the semi-join on `documents` trims to whatever sf actually runs.
+_EXTRACT_ORACLE_KEYS = 500
+_EXTRACT_EXPECTED_SQL: dict[str, str] = {}
+
+
+def _extract_corpus_expected_sql(flavor: str, families: list[str]) -> str:
+    if flavor in _EXTRACT_EXPECTED_SQL:
+        return _EXTRACT_EXPECTED_SQL[flavor]
+    import math
+    import warnings
+
+    from camelot_spark import extract_document, make_config
+
+    cfg = make_config(flavor)
+    rows = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for k in range(_EXTRACT_ORACLE_KEYS):
+            b = fx.builder_for(str(k), families=families)
+            res = extract_document(b.spans, cfg)
+            ws = res["whitespace"] or 0.0
+            rows.append(f"({k},{res['n_tables']},{len(res['spans'])},"
+                        f"{math.floor(ws * 100)})")
+    sql = f"""
+SELECT CAST(v.k AS BIGINT) AS doc_id,
+       CAST(v.nt AS BIGINT) AS n_tables,
+       CAST(v.ns AS BIGINT) AS n_spans,
+       CAST(v.ws AS BIGINT) AS ws_x100
+FROM (VALUES {",".join(rows)}) v(k, nt, ns, ws)
+JOIN documents d ON d.doc_id = v.k
+"""
+    _EXTRACT_EXPECTED_SQL[flavor] = sql
+    return sql
 
 
 # The sink queries persist their (deterministic) extracted corpus here
@@ -317,7 +370,7 @@ _DRIVER_CHECKED_LAST_ROUND = frozenset({
 # only the weaker rows-only check — sort them after oracled peers of
 # the same recency so the hash-verifying budget is spent first.
 _ROWS_ONLY = frozenset({
-    "simhash_near_dups", "extract_stream_corpus", "extract_lattice_corpus",
+    "simhash_near_dups",
     "minhash_lsh_pairs", "minhash_neardup_verified", "dedup_groups",
 })
 
@@ -678,6 +731,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "bpe_train": bpe.BPE_TRAIN_SQL,
         "bpe_token_counts": bpe.BPE_TOKEN_COUNTS_SQL,
+        # flagship extraction: expected-values oracle generated from
+        # the local kernel (see _extract_corpus_expected_sql) — was
+        # rows-only through r5
+        "extract_stream_corpus": _extract_corpus_expected_sql(
+            "stream", fx.STREAM_FAMILIES),
+        "extract_lattice_corpus": _extract_corpus_expected_sql(
+            "lattice", fx.LATTICE_FAMILIES),
         "link_rank": ranking.LINK_RANK_SQL,
         "rank_weighted_sample": sampling.RANK_WEIGHTED_SAMPLE_SQL,
         "inverted_index": ranking.INVERTED_INDEX_SQL,
