@@ -116,6 +116,153 @@ JOIN documents d ON d.doc_id = v.k
     return sql
 
 
+# Expected-values oracles for the four xxhash64 production dedup
+# queries (r6): XXH64 is a public algorithm, so tdp/pyhash.py mirrors
+# Spark's XxHash64 expression exactly (pinned by tests) and the four
+# pipelines — shingle -> 32 seeded minhashes -> 8x4 banding -> bucket
+# pairs; exact-Jaccard verify; 8-round min-label components; 64-bit
+# simhash -> 4x16-bit chunk-bucket hamming pairs — are recomputed from
+# scratch in Python over the driver's sf0.01 documents table. Through
+# round 5 these were rows-only ("xxhash64 is not DuckDB-reproducible");
+# the VALUES twin closes that: the driver's hash compare now pins the
+# production hash family wiring at full corpus, not just the portable
+# twins' logic. Assumes the driver's documented sf0.01 compare corpus
+# (the generator reads that table directly; at any other sf the twin
+# fails loudly rather than silently passing).
+_PROD_DEDUP_SQL: dict[str, str] = {}
+_PROD_DEDUP_SF_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _prod_dedup_expected_sql(name: str) -> str:
+    if _PROD_DEDUP_SQL:
+        return _PROD_DEDUP_SQL[name]
+    import duckdb
+
+    from camelot_spark.tdp.pyhash import (to_signed, xxh64_bytes,
+                                          xxh64_int)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM parquet_scan('{_PROD_DEDUP_SF_DOCS}') "
+        "ORDER BY doc_id").fetchall()
+    con.close()
+
+    shingles: dict[int, set] = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        shingles[did] = {" ".join(toks[i:i + 3])
+                         for i in range(len(toks) - 2)} \
+            if len(toks) >= 3 else set()
+
+    # --- minhash_lsh_pairs: banded prod signatures -> bucket pairs
+    buckets: dict[tuple, list[int]] = {}
+    for did, sh in shingles.items():
+        if sh:
+            base = [xxh64_bytes(g.encode("utf-8"), 42) for g in sh]
+            sig = [min(to_signed(xxh64_int(k, b)) for b in base)
+                   for k in range(32)]
+            for band in range(8):
+                key = (band, ",".join(
+                    str(v) for v in sig[band * 4:band * 4 + 4]))
+                buckets.setdefault(key, []).append(did)
+        else:  # all-NULL sig -> concat_ws skips NULLs -> '' in every band
+            for band in range(8):
+                buckets.setdefault((band, ""), []).append(did)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                pairs.add((a, b))
+    lsh_rows = [f"({a},{b})" for a, b in sorted(pairs)]
+
+    # --- minhash_neardup_verified: exact-Jaccard >= 3000 over the pairs
+    import math
+    ver_rows = []
+    for a, b in sorted(pairs):
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a] | shingles[b])
+        if union == 0:
+            raise AssertionError("empty-shingle pair; NaN Jaccard "
+                                 "unmirrored — extend the twin")
+        jac = math.floor(inter / union * 10000)
+        if jac >= 3000:
+            ver_rows.append(f"({a},{b},{jac})")
+
+    # --- dedup_groups: 8-round synchronous min-label over the pairs
+    nodes = sorted({x for p in pairs for x in p})
+    label = {x: x for x in nodes}
+    adj: dict[int, list[int]] = {x: [] for x in nodes}
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    for _ in range(8):
+        prev = label
+        label = {x: min([prev[x]] + [prev[y] for y in adj[x]])
+                 for x in nodes}
+        if label == prev:
+            break
+    grp_rows = [f"({x},{label[x]},{1 if label[x] == x else 0})"
+                for x in nodes]
+
+    # --- simhash_near_dups: 64-bit simhash, 4x16-bit chunk buckets
+    sims: dict[int, int] = {}
+    for did, text in docs:
+        counters = [0] * 64
+        for t in text.split(" "):
+            h = xxh64_bytes(t.encode("utf-8"), 42)
+            for bit in range(64):
+                counters[bit] += 1 if (h >> bit) & 1 else -1
+        sims[did] = sum(1 << bit for bit in range(64) if counters[bit] > 0)
+    chunk_buckets: dict[tuple, list[int]] = {}
+    for did, s in sims.items():
+        for c in range(4):
+            chunk_buckets.setdefault(
+                (c, (s >> (16 * c)) & 0xFFFF), []).append(did)
+    sim_pairs = {}
+    for (c, _), ids in chunk_buckets.items():
+        if len(ids) > 10000:
+            continue  # bucket_cap (never binds at 500 docs)
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = bin(sims[a] ^ sims[b]).count("1")
+                if ham <= 3:
+                    sim_pairs[(a, b)] = ham
+    sim_rows = [f"({a},{b},{h})" for (a, b), h in sorted(sim_pairs.items())]
+
+    def pair_sql(rows):
+        if not rows:
+            return ("SELECT CAST(NULL AS BIGINT) AS a_id, "
+                    "CAST(NULL AS BIGINT) AS b_id WHERE FALSE")
+        return ("SELECT CAST(v.a AS BIGINT) AS a_id, "
+                "CAST(v.b AS BIGINT) AS b_id FROM (VALUES "
+                + ",".join(rows) + ") v(a, b)")
+
+    _PROD_DEDUP_SQL["minhash_lsh_pairs"] = pair_sql(lsh_rows)
+    _PROD_DEDUP_SQL["minhash_neardup_verified"] = (
+        "SELECT CAST(v.a AS BIGINT) AS a_id, CAST(v.b AS BIGINT) AS b_id, "
+        "CAST(v.j AS BIGINT) AS jaccard_x10k FROM (VALUES "
+        + ",".join(ver_rows) + ") v(a, b, j)") if ver_rows else (
+        "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,"
+        " CAST(NULL AS BIGINT) AS jaccard_x10k WHERE FALSE")
+    _PROD_DEDUP_SQL["dedup_groups"] = (
+        "SELECT CAST(v.d AS BIGINT) AS doc_id, "
+        "CAST(v.c AS BIGINT) AS component, "
+        "CAST(v.k AS INTEGER) AS is_canonical FROM (VALUES "
+        + ",".join(grp_rows) + ") v(d, c, k)") if grp_rows else (
+        "SELECT CAST(NULL AS BIGINT) AS doc_id, "
+        "CAST(NULL AS BIGINT) AS component, "
+        "CAST(NULL AS INTEGER) AS is_canonical WHERE FALSE")
+    _PROD_DEDUP_SQL["simhash_near_dups"] = (
+        "SELECT CAST(v.a AS BIGINT) AS a_id, CAST(v.b AS BIGINT) AS b_id, "
+        "CAST(v.h AS INTEGER) AS hamming FROM (VALUES "
+        + ",".join(sim_rows) + ") v(a, b, h)") if sim_rows else (
+        "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,"
+        " CAST(NULL AS INTEGER) AS hamming WHERE FALSE")
+    return _PROD_DEDUP_SQL[name]
+
+
 # The sink queries persist their (deterministic) extracted corpus here
 # so the DuckDB oracle can verify the RESHAPING — CSV assembly, report
 # flattening — on byte-identical input. The Spark query runs before its
@@ -366,13 +513,12 @@ _DRIVER_CHECKED_LAST_ROUND = frozenset({
     "token_skew_profile", "train_quality_classifier",
 })
 
-# Queries with no DuckDB twin (xxhash64 / extraction-kernel based) get
-# only the weaker rows-only check — sort them after oracled peers of
-# the same recency so the hash-verifying budget is spent first.
-_ROWS_ONLY = frozenset({
-    "simhash_near_dups",
-    "minhash_lsh_pairs", "minhash_neardup_verified", "dedup_groups",
-})
+# Queries with no DuckDB twin get only the weaker rows-only check —
+# sort them after oracled peers of the same recency so the
+# hash-verifying budget is spent first. EMPTY since r6: the extraction
+# flagships and the xxhash64 dedup quartet now carry expected-values
+# oracles (kernel-generated and pyhash-generated VALUES twins).
+_ROWS_ONLY: frozenset = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -738,6 +884,16 @@ def oracle_sql() -> dict[str, str]:
             "stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus_expected_sql(
             "lattice", fx.LATTICE_FAMILIES),
+        # the xxhash64 production dedup quartet: expected-values
+        # oracles from the pure-Python XXH64 mirror (pyhash.py) — was
+        # rows-only through r5
+        "minhash_lsh_pairs": _prod_dedup_expected_sql(
+            "minhash_lsh_pairs"),
+        "minhash_neardup_verified": _prod_dedup_expected_sql(
+            "minhash_neardup_verified"),
+        "dedup_groups": _prod_dedup_expected_sql("dedup_groups"),
+        "simhash_near_dups": _prod_dedup_expected_sql(
+            "simhash_near_dups"),
         "link_rank": ranking.LINK_RANK_SQL,
         "rank_weighted_sample": sampling.RANK_WEIGHTED_SAMPLE_SQL,
         "inverted_index": ranking.INVERTED_INDEX_SQL,

@@ -120,6 +120,47 @@ def _py_simhash(text: str) -> int:
     return sim
 
 
+class TestPyXXH64:
+    def test_matches_spark_all_layouts(self, spark):
+        """pyhash's XXH64 mirror must equal Spark's XxHash64 across
+        every byte-length class (empty, <4, 4-7, 8-31, >=32 block
+        loop), non-ASCII UTF-8, and INT / BIGINT argument chaining —
+        the exactness contract behind the production dedup oracles."""
+        from pyspark.sql import functions as F
+
+        from camelot_spark.tdp.pyhash import (spark_xxhash64_str,
+                                              spark_xxhash64_str_int,
+                                              to_signed, xxh64_long)
+
+        strs = ["", "a", "abc", "abcd", "abcdefg", "hello world",
+                "x" * 31, "y" * 32, "z" * 67, "日本語テスト",
+                "batch part spark line column order small sort"]
+        df = spark.createDataFrame([(s,) for s in strs], "s string")
+        got = df.select(
+            "s", F.xxhash64("s").alias("h"),
+            F.xxhash64("s", F.lit(7)).alias("h7"),
+            F.xxhash64("s", F.lit(31)).alias("h31"),
+            F.xxhash64(F.lit(12345).cast("long"), F.col("s")).alias("hl"),
+        ).collect()
+        for r in got:
+            assert spark_xxhash64_str(r["s"]) == r["h"], r["s"]
+            assert spark_xxhash64_str_int(r["s"], 7) == r["h7"], r["s"]
+            assert spark_xxhash64_str_int(r["s"], 31) == r["h31"], r["s"]
+            from camelot_spark.tdp.pyhash import xxh64_bytes
+            assert to_signed(xxh64_bytes(
+                r["s"].encode(), xxh64_long(12345, 42))) == r["hl"], r["s"]
+
+    def test_prod_dedup_expected_sql_nonempty(self):
+        """The generated VALUES twins exist for all four queries and
+        carry real rows (the sf0.01 corpus has known near-dups)."""
+        import __spark_entry__ as e
+
+        for name in ("minhash_lsh_pairs", "minhash_neardup_verified",
+                     "dedup_groups", "simhash_near_dups"):
+            sql = e._prod_dedup_expected_sql(name)
+            assert "VALUES" in sql, name
+
+
 def test_hashed_pivot_preselection_matches_full(spark):
     """hashed_ivf_topk's raw-table pivot pre-selection must produce
     the IDENTICAL pivot row as _pivot_row over the full hashed-vector
