@@ -7,8 +7,9 @@ the Stream extraction pipeline end-to-end (SURVEY.md §3.4).
 ``queries()``/``oracle_sql()``: one entry per implemented operator
 family (SURVEY.md §2 relational skeletons + the training-data pipeline
 ops). SQL-expressible operators carry DuckDB oracles with exactly
-matching column names/types; approximate/hash-dependent and
-extraction ops are rows-only (no oracle) but fully deterministic.
+matching column names/types; the hash-dependent and extraction ops
+carry generated expected-values twins (r6) — every registry query is
+hash-compared, none is rows-only.
 """
 
 from __future__ import annotations
@@ -80,15 +81,20 @@ def _extract_corpus(flavor: str, families: list[str]):
 # the analytic golden suite (tests/test_golden.py), which never runs
 # the extractor to produce its expectations. Floats are identical by
 # construction: the Spark path computes whitespace in the same Python
-# kernel inside mapInArrow. 500 keys cover the driver's sf0.01 ids;
-# the semi-join on `documents` trims to whatever sf actually runs.
+# kernel inside mapInArrow. The 500 generated keys cover any corpus
+# whose doc_ids are a subset of 0..499 (sf0.001 AND sf0.01 — expected
+# values depend only on the KEY, not the texts, so one VALUES serves
+# both; the semi-join trims to the ids present). A larger corpus
+# (sf0.1's 0..4999) fails the rowcount compare loudly — never a
+# silent pass.
 _EXTRACT_ORACLE_KEYS = 500
-_EXTRACT_EXPECTED_SQL: dict[str, str] = {}
+_EXTRACT_EXPECTED_SQL: dict[tuple, str] = {}
 
 
 def _extract_corpus_expected_sql(flavor: str, families: list[str]) -> str:
-    if flavor in _EXTRACT_EXPECTED_SQL:
-        return _EXTRACT_EXPECTED_SQL[flavor]
+    key = (flavor, tuple(families))
+    if key in _EXTRACT_EXPECTED_SQL:
+        return _EXTRACT_EXPECTED_SQL[key]
     import math
     import warnings
 
@@ -112,7 +118,7 @@ SELECT CAST(v.k AS BIGINT) AS doc_id,
 FROM (VALUES {",".join(rows)}) v(k, nt, ns, ws)
 JOIN documents d ON d.doc_id = v.k
 """
-    _EXTRACT_EXPECTED_SQL[flavor] = sql
+    _EXTRACT_EXPECTED_SQL[key] = sql
     return sql
 
 
@@ -122,30 +128,32 @@ JOIN documents d ON d.doc_id = v.k
 # pipelines — shingle -> 32 seeded minhashes -> 8x4 banding -> bucket
 # pairs; exact-Jaccard verify; 8-round min-label components; 64-bit
 # simhash -> 4x16-bit chunk-bucket hamming pairs — are recomputed from
-# scratch in Python over the driver's sf0.01 documents table. Through
-# round 5 these were rows-only ("xxhash64 is not DuckDB-reproducible");
-# the VALUES twin closes that: the driver's hash compare now pins the
-# production hash family wiring at full corpus, not just the portable
-# twins' logic. Assumes the driver's documented sf0.01 compare corpus
-# (the generator reads that table directly; at any other sf the twin
-# fails loudly rather than silently passing).
+# scratch in Python over the compare corpora. Through round 5 these
+# were rows-only ("xxhash64 is not DuckDB-reproducible"); the VALUES
+# twin closes that: the hash compare now pins the production hash
+# family wiring at full corpus, not just the portable twins' logic.
+#
+# The expected pairs depend on the corpus TEXTS, and the oracle SQL is
+# a static string, so the twin embeds one VALUES branch per known
+# compare corpus (sf0.001 = the pytest conformance tier, sf0.01 = the
+# driver tier), each gated on a corpus fingerprint computed from the
+# live `documents` view (count*1e6 + sum(n_chars) — the two tiers
+# share ids 0..499 but have different texts, so a count guard alone
+# cannot tell them apart). On any OTHER corpus every gate is false and
+# the twin returns zero rows — a loud rowcount failure, never a silent
+# pass.
 _PROD_DEDUP_SQL: dict[str, str] = {}
-_PROD_DEDUP_SF_DOCS = "/root/testdata/sf0.01/documents.parquet"
+_PROD_DEDUP_NAMES = ("minhash_lsh_pairs", "minhash_neardup_verified",
+                     "dedup_groups", "simhash_near_dups")
+_PROD_DEDUP_CORPORA = ("/root/testdata/sf0.001/documents.parquet",
+                       "/root/testdata/sf0.01/documents.parquet")
 
 
-def _prod_dedup_expected_sql(name: str) -> str:
-    if _PROD_DEDUP_SQL:
-        return _PROD_DEDUP_SQL[name]
-    import duckdb
-
+def _prod_dedup_expected_rows(docs: list) -> dict[str, list[str]]:
+    """The four pipelines' expected output rows for one corpus, each
+    as a list of SQL VALUES tuples."""
     from camelot_spark.tdp.pyhash import (to_signed, xxh64_bytes,
                                           xxh64_int)
-
-    con = duckdb.connect()
-    docs = con.execute(
-        f"SELECT doc_id, text FROM parquet_scan('{_PROD_DEDUP_SF_DOCS}') "
-        "ORDER BY doc_id").fetchall()
-    con.close()
 
     shingles: dict[int, set] = {}
     for did, text in docs:
@@ -183,8 +191,10 @@ def _prod_dedup_expected_sql(name: str) -> str:
         inter = len(shingles[a] & shingles[b])
         union = len(shingles[a] | shingles[b])
         if union == 0:
-            raise AssertionError("empty-shingle pair; NaN Jaccard "
-                                 "unmirrored — extend the twin")
+            # two shingle-less docs paired via the '' bucket: Spark's
+            # 0.0/0.0 = NaN, floor(NaN) -> 0 < 3000 -> pair excluded;
+            # mirror by skipping
+            continue
         jac = math.floor(inter / union * 10000)
         if jac >= 3000:
             ver_rows.append(f"({a},{b},{jac})")
@@ -231,35 +241,63 @@ def _prod_dedup_expected_sql(name: str) -> str:
                     sim_pairs[(a, b)] = ham
     sim_rows = [f"({a},{b},{h})" for (a, b), h in sorted(sim_pairs.items())]
 
-    def pair_sql(rows):
-        if not rows:
-            return ("SELECT CAST(NULL AS BIGINT) AS a_id, "
-                    "CAST(NULL AS BIGINT) AS b_id WHERE FALSE")
-        return ("SELECT CAST(v.a AS BIGINT) AS a_id, "
-                "CAST(v.b AS BIGINT) AS b_id FROM (VALUES "
-                + ",".join(rows) + ") v(a, b)")
+    return {"minhash_lsh_pairs": lsh_rows,
+            "minhash_neardup_verified": ver_rows,
+            "dedup_groups": grp_rows,
+            "simhash_near_dups": sim_rows}
 
-    _PROD_DEDUP_SQL["minhash_lsh_pairs"] = pair_sql(lsh_rows)
-    _PROD_DEDUP_SQL["minhash_neardup_verified"] = (
-        "SELECT CAST(v.a AS BIGINT) AS a_id, CAST(v.b AS BIGINT) AS b_id, "
-        "CAST(v.j AS BIGINT) AS jaccard_x10k FROM (VALUES "
-        + ",".join(ver_rows) + ") v(a, b, j)") if ver_rows else (
-        "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,"
-        " CAST(NULL AS BIGINT) AS jaccard_x10k WHERE FALSE")
-    _PROD_DEDUP_SQL["dedup_groups"] = (
-        "SELECT CAST(v.d AS BIGINT) AS doc_id, "
-        "CAST(v.c AS BIGINT) AS component, "
-        "CAST(v.k AS INTEGER) AS is_canonical FROM (VALUES "
-        + ",".join(grp_rows) + ") v(d, c, k)") if grp_rows else (
-        "SELECT CAST(NULL AS BIGINT) AS doc_id, "
-        "CAST(NULL AS BIGINT) AS component, "
-        "CAST(NULL AS INTEGER) AS is_canonical WHERE FALSE")
-    _PROD_DEDUP_SQL["simhash_near_dups"] = (
-        "SELECT CAST(v.a AS BIGINT) AS a_id, CAST(v.b AS BIGINT) AS b_id, "
-        "CAST(v.h AS INTEGER) AS hamming FROM (VALUES "
-        + ",".join(sim_rows) + ") v(a, b, h)") if sim_rows else (
-        "SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,"
-        " CAST(NULL AS INTEGER) AS hamming WHERE FALSE")
+
+# (query name) -> (VALUES column list, projection with casts/aliases)
+_PROD_DEDUP_SHAPES = {
+    "minhash_lsh_pairs": (
+        "a, b", "CAST(v.a AS BIGINT) AS a_id, CAST(v.b AS BIGINT) AS b_id"),
+    "minhash_neardup_verified": (
+        "a, b, j", "CAST(v.a AS BIGINT) AS a_id, CAST(v.b AS BIGINT) AS "
+        "b_id, CAST(v.j AS BIGINT) AS jaccard_x10k"),
+    "dedup_groups": (
+        "d, c, k", "CAST(v.d AS BIGINT) AS doc_id, CAST(v.c AS BIGINT) AS "
+        "component, CAST(v.k AS INTEGER) AS is_canonical"),
+    "simhash_near_dups": (
+        "a, b, h", "CAST(v.a AS BIGINT) AS a_id, CAST(v.b AS BIGINT) AS "
+        "b_id, CAST(v.h AS INTEGER) AS hamming"),
+}
+
+
+def _prod_dedup_expected_sql(name: str) -> str:
+    if name not in _PROD_DEDUP_NAMES:
+        raise ValueError(f"no expected-values twin for {name!r} "
+                         f"(known: {_PROD_DEDUP_NAMES})")
+    if _PROD_DEDUP_SQL:
+        return _PROD_DEDUP_SQL[name]
+    import duckdb
+
+    per_corpus = []  # (fingerprint, {name: rows})
+    con = duckdb.connect()
+    for path in _PROD_DEDUP_CORPORA:
+        docs = con.execute(
+            f"SELECT doc_id, text FROM parquet_scan('{path}') "
+            "ORDER BY doc_id").fetchall()
+        # mirrors the SQL gate: count(*)*1e6 + sum(n_chars), with
+        # n_chars = character length (pinned == len(text) in TESTDATA)
+        fp = 1_000_000 * len(docs) + sum(len(t) for _, t in docs)
+        per_corpus.append((fp, _prod_dedup_expected_rows(docs)))
+    con.close()
+
+    for qname, (cols, proj) in _PROD_DEDUP_SHAPES.items():
+        branches = []
+        for fp, rows_by_name in per_corpus:
+            rows = rows_by_name[qname]
+            if not rows:
+                continue
+            branches.append(
+                f"SELECT {proj} FROM (VALUES " + ",".join(rows)
+                + f") v({cols}) WHERE (SELECT count(*) * 1000000 "
+                + f"+ sum(n_chars) FROM documents) = {fp}")
+        if not branches:  # no corpus produced rows: loud empty shape
+            branches = [f"SELECT {proj} FROM (VALUES "
+                        "(0,0,0,0,0,0,0)) v(a, b, j, d, c, k, h) "
+                        "WHERE FALSE"]
+        _PROD_DEDUP_SQL[qname] = "\nUNION ALL\n".join(branches)
     return _PROD_DEDUP_SQL[name]
 
 
@@ -813,7 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "sessionize_gaps": relational.SESSIONIZE_SQL,
         "session_rollup": relational.SESSION_ROLLUP_SQL,
         "interval_islands": relational.INTERVAL_ISLANDS_SQL,
@@ -877,23 +915,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "bpe_train": bpe.BPE_TRAIN_SQL,
         "bpe_token_counts": bpe.BPE_TOKEN_COUNTS_SQL,
-        # flagship extraction: expected-values oracle generated from
-        # the local kernel (see _extract_corpus_expected_sql) — was
-        # rows-only through r5
-        "extract_stream_corpus": _extract_corpus_expected_sql(
-            "stream", fx.STREAM_FAMILIES),
-        "extract_lattice_corpus": _extract_corpus_expected_sql(
-            "lattice", fx.LATTICE_FAMILIES),
-        # the xxhash64 production dedup quartet: expected-values
-        # oracles from the pure-Python XXH64 mirror (pyhash.py) — was
-        # rows-only through r5
-        "minhash_lsh_pairs": _prod_dedup_expected_sql(
-            "minhash_lsh_pairs"),
-        "minhash_neardup_verified": _prod_dedup_expected_sql(
-            "minhash_neardup_verified"),
-        "dedup_groups": _prod_dedup_expected_sql("dedup_groups"),
-        "simhash_near_dups": _prod_dedup_expected_sql(
-            "simhash_near_dups"),
         "link_rank": ranking.LINK_RANK_SQL,
         "rank_weighted_sample": sampling.RANK_WEIGHTED_SAMPLE_SQL,
         "inverted_index": ranking.INVERTED_INDEX_SQL,
@@ -925,8 +946,33 @@ def oracle_sql() -> dict[str, str]:
         "parsing_report": PARSING_REPORT_SQL,
         "lineage_report": LINEAGE_REPORT_SQL,
         "span_stats": SPAN_STATS_SQL,
-        # minhash_lsh_pairs / minhash_neardup_verified / simhash_near_dups:
-        # xxhash64-dependent — no DuckDB twin, rows-only (deterministic).
-        # extract_stream_corpus / extract_lattice_corpus: the extraction
-        # pipeline itself — not SQL-expressible, rows-only.
     }
+    # Generated expected-values twins (r6): the extraction flagships
+    # (kernel-generated) and the xxhash64 dedup quartet
+    # (pyhash-generated). Generation reads testdata and runs the local
+    # kernel, so it CAN fail in ways the static strings above cannot —
+    # a failure degrades those six queries back to the rows-only check
+    # (they are omitted from the dict) instead of taking down the 94
+    # static oracles with an import-time exception.
+    generated = {
+        "extract_stream_corpus": lambda: _extract_corpus_expected_sql(
+            "stream", fx.STREAM_FAMILIES),
+        "extract_lattice_corpus": lambda: _extract_corpus_expected_sql(
+            "lattice", fx.LATTICE_FAMILIES),
+        "minhash_lsh_pairs": lambda: _prod_dedup_expected_sql(
+            "minhash_lsh_pairs"),
+        "minhash_neardup_verified": lambda: _prod_dedup_expected_sql(
+            "minhash_neardup_verified"),
+        "dedup_groups": lambda: _prod_dedup_expected_sql("dedup_groups"),
+        "simhash_near_dups": lambda: _prod_dedup_expected_sql(
+            "simhash_near_dups"),
+    }
+    for name, gen in generated.items():
+        try:
+            sqls[name] = gen()
+        except Exception as exc:  # pragma: no cover — degraded mode
+            import sys as _sys
+            print(f"expected-values oracle generation failed for "
+                  f"{name}: {exc!r}; falling back to rows-only",
+                  file=_sys.stderr)
+    return sqls
