@@ -150,6 +150,30 @@ class TestPyXXH64:
             assert to_signed(xxh64_bytes(
                 r["s"].encode(), xxh64_long(12345, 42))) == r["hl"], r["s"]
 
+    def test_matches_spark_on_random_unicode(self, spark):
+        """Property check: one batched Spark comparison over
+        hypothesis-style random unicode strings (drawn up-front so the
+        JVM round-trip happens once) — every byte-length class and
+        surrogate-free codepoint range."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from camelot_spark.tdp.pyhash import (spark_xxhash64_str,
+                                              spark_xxhash64_str_int)
+
+        rng = random.Random(1234)
+        pool = [chr(c) for c in list(range(32, 127))
+                + [0xE9, 0x4E2D, 0x1F600, 0x10FFFF, 0x7FF, 0xFFFD]]
+        strs = ["".join(rng.choices(pool, k=rng.randint(0, 80)))
+                for _ in range(300)]
+        df = spark.createDataFrame([(s,) for s in strs], "s string")
+        got = df.select("s", F.xxhash64("s").alias("h"),
+                        F.xxhash64("s", F.lit(5)).alias("h5")).collect()
+        for r in got:
+            assert spark_xxhash64_str(r["s"]) == r["h"]
+            assert spark_xxhash64_str_int(r["s"], 5) == r["h5"]
+
     def test_prod_dedup_expected_sql_nonempty(self):
         """The generated VALUES twins exist for all four queries and
         carry real rows (the sf0.01 corpus has known near-dups)."""
