@@ -699,6 +699,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
             portable=True, algorithm="star", verify_threshold_x10k=7000,
             pairs=_portable_lsh_pairs(s, d)),
+        # pre-delete audit: per-group size / verified-pair jaccard
+        # range / reclaimable chars (new r6; shares the LSH prefix)
+        "dedup_report": lambda s, d: dedup.dedup_report(
+            _load(s, d, "documents").where(F.col("doc_id") % 2 == 0),
+            portable=True, verify_threshold_x10k=7000,
+            pairs=_portable_lsh_pairs(s, d)),
         # --- flagship extraction (non-SQL-expressible, rows-only) ---
         "extract_stream_corpus": _extract_corpus("stream", fx.STREAM_FAMILIES),
         "extract_lattice_corpus": _extract_corpus("lattice", fx.LATTICE_FAMILIES),
@@ -912,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups_star": dedup.DEDUP_GROUPS_STAR_SQL,
         "neardup_verified_portable": dedup.NEARDUP_VERIFIED_PORTABLE_SQL,
         "dedup_groups_verified": dedup.DEDUP_GROUPS_VERIFIED_SQL,
+        "dedup_report": dedup.DEDUP_REPORT_SQL,
         "simhash_near_dups_portable": dedup.SIMHASH_PORTABLE_SQL,
         "bpe_train": bpe.BPE_TRAIN_SQL,
         "bpe_token_counts": bpe.BPE_TOKEN_COUNTS_SQL,
