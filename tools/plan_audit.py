@@ -63,6 +63,13 @@ BOUNDED_SINGLE_PARTITION = {
     # input is the groupBy(source) aggregate, <= #sources rows (enum-
     # small) merged into one task then broadcast back
     "pack_sequences_global",
+    # dedup_report (r6): the single-partition exchanges are Spark's
+    # OWN runtime bloom-filter join optimization (bloom_filter_agg
+    # injected for the verify semi-joins): each partition pre-reduces
+    # to one bloom buffer and the 1-row merge broadcasts — bounded by
+    # the fixed filter size (8 MB cap), never corpus cardinality; the
+    # same class as decontaminate_bloom's filter assembly
+    "dedup_report",
 }
 
 # Window discipline (round-5): a Window node needs the WHOLE group in
