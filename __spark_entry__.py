@@ -393,7 +393,7 @@ def _shared_prefix(name: str, spark: SparkSession, sf_dir: str,
 
 
 def _portable_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the expensive prefix of five dedup-family queries (signature
+    # the expensive prefix of six dedup-family queries (signature
     # fold + band shuffle); minhash_lsh_pairs_portable stays live
     return _shared_prefix(
         "lsh_pairs", spark, sf_dir,

@@ -120,6 +120,23 @@ def _py_simhash(text: str) -> int:
     return sim
 
 
+def test_dedup_report_short_docs_no_ansi_crash(spark):
+    """Two shingle-less docs pair through the '' band bucket with a
+    0/0 Jaccard — plain division THROWS under ANSI (the r6 review
+    reproduced the crash); try_divide must drop the pair like the
+    DuckDB twins' NULL does, and the real near-dup must still verify."""
+    from camelot_spark.tdp import dedup
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, "one two"), (2, "three"), (4, t), (6, t + " lambda")],
+        "doc_id long, text string")
+    out = [tuple(r) for r in dedup.dedup_report(docs, portable=True).collect()]
+    assert out == [(4, 2, 1, 8888, 8888, 63)]
+    v = [tuple(r) for r in dedup.minhash_neardup_verified(docs).collect()]
+    assert v == [(4, 6, 8888)]   # the short-doc '' pair is gone
+
+
 class TestPyXXH64:
     def test_matches_spark_all_layouts(self, spark):
         """pyhash's XXH64 mirror must equal Spark's XxHash64 across
