@@ -79,6 +79,27 @@ def _gaussian_mean(g: np.ndarray, k: int) -> np.ndarray:
     1224×1584 page (2.2×; _gaussian_mean was 38% of the fixture pass).
     (A sliding_window_view @ w matmul form was measured too: 54 ms —
     exact but slower than paired adds in f32.)"""
+    H = g.shape[0]
+    out = np.empty(g.shape, dtype=np.float32)
+    for r0, r1, o in _gaussian_mean_strips(g, k):
+        out[r0:r1] = o
+    return out
+
+
+# row-strip height for the separable convolution: the per-strip temps
+# (~strip×W f32 ×2) stay L2-resident, so the column pass reads the row
+# pass's output while it is still hot — measured 42.3 → 32.0 ms on the
+# 1224×1584 page vs the whole-image two-pass form (bit-identical: the
+# per-pixel accumulation order is unchanged, tiling only reorders
+# WHICH pixels are computed when)
+_GAUSS_STRIP = 24
+
+
+def _gaussian_mean_strips(g: np.ndarray, k: int):
+    """Yield (r0, r1, mean_rows) strips of the k×k Gaussian-weighted
+    local mean of ``g`` — the strip form lets adaptive_threshold fuse
+    its comparison per strip without ever materializing the full mean
+    plane."""
     w = _gaussian_kernel(k).astype(np.float32)
     pad = k // 2
     p = np.pad(g, pad, mode="edge")
@@ -86,17 +107,24 @@ def _gaussian_mean(g: np.ndarray, k: int) -> np.ndarray:
         p = p.astype(np.float32)
     H = g.shape[0]
     Wd = g.shape[1]
-    # even k has no center tap — start the accumulators at zero and
-    # pair every tap (the kernel is exactly symmetric either way)
-    rows = (w[pad] * p[pad:pad + H, :] if k % 2
-            else np.zeros((H, p.shape[1]), dtype=np.float32))
-    for t in range(pad):
-        rows += w[t] * (p[t:t + H, :] + p[k - 1 - t:k - 1 - t + H, :])
-    out = (w[pad] * rows[:, pad:pad + Wd] if k % 2
-           else np.zeros((H, Wd), dtype=np.float32))
-    for t in range(pad):
-        out += w[t] * (rows[:, t:t + Wd] + rows[:, k - 1 - t:k - 1 - t + Wd])
-    return out
+    Wp = p.shape[1]
+    r0 = 0
+    while r0 < H:
+        r1 = min(r0 + _GAUSS_STRIP, H)
+        n = r1 - r0
+        # even k has no center tap — start the accumulators at zero and
+        # pair every tap (the kernel is exactly symmetric either way)
+        rows = (w[pad] * p[r0 + pad:r0 + pad + n, :] if k % 2
+                else np.zeros((n, Wp), dtype=np.float32))
+        for t in range(pad):
+            rows += w[t] * (p[r0 + t:r0 + t + n, :]
+                            + p[r0 + k - 1 - t:r0 + k - 1 - t + n, :])
+        o = (w[pad] * rows[:, pad:pad + Wd] if k % 2
+             else np.zeros((n, Wd), dtype=np.float32))
+        for t in range(pad):
+            o += w[t] * (rows[:, t:t + Wd] + rows[:, k - 1 - t:k - 1 - t + Wd])
+        yield r0, r1, o
+        r0 = r1
 
 
 def adaptive_threshold(
@@ -118,8 +146,16 @@ def adaptive_threshold(
     g = np.asarray(img, dtype=np.float32)
     if not process_background:
         g = np.float32(255.0) - g
-    mean = _gaussian_mean(g, blocksize) if window == "gaussian" else _box_mean(g, blocksize)
-    return g > (mean - float(c))
+    if window == "gaussian":
+        # fused strip compare (r7): the mean plane is never
+        # materialized — each L2-resident strip is compared as soon as
+        # its mean rows exist (same expression, so the f32-mean vs
+        # f64-comparison semantics are unchanged)
+        out = np.empty(g.shape, dtype=bool)
+        for r0, r1, mean_rows in _gaussian_mean_strips(g, blocksize):
+            out[r0:r1] = g[r0:r1] > (mean_rows - float(c))
+        return out
+    return g > (_box_mean(g, blocksize) - float(c))
 
 
 def _runs_along_rows(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -145,27 +181,43 @@ def _runs_along_rows(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return r[pos], c[pos], c[~pos]
 
 
+def _mask_from_runs(rows, starts, ends, shape) -> np.ndarray:
+    """Rebuild an int8 mask from disjoint maximal runs (row, start, end).
+
+    Disjoint maximal runs (next start >= end + 1) mean the running sum
+    is only ever 0/1 (int8-exact) AND the boundary indices never
+    collide — plain fancy assignment is equivalent to (and much faster
+    than) the unbuffered np.add.at scatter. (_dilate_along_axis must
+    keep add.at: its clamped extended boundaries can collide.)"""
+    out = np.zeros(shape, dtype=np.int8)
+    if len(rows):
+        delta = np.zeros((shape[0], shape[1] + 1), dtype=np.int8)
+        delta[rows, starts] = 1
+        delta[rows, ends] = -1
+        # numpy promotes integer cumsum to the platform int unless the
+        # dtype is pinned; 0/1 values make int8 exact
+        out = (delta.cumsum(axis=1, dtype=np.int8)[:, :-1] > 0).astype(np.int8)
+    return out
+
+
+def _open_runs(m: np.ndarray, size: int):
+    """Kept (rows, starts, ends) of the 1-D open along rows of ``m``:
+    the runs shorter than ``size`` erased, longer runs kept at full
+    extent — exactly cv2 erode+dilate with the same 1×size kernel.
+    The kept runs ARE the output mask's runs (still disjoint, maximal,
+    row-major), so callers can feed them straight into the run-based
+    connected-components without re-scanning the rebuilt mask."""
+    rows, starts, ends = _runs_along_rows(m)
+    keep = (ends - starts) >= max(size, 1)
+    return rows[keep], starts[keep], ends[keep]
+
+
 def _open_along_axis(mask: np.ndarray, size: int, axis: int) -> np.ndarray:
     """Binary morphological open with a 1×size (axis=1) or size×1 (axis=0)
     kernel: erase runs shorter than ``size``, keep longer runs at full
     extent — exactly cv2 erode+dilate with the same 1-D kernel."""
     m = mask if axis == 1 else mask.T
-    rows, starts, ends = _runs_along_rows(m)
-    keep = (ends - starts) >= max(size, 1)
-    out = np.zeros_like(m, dtype=np.int8)
-    if keep.any():
-        # kept runs are disjoint maximal runs (next start >= end + 1),
-        # so the running sum is only ever 0/1 (int8-exact) AND the
-        # boundary indices never collide — plain fancy assignment is
-        # equivalent to (and much faster than) the unbuffered
-        # np.add.at scatter. (_dilate_along_axis must keep add.at:
-        # its clamped extended boundaries can collide.)
-        delta = np.zeros((m.shape[0], m.shape[1] + 1), dtype=np.int8)
-        delta[rows[keep], starts[keep]] = 1
-        delta[rows[keep], ends[keep]] = -1
-        # numpy promotes integer cumsum to the platform int unless the
-        # dtype is pinned; 0/1 values make int8 exact
-        out = (delta.cumsum(axis=1, dtype=np.int8)[:, :-1] > 0).astype(np.int8)
+    out = _mask_from_runs(*_open_runs(m, size), m.shape)
     return out if axis == 1 else out.T
 
 
@@ -183,50 +235,21 @@ def _dilate_along_axis(mask: np.ndarray, amount: int, axis: int) -> np.ndarray:
     return out if axis == 1 else out.T
 
 
-def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
-    """External bounding rects (x, y, w, h) of 8-connected components.
+def _run_adjacency_roots(rows, starts, ends) -> np.ndarray:
+    """Union-find roots per run for 8-connected runs.
 
-    Run-merge CC: runs within a row are nodes; runs in adjacent rows
-    whose column spans touch (8-connectivity ⇒ ±1 overlap) are unioned.
-    Cost is O(#runs α) — per-pixel work stays in the vectorized
-    run-extraction above, so Python only loops over line blobs.
-    """
-    m = np.asarray(mask, dtype=bool)
-    rows, starts, ends = _runs_along_rows(m)
+    Pair generation is a single vectorized pass (r7; the r6 form still
+    looped adjacent ROW PAIRS in Python, ~4 numpy calls per image row —
+    pure call overhead on tall masks). Runs arrive row-major and
+    left-to-right, so the composite keys row*M + start and row*M + end
+    (M > any column index) are each globally sorted; run b of row r
+    touches run a of row r-1 (8-connectivity, exclusive ends give the
+    ±1 slack) iff
+      starts[a] <= ends[b]  →  a <  searchsorted(sc, (r-1)*M + ends[b], right)
+      ends[a] >= starts[b]  →  a >= searchsorted(ec, (r-1)*M + starts[b], left)
+    Runs of rows <= r-2 land in BOTH counts and cancel in hi-lo, and
+    rows >= r in neither, so no per-row blocking is needed at all."""
     n = len(rows)
-    if n == 0:
-        return []
-
-    # adjacent-row overlap pairs, fully vectorized (r6): the old form
-    # looped every IMAGE row in Python (ruling masks are mostly empty
-    # rows) with a per-pair two-pointer merge. Runs arrive row-major
-    # and left-to-right, so within a row both starts and ends are
-    # sorted: run b of row r touches run a of row r-1 (8-connectivity,
-    # exclusive ends give the ±1 slack) iff
-    # starts[a] <= ends[b]  →  a <  searchsorted(prev_starts, ends[b], right)
-    # ends[a] >= starts[b]  →  a >= searchsorted(prev_ends, starts[b], left)
-    urows, first = np.unique(rows, return_index=True)
-    bounds = np.append(first, n)
-    pa_parts: list[np.ndarray] = []
-    pb_parts: list[np.ndarray] = []
-    for i in range(1, len(urows)):
-        if urows[i] != urows[i - 1] + 1:
-            continue  # no vertically adjacent runs — nothing can touch
-        p0, p1 = bounds[i - 1], bounds[i]
-        c0, c1 = bounds[i], bounds[i + 1]
-        hi = np.searchsorted(starts[p0:p1], ends[c0:c1], side="right")
-        lo = np.searchsorted(ends[p0:p1], starts[c0:c1], side="left")
-        cnt = hi - lo
-        pos = cnt > 0
-        if not pos.any():
-            continue
-        cc = cnt[pos]
-        total = int(cc.sum())
-        offs = np.repeat(np.cumsum(cc) - cc, cc)
-        pa_parts.append(p0 + np.repeat(lo[pos], cc)
-                        + (np.arange(total) - offs))
-        pb_parts.append(np.repeat(np.arange(c0, c1)[pos], cc))
-
     parent = list(range(n))
 
     def find(a: int) -> int:
@@ -235,17 +258,39 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
             a = parent[a]
         return a
 
-    if pa_parts:
-        for a, b in zip(np.concatenate(pa_parts).tolist(),
-                        np.concatenate(pb_parts).tolist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
+    if n:
+        M = int(ends.max()) + 2
+        r64 = rows.astype(np.int64)
+        sc = r64 * M + starts
+        ec = r64 * M + ends
+        hi = np.searchsorted(sc, ec - M, side="right")
+        lo = np.searchsorted(ec, sc - M, side="left")
+        cnt = hi - lo  # >= 0: {end < s_b} ⊆ {start <= e_b} within a row
+        pos = cnt > 0
+        if pos.any():
+            cc = cnt[pos]
+            total = int(cc.sum())
+            offs = np.repeat(np.cumsum(cc) - cc, cc)
+            pa = np.repeat(lo[pos], cc) + (np.arange(total) - offs)
+            pb = np.repeat(np.flatnonzero(pos), cc)
+            for a, b in zip(pa.tolist(), pb.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
 
-    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64,
-                        count=n)
-    # group-by root with numpy scatter mins/maxes; output order = each
-    # component's FIRST run (row-major), matching the old dict order
+    return np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+
+
+def _components_from_runs(rows, starts, ends) -> list[tuple[int, int, int, int]]:
+    """External bounding rects (x, y, w, h) of the 8-connected
+    components of a row-major run set, ordered by each component's
+    FIRST run (row-major scan order, the cv2 findContours-compatible
+    order the old mask-walk produced)."""
+    n = len(rows)
+    if n == 0:
+        return []
+    roots = _run_adjacency_roots(rows, starts, ends)
+    # group-by root with numpy scatter mins/maxes
     uroots, first_idx, inv = np.unique(
         roots, return_index=True, return_inverse=True)
     k = len(uroots)
@@ -260,6 +305,57 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     order = np.argsort(first_idx, kind="stable")
     return [(int(x0[g]), int(y0[g]), int(x1[g] - x0[g]), int(y1[g] - y0[g]))
             for g in order]
+
+
+def _components_from_runs_transposed(rows_t, starts_t, ends_t) -> list[tuple[int, int, int, int]]:
+    """Component rects for runs extracted in TRANSPOSED orientation
+    (rows_t = original column, starts_t/ends_t = original row span),
+    returned as (x, y, w, h) in ORIGINAL orientation and ordered by
+    each component's first run in the ORIGINAL row-major scan —
+    bit-identical to ``connected_components(mask)`` on the
+    un-transposed mask (8-connectivity is transpose-invariant).
+
+    A component's first original-orientation run starts at its top row
+    y0 = min(starts_t); the runs covering y0 are exactly those with
+    start_t == y0 (no run starts above y0), so the original first run's
+    column is min(rows_t) over those — ordering by (y0, that column)
+    reproduces the row-major first-occurrence order exactly (two
+    components cannot share that cell)."""
+    n = len(rows_t)
+    if n == 0:
+        return []
+    roots = _run_adjacency_roots(rows_t, starts_t, ends_t)
+    uroots, _, inv = np.unique(roots, return_index=True, return_inverse=True)
+    k = len(uroots)
+    big = np.iinfo(np.int64).max
+    # transposed mins/maxes map to original coords with axes swapped
+    y0 = np.full(k, big)
+    y1 = np.zeros(k, dtype=np.int64)
+    x0 = np.full(k, big)
+    x1 = np.zeros(k, dtype=np.int64)
+    np.minimum.at(y0, inv, starts_t)
+    np.maximum.at(y1, inv, ends_t)
+    np.minimum.at(x0, inv, rows_t)
+    np.maximum.at(x1, inv, rows_t + 1)
+    first_col = np.full(k, big)
+    top = starts_t == y0[inv]
+    if top.any():
+        np.minimum.at(first_col, inv[top], rows_t[top])
+    order = np.lexsort((first_col, y0))
+    return [(int(x0[g]), int(y0[g]), int(x1[g] - x0[g]), int(y1[g] - y0[g]))
+            for g in order]
+
+
+def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """External bounding rects (x, y, w, h) of 8-connected components.
+
+    Run-merge CC: runs within a row are nodes; runs in adjacent rows
+    whose column spans touch (8-connectivity ⇒ ±1 overlap) are unioned.
+    Cost is O(#runs α) — per-pixel work stays in the vectorized
+    run-extraction above, so Python only loops over line blobs.
+    """
+    m = np.asarray(mask, dtype=bool)
+    return _components_from_runs(*_runs_along_rows(m))
 
 
 def find_lines(
@@ -293,18 +389,32 @@ def find_lines(
     else:
         raise ValueError("Specify direction as either 'vertical' or 'horizontal'")
 
-    dmask = _open_along_axis(mask, size, axis)
+    # open + CC share ONE run extraction (r7): the open's kept runs ARE
+    # the output mask's runs, so CC consumes them directly instead of
+    # re-scanning the rebuilt mask (for the vertical direction the runs
+    # also stay in transposed orientation — a few long column runs
+    # instead of thousands of 2px row slivers). Dilation (iterations>0)
+    # changes the run set, so that path keeps the mask-walk CC.
+    m = mask if axis == 1 else mask.T
+    runs = _open_runs(m, size)
+    out = _mask_from_runs(*runs, m.shape)
+    dmask = out if axis == 1 else out.T
     if iterations:
         dmask = _dilate_along_axis(dmask, iterations, axis)
+        rects = connected_components(dmask)
+    elif axis == 1:
+        rects = _components_from_runs(*runs)
+    else:
+        rects = _components_from_runs_transposed(*runs)
 
     lines = []
-    for (x, y, w, h) in connected_components(dmask):
+    for (x, y, w, h) in rects:
         x1, x2, y1, y2 = x, x + w, y, y + h
         if direction == "vertical":
             lines.append(((x1 + x2) // 2, y2, (x1 + x2) // 2, y1))
         else:
             lines.append((x1, (y1 + y2) // 2, x2, (y1 + y2) // 2))
-    return dmask.astype(np.int8), lines
+    return np.asarray(dmask, dtype=np.int8), lines
 
 
 def find_contours(vertical: np.ndarray, horizontal: np.ndarray) -> list[tuple[int, int, int, int]]:
@@ -422,11 +532,19 @@ def decode_bitmap(payload: dict) -> np.ndarray:
         rng = np.random.default_rng(int(payload.get("noise_seed", 0)))
         noise = rng.integers(0, amp + 1, size=(h, w)).astype(np.int16)
         pad = 3
+        # separable square dilation: OR the ±pad row shifts, then the
+        # ±pad column shifts of that — identical to the full (2p+1)²
+        # shift-OR (a square structuring element separates), at 4p+2
+        # passes instead of (2p+1)²
         pm = np.pad(mask, pad)
-        halo = np.zeros_like(mask)
-        for dr in range(-pad, pad + 1):
-            for dc in range(-pad, pad + 1):
-                halo |= pm[pad + dr:pad + dr + h, pad + dc:pad + dc + w]
+        rows_or = pm.copy()
+        for dr in range(1, pad + 1):
+            rows_or[pad:pad + h] |= pm[pad - dr:pad - dr + h]
+            rows_or[pad:pad + h] |= pm[pad + dr:pad + dr + h]
+        halo = rows_or[pad:pad + h, pad:pad + w].copy()
+        for dc in range(1, pad + 1):
+            halo |= rows_or[pad:pad + h, pad - dc:pad - dc + w]
+            halo |= rows_or[pad:pad + h, pad + dc:pad + dc + w]
         sign = 1 if fg > bg else -1
         out = img.astype(np.int16)
         out[~halo] += sign * noise[~halo]

@@ -1,0 +1,128 @@
+"""Round-7 optimization equivalence tests.
+
+Each optimization this round restructures an operator's internals
+without changing what it computes; these tests pin the new fast path
+against a straightforward reference implementation on randomized
+inputs (the goldens pin the fixture corpus separately).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from camelot_spark.kernels import raster as rk
+
+
+def _random_mask(rng, h, w, p):
+    return rng.random((h, w)) < p
+
+
+class TestRunBasedCC:
+    def test_transposed_components_match_untransposed(self):
+        """_components_from_runs_transposed(runs of m.T) must equal
+        connected_components(m) exactly, including output ORDER."""
+        rng = np.random.default_rng(7)
+        for trial in range(60):
+            h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+            m = _random_mask(rng, h, w, float(rng.uniform(0.05, 0.6)))
+            want = rk.connected_components(m)
+            runs_t = rk._runs_along_rows(m.T)
+            got = rk._components_from_runs_transposed(*runs_t)
+            assert got == want, f"trial {trial} shape {(h, w)}"
+
+    def test_open_runs_equal_mask_runs(self):
+        """The open's kept runs must be exactly the rebuilt mask's
+        runs (the premise of skipping the re-scan)."""
+        rng = np.random.default_rng(11)
+        for _ in range(40):
+            h, w = int(rng.integers(2, 50)), int(rng.integers(2, 50))
+            m = _random_mask(rng, h, w, 0.5)
+            size = int(rng.integers(1, 8))
+            runs = rk._open_runs(m, size)
+            rebuilt = rk._mask_from_runs(*runs, m.shape)
+            re_runs = rk._runs_along_rows(rebuilt.astype(bool))
+            for a, b in zip(runs, re_runs):
+                assert np.array_equal(a, b)
+
+    def test_find_lines_both_directions_match_maskwalk_cc(self):
+        """find_lines' run-reuse fast path must produce the identical
+        (mask, lines) the old CC(dmask) mask walk produced — including
+        line order — for both directions."""
+        rng = np.random.default_rng(23)
+        for _ in range(25):
+            h, w = int(rng.integers(20, 80)), int(rng.integers(20, 80))
+            m = _random_mask(rng, h, w, 0.45)
+            for direction, axis in (("vertical", 0), ("horizontal", 1)):
+                scale = int(rng.integers(2, 15))
+                dmask, lines = rk.find_lines(m, None, direction, scale, 0)
+                # reference: mask-walk CC over the rebuilt mask
+                ref_rects = rk.connected_components(dmask.astype(bool))
+                ref_lines = []
+                for (x, y, ww, hh) in ref_rects:
+                    x1, x2, y1, y2 = x, x + ww, y, y + hh
+                    if direction == "vertical":
+                        ref_lines.append(((x1 + x2) // 2, y2, (x1 + x2) // 2, y1))
+                    else:
+                        ref_lines.append((x1, (y1 + y2) // 2, x2, (y1 + y2) // 2))
+                assert lines == ref_lines
+                # and the mask equals the plain open
+                size = (h // scale) if axis == 0 else (w // scale)
+                ref_mask = rk._open_along_axis(m, size, axis)
+                assert np.array_equal(dmask, ref_mask)
+
+    def test_adjacency_pairgen_matches_per_row_reference(self):
+        """Vectorized composite-key pair generation vs a per-row
+        two-pointer reference on random run sets."""
+        rng = np.random.default_rng(41)
+        for _ in range(40):
+            h, w = int(rng.integers(1, 30)), int(rng.integers(4, 60))
+            m = _random_mask(rng, h, w, float(rng.uniform(0.1, 0.7)))
+            rows, starts, ends = rk._runs_along_rows(m)
+            roots = rk._run_adjacency_roots(rows, starts, ends)
+            # reference pairs: brute double loop over run pairs
+            ref_parent = list(range(len(rows)))
+
+            def find(p, a):
+                while p[a] != a:
+                    a = p[a]
+                return a
+
+            for i in range(len(rows)):
+                for j in range(len(rows)):
+                    if rows[j] == rows[i] + 1 and starts[i] <= ends[j] \
+                            and ends[i] >= starts[j]:
+                        ra, rb = find(ref_parent, i), find(ref_parent, j)
+                        if ra != rb:
+                            ref_parent[rb] = ra
+            ref_roots = [find(ref_parent, i) for i in range(len(rows))]
+            # same partition (root labels may differ)
+            seen = {}
+            for a, b in zip(roots.tolist(), ref_roots):
+                assert seen.setdefault(a, b) == b
+
+
+class TestSeparableHalo:
+    def test_halo_matches_full_square_dilation(self):
+        """decode_bitmap's separable ±3 halo == the full 7×7 shift-OR."""
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            mask = _random_mask(rng, h, w, 0.1)
+            payload = rk.encode_bitmap(mask)
+            payload["noise_amp"] = 50
+            payload["noise_seed"] = int(rng.integers(0, 1 << 31))
+            img = rk.decode_bitmap(payload)
+            # reference: full 7x7 OR halo, then the same noise math
+            pad = 3
+            pm = np.pad(mask, pad)
+            halo = np.zeros_like(mask)
+            for dr in range(-pad, pad + 1):
+                for dc in range(-pad, pad + 1):
+                    halo |= pm[pad + dr:pad + dr + h, pad + dc:pad + dc + w]
+            rng2 = np.random.default_rng(payload["noise_seed"])
+            noise = rng2.integers(0, 51, size=(h, w)).astype(np.int16)
+            ref = np.full((h, w), 255, dtype=np.uint8)
+            ref[mask] = 0
+            out = ref.astype(np.int16)
+            out[~halo] += 1 * noise[~halo] * -1  # fg(0) < bg(255): sign = -1
+            ref = np.clip(out, 0, 255).astype(np.uint8)
+            assert np.array_equal(img, ref)
