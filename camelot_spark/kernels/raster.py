@@ -168,9 +168,18 @@ def _runs_along_rows(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
     pass). Row-major order interleaves each row's starts and ends, so
     classification preserves the identical per-run pairing."""
     H, W = mask.shape
-    padded = np.zeros((H, W + 2), dtype=np.int8)
-    padded[:, 1:-1] = mask
-    d = np.diff(padded, axis=1)
+    # build the boundary diff directly into its buffer (r7): the old
+    # form zero-padded a full int8 copy and np.diff'd it — two full
+    # temps; a bool mask views as int8 zero-copy, so the three diff
+    # bands (first column, interior, sentinel end column) are written
+    # in one pass each with no padded intermediate
+    mi = mask.view(np.int8) if mask.dtype == np.bool_ else \
+        np.asarray(mask, dtype=np.int8)
+    d = np.empty((H, W + 1), dtype=np.int8)
+    d[:, 0] = mi[:, 0]
+    if W > 1:
+        np.subtract(mi[:, 1:], mi[:, :-1], out=d[:, 1:W])
+    np.negative(mi[:, W - 1], out=d[:, W])
     # flatnonzero + divmod beats 2-D nonzero (one C pass over the
     # raveled diff, no per-axis index unravel) — measured ~17% on this
     # primitive, which runs ~200x per corpus pass
@@ -195,8 +204,9 @@ def _mask_from_runs(rows, starts, ends, shape) -> np.ndarray:
         delta[rows, starts] = 1
         delta[rows, ends] = -1
         # numpy promotes integer cumsum to the platform int unless the
-        # dtype is pinned; 0/1 values make int8 exact
-        out = (delta.cumsum(axis=1, dtype=np.int8)[:, :-1] > 0).astype(np.int8)
+        # dtype is pinned; 0/1 values make int8 exact. The bool compare
+        # VIEWS as int8 (same 0/1 bytes) instead of an astype copy.
+        out = (delta.cumsum(axis=1, dtype=np.int8)[:, :-1] > 0).view(np.int8)
     return out
 
 
@@ -414,7 +424,10 @@ def find_lines(
             lines.append(((x1 + x2) // 2, y2, (x1 + x2) // 2, y1))
         else:
             lines.append((x1, (y1 + y2) // 2, x2, (y1 + y2) // 2))
-    return np.asarray(dmask, dtype=np.int8), lines
+    # the vertical path's transpose-back is an F-order VIEW; downstream
+    # AND/OR consumers (find_contours, find_joints) pay ~4x strided
+    # traversal on it — one contiguous copy here is cheaper than either
+    return np.ascontiguousarray(dmask, dtype=np.int8), lines
 
 
 def find_contours(vertical: np.ndarray, horizontal: np.ndarray) -> list[tuple[int, int, int, int]]:
