@@ -92,13 +92,32 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
         learned, "merge_rank int, left string, right string, pair_count long")
 
 
-def bpe_token_counts(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+def bpe_token_counts(documents: DataFrame, n_merges: int = 8,
+                     merges: DataFrame | None = None) -> DataFrame:
     """Train ``n_merges`` merges on the given corpus, then ENCODE that
     corpus with them: per document, the number of BPE tokens after all
     merges apply (guards excluded) — the sequence-length statistic that
-    drives packing/quota decisions once a tokenizer exists. The final
-    training state IS the encoded corpus, so encoding costs nothing
-    beyond the training loop."""
+    drives packing/quota decisions once a tokenizer exists.
+
+    ``merges``: an already-learned merge table (bpe_train's output
+    schema). When given, the per-round count→argmax→replace jobs are
+    skipped entirely and the ≤``n_merges`` literal replaces apply in
+    ONE chained projection — replace is associative-in-sequence, so
+    chaining in rank order equals the per-round application exactly.
+    This is how a production encode pass runs (the tokenizer is
+    trained once, applied everywhere), and how the driver query shares
+    bpe_train's persisted prefix. Without ``merges`` the loop trains
+    in place as before (9 sequential driver-gated jobs)."""
+    if merges is not None:
+        rows = sorted(merges.collect(), key=lambda r: r["merge_rank"])
+        s = F.col("s")
+        for m in rows[:n_merges]:
+            l, r = m["left"], m["right"]
+            s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+        toks = F.filter(F.split(s, " "),
+                        lambda t: (F.length(t) > 0) & (t != "|"))
+        return _initial_state(documents).select(
+            "doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
     spark = documents.sparkSession
     state = _initial_state(documents).localCheckpoint(eager=False)
     for _ in range(n_merges):

@@ -342,16 +342,35 @@ def media_features(documents: DataFrame, dim: int = 8) -> DataFrame:
 
 def media_features_hist(documents: DataFrame, dim: int = 8) -> DataFrame:
     """media_features as exploded (doc_id, bucket, cnt) rows — the
-    hash-oracled view of the histogram (integer outputs; the array form
-    feeds the similarity operators directly)."""
-    feats = media_features(documents, dim=dim)
-    return feats.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.posexplode("features").alias("bucket", "cnt_d"),
-    ).select(
-        "doc_id",
-        F.col("bucket").cast("int").alias("bucket"),
-        F.col("cnt_d").cast("bigint").alias("cnt"),
+    hash-oracled view of the histogram (integer outputs).
+
+    Restructured r7 (guide §4.1): the per-row form ran dim×|chars|
+    INTERPRETED filter-lambda evals per document (~80M at sf0.1,
+    measured 3.1 s); this shape explodes each character's bucket to a
+    codegen row and partial-aggregates map-side, so the shuffle carries
+    at most ``dim`` short rows per doc — the same explode+partial-agg
+    restructure that fixed the r5 minhash regression. The doc × bucket
+    grid join restores the zero-count rows, and a NULL text yields the
+    same ``dim`` NULL-count rows the old size(filter(NULL)) produced.
+    ``doc_id`` is the table's primary key (package-wide contract), so
+    the per-key aggregate equals the old per-row counting."""
+    chars = F.split(F.encode(F.col("text"), "utf-8").cast("string"), "")
+    base = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), chars.alias("cs"))
+    counts = (
+        base.select("doc_id", F.explode("cs").alias("c"))
+        .select("doc_id", (F.ascii("c") % dim).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = base.select(
+        "doc_id", F.col("cs").isNotNull().alias("has"),
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<int>"))
+        .alias("bucket"))
+    return grid.join(counts, ["doc_id", "bucket"], "left").select(
+        "doc_id", "bucket",
+        F.when(F.col("has"), F.coalesce("n", F.lit(0)))
+        .cast("bigint").alias("cnt"),
     )
 
 

