@@ -542,23 +542,26 @@ FROM off
 # green row is ever more than one round old. Update this set from
 # CORRECTNESS_r{N}.json each round.
 _DRIVER_CHECKED_LAST_ROUND = frozenset({
-    # = the 50 keys in CORRECTNESS_r05.json
-    "ann_recall", "avi_audio_roundtrip", "bm25_topk", "boilerplate_strip",
-    "bpe_token_counts", "bpe_train", "chunk_documents", "clean_corpus",
-    "cluster_balanced_sample", "corpus_mix", "dataset_split",
-    "decontaminate", "decontaminate_bloom", "dedup_exact", "dedup_groups",
-    "dedup_groups_portable", "dedup_groups_star", "dedup_incremental",
-    "dedup_keep_first", "dup_substring_spans", "dup_substring_stats",
-    "feature_hash_embed", "hashed_topk", "inverted_index", "ivf_refine",
-    "kmv_distinct", "kmv_distinct_partial", "length_histogram",
-    "lm_bigram_score", "media_features", "mine_hard_negatives",
-    "minhash_lsh_pairs", "minhash_lsh_pairs_portable",
-    "minhash_neardup_verified", "ngram_jaccard", "pack_sequences",
-    "pack_sequences_global", "perplexity_bucket_mix", "pq_encode",
-    "pq_topk", "quality_classifier_predictions", "semantic_dedup",
-    "session_rollup", "shuffle_shards", "stratified_sample",
-    "stratified_topk_sample", "strip_dup_substrings", "token_hot_keys",
-    "token_skew_profile", "train_quality_classifier",
+    # = the 50 keys in CORRECTNESS_r06.json (rotated r7, VERDICT r6 #1:
+    # demoting these promotes the other half — which contains the
+    # xxhash64 dedup quartet whose r6 pyhash VALUES oracles have never
+    # had a driver row — to the head of the driver's budgeted pass)
+    "ann_lsh_topk", "ann_topk", "argmax_vote", "asof_join",
+    "audio_features", "audio_meta", "dedup_groups_verified",
+    "dedup_report", "doc_fingerprint", "embedding_neardup",
+    "embedding_neardup_pairs", "event_props_stats",
+    "extract_lattice_corpus", "extract_stream_corpus",
+    "frame_sample_counts", "grid_metrics", "hashed_ivf_topk",
+    "histogram_quantiles", "html_main_content", "html_strip",
+    "interval_islands", "ivf_assign", "ivf_topk", "langid_vote",
+    "lineage_report", "link_rank", "media_meta", "media_resize",
+    "mode_of_counts", "neardup_verified_portable", "normalize_text",
+    "parsing_report", "quality_score", "quantize_embeddings",
+    "range_join", "range_predicate", "rank_weighted_sample",
+    "repetition_stats", "scrub_pii", "sessionize_gaps",
+    "simhash_near_dups", "simhash_near_dups_portable", "span_stats",
+    "table_export_csv", "time_rollup", "token_rarity", "token_stats",
+    "top_ngrams", "topk_cap", "winnow_fingerprints",
 })
 
 # Queries with no DuckDB twin get only the weaker rows-only check —

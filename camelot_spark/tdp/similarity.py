@@ -440,10 +440,14 @@ def neardup_candidates(
             ])
         ).alias("band", "band_sig"),
     )
-    # ONE explicit shuffle on the join key: the self-join, the bucket
-    # count and the semi-join all consume the same exchange (AQE shuffle
-    # reuse), instead of re-running the signature computation once per
-    # plan branch — measured ~1.4x on the candidate stage.
+    # materialize the slim banded rows ONCE (r7): the static plan
+    # otherwise embeds the 32-plane signature fold once per self-join
+    # side (the fold is ~1.5 s of the 3.5 s query at sf0.1), and AQE
+    # exchange reuse is not guaranteed across differently-projected
+    # branches; the checkpoint is 3 longs per (vec, band), no vectors.
+    # Then ONE explicit shuffle on the join key: the self-join, the
+    # bucket count and the semi-join all consume the same exchange.
+    banded = banded.localCheckpoint()
     banded = banded.repartition("band", "band_sig")
     if bucket_cap is not None:
         small = (
@@ -561,8 +565,12 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
     Comparisons use the floor(cos·10⁴) integer the twin mirrors."""
     # cell computed in the scan's task over the broadcast pivot row —
     # NOT ivf_assign joined back on vec_id, which would shuffle every
-    # vector just to reunite it with its own cell id
-    e = _assign_with_embedding(embeddings, n_cells)
+    # vector just to reunite it with its own cell id. localCheckpoint
+    # (r7): the assignment fold (K cosines/row) otherwise re-runs in
+    # each of the three plan branches that consume `e` (a-side, b-side,
+    # final flag join) — measured ~1 s/branch at sf0.1; partition-local
+    # materialization, no shuffle added.
+    e = _assign_with_embedding(embeddings, n_cells).localCheckpoint()
     # norms hoisted to one column per VECTOR before the pair join —
     # computing them per PAIR would redo the O(dim) fold ~cell_size
     # times per vector; dot/(na*nb) is the same expression tree, so
@@ -638,7 +646,9 @@ def ann_recall(embeddings: DataFrame, k: int = 10) -> DataFrame:
     search returned (recall@k numerator — the metric a production ANN
     deployment tracks per index build). One row per method, all
     integer: (method, n_hits, k)."""
-    truth = cosine_topk(embeddings, k=k).select("vec_id")
+    # k-row checkpoint: both method branches join against the exact
+    # ground truth — without it the brute-force pass runs twice
+    truth = cosine_topk(embeddings, k=k).select("vec_id").localCheckpoint()
 
     def hits(name, df):
         return (
@@ -696,8 +706,12 @@ def ivf_refine(embeddings: DataFrame, n_cells: int = 16,
 
     Output: (vec_id, cell0, cell1, moved) — moved=1 when the refined
     argmax differs from the coarse cell.
+
+    localCheckpoint on the assignment (r7): `e` feeds the centroid
+    explode, the cell counts AND the rescoring — without the barrier
+    the K-cosine assignment fold runs once per branch.
     """
-    e = _assign_with_embedding(embeddings, n_cells)
+    e = _assign_with_embedding(embeddings, n_cells).localCheckpoint()
     qcol = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * scale).cast("bigint"),
