@@ -139,16 +139,28 @@ def main_content(
     scored = F.filter(
         F.transform(blocks, block_struct), lambda s: s["n_words"] > 0
     )
+    # stage the scored-block array as a BOUND COLUMN (r7): the final
+    # projection references it three times (n_blocks, content filter,
+    # main_text), and an inline non-cheap expression re-runs its regex
+    # chain per reference; as a multi-use column CollapseProject keeps
+    # it staged and it evaluates once per row (the quantize_embeddings
+    # pattern) — measured 2.1 -> 0.9 s at sf0.1
+    staged = src.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        scored.alias("__blocks"))
     content = F.filter(
-        scored,
+        F.col("__blocks"),
         lambda s: (s["n_words"] >= min_words)
         & (s["density_x10k"] <= max_link_density_x10k),
     )
-    return src.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.size(scored).cast("bigint").alias("n_blocks"),
-        F.size(content).cast("bigint").alias("n_content_blocks"),
-        F.array_join(F.transform(content, lambda s: s["text"]), " ").alias("main_text"),
+    staged = staged.select(
+        "doc_id", "__blocks", content.alias("__content"))
+    return staged.select(
+        "doc_id",
+        F.size("__blocks").cast("bigint").alias("n_blocks"),
+        F.size("__content").cast("bigint").alias("n_content_blocks"),
+        F.array_join(F.transform("__content", lambda s: s["text"]), " ")
+        .alias("main_text"),
     )
 
 
