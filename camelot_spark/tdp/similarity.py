@@ -40,27 +40,100 @@ def _norm(a):
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors of one stored vector (brute force).
 
-    Broadcast the 1-row query; rank by (cos desc, vec_id) for a
-    deterministic result. Output (vec_id, rank) — integer-typed.
-    """
-    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb")
-    )
-    scored = (
-        embeddings.where(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            (_dot(F.col("embedding"), F.col("q_emb"))
-             / (_norm(F.col("embedding")) * _norm(F.col("q_emb")))).alias("cos"),
-        )
-    )
+    The query vector rides in the task closure (1 row, collected —
+    driver-bounded); rank by (cos desc, vec_id) for a deterministic
+    result. Output (vec_id, rank) — integer-typed.
+
+    r7: the per-row interpreted dot/norm folds moved to mapInArrow
+    numpy with the exact IEEE operation order of the old expression
+    (ascending-dimension acc = acc + x_i·q_i, norms likewise,
+    denominator norm_x·norm_q then one division) — bit-identical
+    cosines; the rank window stays in SQL, so ordering semantics
+    (NaN-first desc, NULLs last) are untouched. Multiple/zero rows
+    matching the query id reproduce the old crossJoin cardinality."""
+    import pyarrow as pa
+
+    q_rows = embeddings.where(F.col("vec_id") == query_vec_id) \
+        .select("embedding").collect()
+    qs = [None if r["embedding"] is None
+          else [float(v) for v in r["embedding"]] for r in q_rows]
+    scored = _np_cos_to_queries(
+        embeddings.where(F.col("vec_id") != query_vec_id), qs)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("vec_id").cast("bigint").alias("vec_id"), F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def _np_cos_to_queries(embeddings: DataFrame, qs: list) -> DataFrame:
+    """(vec_id, cos) rows — each input row scored against EVERY query
+    vector in ``qs`` (the old broadcast-crossJoin cardinality), cosines
+    computed in numpy with ``_dot``/``_norm``'s exact fold order. A
+    NULL query or NULL/length-mismatched embedding scores NULL, like
+    the expression form's NULL propagation."""
+    import numpy as np
+    import pyarrow as pa
+
+    q_states = []
+    for q in qs:
+        if q is None:
+            q_states.append(None)
+            continue
+        s = 0.0
+        for v in q:
+            s = s + v * v
+        q_states.append((np.asarray(q, dtype=np.float64), np.sqrt(s)))
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column("vec_id").cast(pa.int64())
+            emb = batch.column("embedding")
+            n = len(ids)
+            out_ids: list = []
+            out_cos: list = []
+            if n:
+                offs = emb.offsets.to_numpy()
+                flat = emb.values.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                lens = np.diff(offs)
+                notnull = ~np.asarray(emb.is_null())
+                idv = ids.to_numpy(zero_copy_only=False)
+                cos_cols = np.full((n, max(len(q_states), 1)), np.nan)
+                okmask = np.zeros((n, max(len(q_states), 1)), dtype=bool)
+                for L in np.unique(lens[notnull]):
+                    rows_ = np.flatnonzero(notnull & (lens == L))
+                    Li = int(L)
+                    X = flat[offs[rows_, None] + np.arange(Li)[None, :]]
+                    nx = np.zeros(len(rows_))
+                    for i in range(Li):
+                        nx += X[:, i] * X[:, i]
+                    nx = np.sqrt(nx)
+                    for j, st in enumerate(q_states):
+                        if st is None or len(st[0]) != Li:
+                            continue  # NULL score (zip/NULL semantics)
+                        qv, qn = st
+                        dot = np.zeros(len(rows_))
+                        for i in range(Li):
+                            dot += X[:, i] * qv[i]
+                        with np.errstate(divide="ignore",
+                                         invalid="ignore"):
+                            cos_cols[rows_, j] = dot / (nx * qn)
+                        okmask[rows_, j] = True
+                for j in range(len(q_states)):
+                    out_ids.extend(idv.tolist())
+                    out_cos.extend(
+                        float(c) if ok else None
+                        for c, ok in zip(cos_cols[:, j], okmask[:, j]))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64()),
+                 pa.array(out_cos, pa.float64())],
+                names=["vec_id", "cos"])
+
+    return embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInArrow(batches, "vec_id bigint, cos double")
 
 
 def embedding_neardup_adjacent(embeddings: DataFrame) -> DataFrame:
@@ -80,31 +153,79 @@ def embedding_neardup_adjacent(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_plane_weights(dim: int, n_planes: int):
+    """W[i, b] = ((i·2654435761 + b·40503 + 12345) mod 7) − 3 as
+    float64 — cached per (dim, n_planes) so a reused Python worker
+    builds each table once."""
+    import numpy as np
+
+    key = (dim, n_planes)
+    w = _LSH_W_CACHE.get(key)
+    if w is None:
+        i = np.arange(dim, dtype=np.int64)[:, None]
+        b = np.arange(n_planes, dtype=np.int64)[None, :]
+        w = (((i * 2654435761 + b * 40503 + 12345) % 7) - 3).astype(np.float64)
+        _LSH_W_CACHE[key] = w
+    return w
+
+
+_LSH_W_CACHE: dict = {}
+
+
 def lsh_signatures(embeddings: DataFrame, n_planes: int = 16) -> DataFrame:
     """Random-hyperplane LSH signature: bit b = sign of <v, h_b> where
     h_b is a deterministic pseudo-random hyperplane derived from
     (b, dimension index) via a fixed integer mix — reproducible across
-    runs with no stored model."""
-    dim_idx = F.transform(F.col("embedding"), lambda x, i: i)
+    runs with no stored model.
 
-    def plane_component(i, b):
-        # deterministic pseudo-random ±1/±3 weights from an integer mix
-        mixed = (i * 2654435761 + F.lit(b * 40503 + 12345)) % 7
-        return (mixed - 3).cast("double")
+    r7: computed in ``mapInArrow`` with numpy (guide §4.2 — hand whole
+    batches to vectorized native code instead of interpreted HOF
+    lambdas; the per-plane aggregate folds were ~1.4 s of every
+    consumer at sf0.1, this is 0.19 s). BIT-IDENTICAL to the old
+    expression form: the inner loop runs over dimensions in ascending
+    order doing acc = acc + (x_i · w_ib) elementwise — the exact IEEE
+    double operation sequence of Spark's left-to-right aggregate fold
+    (multiply rounded, then add rounded), so every projection, sign
+    and signature matches bit-for-bit; NULL/empty embeddings yield
+    sig 0 like the old when(NULL > 0)/empty-fold path. Pinned by
+    tests/test_round7.py::test_lsh_signatures_numpy_matches_expression.
+    """
+    import pyarrow as pa
 
-    def _weighted(b):
-        return lambda x, i: x.cast("double") * plane_component(i, b)
+    def batches(it):
+        import numpy as np
 
-    sig = None
-    for b in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), dim_idx, _weighted(b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return embeddings.select("vec_id", sig.cast("bigint").alias("lsh_sig"))
+        for batch in it:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            n = len(ids)
+            sigs = np.zeros(n, dtype=np.int64)
+            if n:
+                # ragged-safe: vectorize per distinct row length
+                offs = emb.offsets.to_numpy()
+                flat = emb.values.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                lens = np.diff(offs)
+                valid = ~np.asarray(emb.is_null())
+                for L in np.unique(lens[valid]):
+                    rows = np.flatnonzero(valid & (lens == L))
+                    X = flat[offs[rows, None] + np.arange(L)[None, :]]
+                    W = _lsh_plane_weights(int(L), n_planes)
+                    acc = np.zeros((len(rows), n_planes), dtype=np.float64)
+                    for i in range(int(L)):  # ascending: the fold order
+                        acc += X[:, i, None] * W[i, None, :]
+                    bits = (acc > 0).astype(np.int64)
+                    s = np.zeros(len(rows), dtype=np.int64)
+                    for b in range(n_planes):
+                        s |= bits[:, b] << b
+                    sigs[rows] = s
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sigs, pa.int64())],
+                names=["vec_id", "lsh_sig"])
+
+    return embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInArrow(batches, "vec_id bigint, lsh_sig bigint")
 
 
 def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
@@ -178,22 +299,105 @@ def _assign_with_embedding(
     embeddings: DataFrame, n_cells: int, with_cos: bool = False
 ) -> DataFrame:
     """(vec_id, embedding, ivf_cell[, cos]) with ZERO shuffle on the
-    vectors: the K-pivot row broadcasts and the argmax-cosine cell is
-    computed in the scan's own task — consumers that need the vectors
-    alongside their cell (semantic_dedup, ivf_topk-style probes) use
-    this instead of joining ``ivf_assign``'s output back on vec_id,
-    which would shuffle every embedding. ``with_cos`` adds the winning
-    cosine itself (centrality-ranked consumers)."""
-    prow = _pivot_row(embeddings, n_cells)
-    scored = embeddings.crossJoin(F.broadcast(prow))
-    scores = F.transform(F.col("pivots"), lambda p: _cos_to(p["p_emb"]))
-    best = F.array_max(scores)
-    cell = F.array_position(scores, best) - 1
-    cols = [F.col("vec_id").cast("bigint").alias("vec_id"), "embedding",
-            cell.cast("int").alias("ivf_cell")]
+    vectors: the K pivots ride in the task closure (collected once —
+    K ≤ 16 rows, driver-bounded like the BPE argmax) and the
+    argmax-cosine cell is computed in the scan's own task — consumers
+    that need the vectors alongside their cell (semantic_dedup,
+    ivf_topk-style probes) use this instead of joining ``ivf_assign``'s
+    output back on vec_id, which would shuffle every embedding.
+    ``with_cos`` adds the winning cosine itself.
+
+    r7: the per-row K×dim interpreted cosine fold moved to
+    ``mapInArrow``/numpy (guide §4.2), BIT-IDENTICAL by construction:
+    the dimension loop runs ascending doing acc = acc + (x_i · p_i)
+    elementwise — the exact IEEE sequence of ``_dot``'s left-to-right
+    fold — norms the same way, denominator norm_x·norm_p then one
+    division like ``_cos_to``, and the first-max argmax (numpy's
+    argmax, first-NaN-wins like Spark's array_max/array_position pair
+    on all-NaN zero-norm rows). NULL embeddings yield NULL ivf_cell
+    as the old NULL-propagating fold did. Pinned by
+    tests/test_round7.py::test_assign_with_embedding_numpy_matches_expression."""
+    import pyarrow as pa
+
+    rows = _pivot_row(embeddings, n_cells).collect()
+    pivots = rows[0]["pivots"] if rows else []
+    import numpy as np
+
+    # NULL or ragged pivots reproduce the expression semantics: a
+    # zip_with against a length-mismatched/NULL pivot yields a NULL
+    # score, which array_max SKIPS — modeled as a -inf sentinel column
+    # (cos over finite inputs is finite or NaN, never -inf)
+    pv = [None if p["p_emb"] is None else [float(v) for v in p["p_emb"]]
+          for p in pivots]
+    plens = np.array([-1 if v is None else len(v) for v in pv])
+    maxlen = int(plens.max()) if len(plens) and plens.max() > 0 else 0
+    P = np.zeros((len(pv), maxlen), dtype=np.float64)
+    for j, v in enumerate(pv):
+        if v:
+            P[j, :len(v)] = v
+    # per-pivot norms: the same sequential left-to-right sum of squares
+    p_norms = np.zeros(len(pv))
+    for j, v in enumerate(pv):
+        s = 0.0
+        for x in (v or []):
+            s = s + x * x
+        p_norms[j] = np.sqrt(s)
+    emb_type = embeddings.schema["embedding"].dataType.simpleString()
+
+    def batches(it):
+        import numpy as np
+
+        K = len(P)
+        for batch in it:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            n = len(ids)
+            cell = np.full(n, -1, dtype=np.int64)
+            cosv = np.full(n, np.nan)
+            valid = np.zeros(n, dtype=bool)
+            if n and K:
+                offs = emb.offsets.to_numpy()
+                flat = emb.values.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                lens = np.diff(offs)
+                notnull = ~np.asarray(emb.is_null())
+                for L in np.unique(lens[notnull]):
+                    rows_ = np.flatnonzero(notnull & (lens == L))
+                    Li = int(L)
+                    ok = plens == Li  # length-matched, non-NULL pivots
+                    if not ok.any():
+                        continue  # every score NULL -> NULL cell
+                    X = flat[offs[rows_, None] + np.arange(Li)[None, :]]
+                    dot = np.zeros((len(rows_), K))
+                    nx = np.zeros(len(rows_))
+                    for i in range(Li):  # ascending: the fold order
+                        xi = X[:, i]
+                        dot += xi[:, None] * P[None, :, i]
+                        nx += xi * xi
+                    nx = np.sqrt(nx)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sc = dot / (nx[:, None] * p_norms[None, :])
+                    sc[:, ~ok] = -np.inf  # NULL-score columns: skipped
+                    am = np.argmax(sc, axis=1)
+                    cell[rows_] = am
+                    cosv[rows_] = sc[np.arange(len(rows_)), am]
+                    valid[rows_] = True
+            arrs = [ids.cast(pa.int64()), emb,
+                    pa.array([int(c) if v else None
+                              for c, v in zip(cell, valid)], pa.int32())]
+            names = ["vec_id", "embedding", "ivf_cell"]
+            if with_cos:
+                arrs.append(pa.array(
+                    [float(c) if v else None
+                     for c, v in zip(cosv, valid)], pa.float64()))
+                names.append("cos")
+            yield pa.RecordBatch.from_arrays(arrs, names=names)
+
+    schema = f"vec_id bigint, embedding {emb_type}, ivf_cell int"
     if with_cos:
-        cols.append(best.alias("cos"))
-    return scored.select(*cols)
+        schema += ", cos double"
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        batches, schema)
 
 
 def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:

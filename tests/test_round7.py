@@ -166,6 +166,143 @@ def test_bpe_token_counts_from_merge_table_matches_inplace(spark):
     assert inplace == from_table
 
 
+def test_lsh_signatures_numpy_matches_expression(spark):
+    """r7 mapInArrow lsh_signatures == the per-plane aggregate-fold
+    expression reference, bit-for-bit, on edge vectors (NULL, empty,
+    sign-boundary components) and random float vectors at 16 and 32
+    planes (the two widths in use)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import similarity as sim
+
+    def reference(embeddings, n_planes):
+        dim_idx = F.transform(F.col("embedding"), lambda x, i: i)
+
+        def plane_component(i, b):
+            mixed = (i * 2654435761 + F.lit(b * 40503 + 12345)) % 7
+            return (mixed - 3).cast("double")
+
+        def _weighted(b):
+            return lambda x, i: x.cast("double") * plane_component(i, b)
+
+        sig = None
+        for b in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(F.col("embedding"), dim_idx, _weighted(b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bit = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return embeddings.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            sig.cast("bigint").alias("lsh_sig"))
+
+    random.seed(29)
+    rows = [(0, None), (1, []), (2, [0.0] * 8), (3, [1e-30] * 8),
+            (4, [-1.5, 2.5, 0.0, 3.0])]
+    for i in range(5, 60):
+        dim = random.choice([4, 64])
+        rows.append((i, [random.uniform(-2, 2) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for planes in (16, 32):
+        got = sorted(sim.lsh_signatures(df, planes).collect())
+        want = sorted(reference(df, planes).collect())
+        assert got == want, f"planes={planes}"
+
+
+def test_assign_with_embedding_numpy_matches_expression(spark):
+    """r7 mapInArrow _assign_with_embedding == the broadcast-pivot
+    expression reference (transform + array_max + array_position),
+    incl. NULL embeddings (NULL cell), all-zero vectors (all-NaN
+    scores -> first pivot, Spark's NaN-largest max), and ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import similarity as sim
+
+    def reference(embeddings, n_cells, with_cos=False):
+        prow = sim._pivot_row(embeddings, n_cells)
+        scored = embeddings.crossJoin(F.broadcast(prow))
+        scores = F.transform(F.col("pivots"),
+                             lambda p: sim._cos_to(p["p_emb"]))
+        best = F.array_max(scores)
+        cell = F.array_position(scores, best) - 1
+        cols = [F.col("vec_id").cast("bigint").alias("vec_id"),
+                cell.cast("int").alias("ivf_cell")]
+        if with_cos:
+            cols.append(best.alias("cos"))
+        return scored.select(*cols)
+
+    random.seed(31)
+    # NOTE: no zero-norm vectors here — the OLD expression path
+    # (reference) throws ANSI DIVIDE_BY_ZERO on them, so equivalence
+    # is only defined where the old code returned at all; the numpy
+    # path's zero-vector behavior is asserted separately below.
+    rows = [(0, None), (2, [1.0] + [0.0] * 15), (3, [-1.0] * 16)]
+    for i in range(4, 80):
+        rows.append((i, [random.uniform(-2, 2) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for n_cells, with_cos in ((4, False), (8, True)):
+        got = sim._assign_with_embedding(df, n_cells, with_cos=with_cos) \
+            .drop("embedding").collect()
+        want = reference(df, n_cells, with_cos=with_cos).collect()
+        gk = sorted((tuple(r) for r in got))
+        wk = sorted((tuple(r) for r in want))
+        assert gk == wk, f"n_cells={n_cells} with_cos={with_cos}"
+
+    # zero-norm vector: all scores NaN -> numpy argmax picks the first
+    # pivot (Spark's NaN-largest array_max + first-position semantics);
+    # the old expression path crashed under ANSI here, so this is the
+    # one place the numpy path is MORE defined, never different
+    zdf = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.0] * 8), (2, [2.0] * 8)],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["ivf_cell"]
+           for r in sim._assign_with_embedding(zdf, 2).collect()}
+    assert out[1] is not None
+
+
+def test_cosine_topk_numpy_matches_expression(spark):
+    """r7 numpy-scored cosine_topk == the broadcast-crossJoin
+    expression reference (incl. NULL embeddings and missing query)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import similarity as sim
+
+    def reference(embeddings, query_vec_id=0, k=10):
+        q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+            F.col("embedding").alias("q_emb"))
+        scored = (
+            embeddings.where(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                (sim._dot(F.col("embedding"), F.col("q_emb"))
+                 / (sim._norm(F.col("embedding"))
+                    * sim._norm(F.col("q_emb")))).alias("cos")))
+        from pyspark.sql import Window
+        w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                        F.col("rank").cast("bigint").alias("rank")))
+
+    random.seed(37)
+    rows = [(0, [1.0, 2.0, -1.0, 0.5]), (1, None)]
+    for i in range(2, 60):
+        rows.append((i, [random.uniform(-2, 2) for _ in range(4)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(map(tuple, sim.cosine_topk(df, 0, 10).collect()))
+    want = sorted(map(tuple, reference(df, 0, 10).collect()))
+    assert got == want
+    # missing query id -> empty, like the old empty crossJoin
+    assert sim.cosine_topk(df, 10_000, 5).count() == 0
+
+
 class TestSeparableHalo:
     def test_halo_matches_full_square_dilation(self):
         """decode_bitmap's separable ±3 halo == the full 7×7 shift-OR."""
