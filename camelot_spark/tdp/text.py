@@ -748,39 +748,59 @@ def feature_hash_vec(documents: DataFrame, dim: int = 64):
     """
     if dim & (dim - 1) or dim <= 0:
         raise ValueError("dim must be a power of two")
+    import pyarrow as pa
+
     sign_bit = dim.bit_length() - 1
-    # NULL text -> zero vector (not a NULL-propagated vector that
-    # array_join silently empties and that would rank FIRST in
-    # hashed_topk under asc nulls-first); DuckDB's COALESCE on the
-    # per-element sums lands on the same zeros
+    mask = dim - 1
+    # tokenization (lower/split/filter, NULL text -> []) stays a JVM
+    # expression — Python string lowering could diverge on exotic
+    # unicode; only the pure-INTEGER hash/scatter moves to Python
     toks = _clean_toks()
-    h = portable_token_hash(F.col("tok"))
-    sign = (F.lit(1)
-            - F.shiftright(h, sign_bit).bitwiseAND(F.lit(1)) * F.lit(2))
-    # explode_OUTER keeps tokenless docs as one (tok=NULL) row that
-    # contributes weight 0 to bucket 0 — the zero vector falls out of
-    # the same aggregate, with no second documents scan + join back
-    per_bucket = (
-        documents.select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.explode_outer(toks).alias("tok"))
-        .select(
-            "doc_id",
-            F.coalesce(h.bitwiseAND(F.lit(dim - 1)).cast("int"),
-                       F.lit(0)).alias("bucket"),
-            F.coalesce(sign.cast("long"), F.lit(0).cast("long")).alias("s"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.sum("s").alias("w"))
-    )
-    maps = per_bucket.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("bucket", "w"))).alias("m"))
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
-                             F.lit(0).cast("long")),
-    )
-    return maps.select("doc_id", vec.alias("vec"))
+
+    # r7 (guide §4.2): the hash+bucket+sign scatter runs in mapInArrow
+    # over the token arrays instead of explode_outer + two groupBy
+    # passes — the hash is the same portable fold ((h·31+cp) over the
+    # first 8 codepoints, mod 1e9+7; Python slicing and ord() are the
+    # identical codepoint walk), buckets/signs the same bit ops, and
+    # every sum is integer so ORDER cannot matter: bit-identical by
+    # construction, pinned by
+    # tests/test_round7.py::test_feature_hash_vec_arrow_matches_explode_agg.
+    # One slim (doc_id, dim longs) row per input row crosses back.
+    def batches(it):
+        M = _POLY_M
+        for batch in it:
+            ids = batch.column("doc_id")
+            tcol = batch.column("toks").to_pylist()
+            vecs = []
+            for ts in tcol:
+                vec = [0] * dim
+                for t in (ts or ()):
+                    if t is None:
+                        continue  # NULL token: weight 0 like the old
+                        # coalesce(bucket,0)/coalesce(sign,0) row
+                    h = 0
+                    for c in t[:8]:
+                        h = h * 31 + ord(c)
+                    h %= M
+                    vec[h & mask] += 1 - 2 * ((h >> sign_bit) & 1)
+                vecs.append(vec)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(vecs, pa.list_(pa.int64()))],
+                names=["doc_id", "vec"])
+
+    per_row = documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), toks.alias("toks")
+    ).mapInArrow(batches, "doc_id bigint, vec array<bigint>")
+    # pooled per key exactly like the old global groupBy: rows sharing
+    # a doc_id (or multiple NULL ids) sum into ONE vector — integer
+    # sums commute, so per-row vectors summed per key == the old
+    # per-(doc, bucket) aggregation; PK corpora fold 1-element lists
+    return per_row.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("vec"),
+            F.array_repeat(F.lit(0).cast("long"), dim),
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("vec"))
 
 
 def feature_hash_embed(documents: DataFrame, dim: int = 64) -> DataFrame:

@@ -303,6 +303,59 @@ def test_cosine_topk_numpy_matches_expression(spark):
     assert sim.cosine_topk(df, 10_000, 5).count() == 0
 
 
+def test_feature_hash_vec_arrow_matches_explode_agg(spark):
+    """r7 mapInArrow feature_hash_vec == the explode_outer + two-pass
+    groupBy reference, incl. NULL text, NULL/duplicate doc_ids,
+    unicode and >8-char tokens."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import text as tdp_text
+    from camelot_spark.tdp.text import (_clean_toks, portable_token_hash)
+
+    def reference(documents, dim=64):
+        sign_bit = dim.bit_length() - 1
+        toks = _clean_toks()
+        h = portable_token_hash(F.col("tok"))
+        sign = (F.lit(1)
+                - F.shiftright(h, sign_bit).bitwiseAND(F.lit(1)) * F.lit(2))
+        per_bucket = (
+            documents.select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.explode_outer(toks).alias("tok"))
+            .select(
+                "doc_id",
+                F.coalesce(h.bitwiseAND(F.lit(dim - 1)).cast("int"),
+                           F.lit(0)).alias("bucket"),
+                F.coalesce(sign.cast("long"),
+                           F.lit(0).cast("long")).alias("s"))
+            .groupBy("doc_id", "bucket").agg(F.sum("s").alias("w")))
+        maps = per_bucket.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "w"))).alias("m"))
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")),
+                                 F.lit(0).cast("long")))
+        return maps.select("doc_id", vec.alias("vec"))
+
+    random.seed(41)
+    words = ["alpha", "beta", "café", "漢字teststring",
+             "LongerThanEightChars", "x", "the"]
+    rows = [(None, "dup pool a"), (None, "dup pool b"),
+            (7, "first half"), (7, "second half"),
+            (1, None), (2, ""), (3, "   ")]
+    for i in range(10, 50):
+        rows.append((i, " ".join(random.choice(words)
+                                 for _ in range(random.randrange(0, 40)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["vec"]
+           for r in tdp_text.feature_hash_vec(df).collect()}
+    want = {r["doc_id"]: r["vec"] for r in reference(df).collect()}
+    assert got == want
+
+
 class TestSeparableHalo:
     def test_halo_matches_full_square_dilation(self):
         """decode_bitmap's separable ±3 halo == the full 7×7 shift-OR."""
