@@ -1064,34 +1064,121 @@ def _sqdist(a, b):
     )
 
 
-def _pq_staged(embeddings: DataFrame, m: int = _PQ_M, dsub: int = _PQ_DSUB,
-               ks: int = _PQ_KS) -> DataFrame:
-    """(vec_id, xs, pivots, codes) with ZERO shuffle on the vectors:
-    the KS-pivot row broadcasts, and each row's M subspace argmin
-    assignments run as array folds in the scan's own task.
+def _pq_pivots(embeddings: DataFrame, ks: int) -> list:
+    """The KS codebook pivots collected once (driver-bounded, like the
+    IVF pivot collect): list of per-pivot float lists (None for a NULL
+    pivot embedding)."""
+    rows = _pivot_row(embeddings, ks).collect()
+    pivots = rows[0]["pivots"] if rows else []
+    return [None if p["p_emb"] is None
+            else [float(v) for v in p["p_emb"]] for p in pivots]
 
-    The per-subspace distance table ``dd`` is bound as a column before
-    the argmin reads it — an array expression referenced inside a
-    lambda is re-evaluated per element (the quantize_embeddings
-    lesson), as a bound column it is computed once per row."""
-    prow = _pivot_row(embeddings, ks)
-    base = embeddings.crossJoin(F.broadcast(prow)).select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.transform("embedding", lambda v: v.cast("double")).alias("xs"),
-        "pivots",
-    )
-    dd = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.transform(
-            F.col("pivots"),
-            lambda p: _sqdist(F.slice(F.col("xs"), j * dsub + 1, dsub),
-                              F.slice(p["p_emb"], j * dsub + 1, dsub)),
-        ),
-    )
-    staged = base.select("vec_id", "xs", "pivots", dd.alias("dd"))
-    codes = F.transform(
-        "dd", lambda d: F.array_position(d, F.array_min(d)) - 1)
-    return staged.select("vec_id", "xs", "pivots", codes.alias("codes"))
+
+def _pq_sqdist_py(xs, ps, j, dsub):
+    """One subspace sqdist with the exact expression semantics:
+    slices zip up to the longer side padding NULL, any NULL kills the
+    sum (returns None); equal-length (possibly empty) slices fold
+    left-to-right in IEEE doubles like ``_sqdist``."""
+    if ps is None:
+        return None
+    xa = xs[j * dsub:j * dsub + dsub]
+    pb = ps[j * dsub:j * dsub + dsub]
+    if len(xa) != len(pb):
+        return None
+    acc = 0.0
+    for x, p in zip(xa, pb):
+        d = (x - p) * (x - p)
+        acc = acc + d
+    return acc
+
+
+def _pq_codes_of(xs, pivots, m, dsub):
+    """M codes for one vector: per subspace, first-min argmin over the
+    pivot distances, skipping None (array_min ignores NULLs); all-None
+    yields a None code like array_position(d, NULL)."""
+    codes = []
+    for j in range(m):
+        best, best_c = None, None
+        for c, ps in enumerate(pivots):
+            d = _pq_sqdist_py(xs, ps, j, dsub)
+            if d is not None and (best is None or d < best):
+                best, best_c = d, c
+        codes.append(best_c)
+    return codes
+
+
+def _pq_staged_np(embeddings: DataFrame, m: int = _PQ_M,
+                  dsub: int = _PQ_DSUB, ks: int = _PQ_KS,
+                  pivots: list | None = None) -> DataFrame:
+    """(vec_id, codes) computed in mapInArrow (r7, guide §4.2): the
+    KS pivots ride in the task closure and the M×KS×dsub squared-
+    distance folds run in numpy with ``_sqdist``'s exact left-to-right
+    IEEE order — fixed-dim rows vectorize, ragged/NULL rows replay the
+    zip-pad/NULL-skip expression semantics per row in Python. Codes
+    are bit-identical to the old broadcast-expression stage (pinned by
+    tests/test_round7.py::test_pq_codes_numpy_matches_expression)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if pivots is None:
+        pivots = _pq_pivots(embeddings, ks)
+    full = m * dsub
+    ok_piv = np.array([p is not None and len(p) == full for p in pivots])
+    P = np.zeros((len(pivots), full))
+    for c, p in enumerate(pivots):
+        if ok_piv[c]:
+            P[c] = p
+    K = len(pivots)
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column("vec_id").cast(pa.int64())
+            emb = batch.column("embedding")
+            n = len(ids)
+            codes: list = [None] * n
+            if n:
+                offs = emb.offsets.to_numpy()
+                flat = emb.values.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                lens = np.diff(offs)
+                notnull = ~np.asarray(emb.is_null())
+                fast = np.flatnonzero(notnull & (lens == full))
+                if len(fast) and K and ok_piv.any():
+                    X = flat[offs[fast, None] + np.arange(full)[None, :]]
+                    dists = np.zeros((len(fast), m, K))
+                    for j in range(m):
+                        acc = np.zeros((len(fast), K))
+                        for i in range(dsub):
+                            col = j * dsub + i
+                            dxp = X[:, col, None] - P[None, :, col]
+                            acc += dxp * dxp
+                        dists[:, j, :] = acc
+                    dists[:, :, ~ok_piv] = np.inf  # NULL-dist: skipped
+                    cm = np.argmin(dists, axis=2)
+                    for r_i, row in enumerate(fast):
+                        codes[row] = [int(c) for c in cm[r_i]]
+                elif len(fast):
+                    # no usable pivot: every subspace argmin is over
+                    # NULL distances -> [NULL]*m per the expression path
+                    for row in fast:
+                        codes[row] = _pq_codes_of(
+                            flat[offs[row]:offs[row + 1]].tolist(),
+                            pivots, m, dsub)
+                # ragged / odd rows: per-row expression-semantics replay
+                for row in np.flatnonzero(notnull & (lens != full)):
+                    xs = flat[offs[row]:offs[row + 1]].tolist()
+                    codes[row] = _pq_codes_of(xs, pivots, m, dsub)
+                # NULL embedding: the expression path's outer transform
+                # still yields an ARRAY of m NULL codes, not a NULL array
+                for row in np.flatnonzero(~notnull):
+                    codes[row] = [None] * m
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(codes, pa.list_(pa.int64()))],
+                names=["vec_id", "codes"])
+
+    return embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInArrow(batches, "vec_id bigint, codes array<bigint>")
 
 
 def pq_encode(embeddings: DataFrame) -> DataFrame:
@@ -1100,7 +1187,7 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
     code in [0, KS)) and code_sum its integer checksum. Pure
     projection after one broadcast — the shape that encodes 100 B
     vectors in a single scan wave with no shuffle at all."""
-    st = _pq_staged(embeddings)
+    st = _pq_staged_np(embeddings)
     return st.select(
         "vec_id",
         F.array_join(
@@ -1124,26 +1211,52 @@ def pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
     pre-reduce before the single k-row merge — the global-window
     analogue of WindowGroupLimit). Output (vec_id, rank), rank 1 =
     nearest."""
-    m, dsub = _PQ_M, _PQ_DSUB
-    st = _pq_staged(embeddings)
-    q = st.where(F.col("vec_id") == query_vec_id).select(
-        F.col("xs").alias("q_xs"))
-    cword = lambda j: F.element_at(  # noqa: E731 — local plan helper
-        F.col("pivots"),
-        (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
-    )["p_emb"]
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc + _sqdist(
-            F.slice(F.col("q_xs"), j * dsub + 1, dsub),
-            F.slice(cword(j), j * dsub + 1, dsub),
-        ),
-    )
+    m, dsub, ks = _PQ_M, _PQ_DSUB, _PQ_KS
+    pivots = _pq_pivots(embeddings, ks)
+    st = _pq_staged_np(embeddings, pivots=pivots)
+    # ADC lookup tables, one per query-id row (old crossJoin
+    # cardinality): T[j][c] = sqdist(q_sub_j, codeword_c_sub_j) with
+    # _sqdist's exact fold order, shipped as a literal — the per-row
+    # cost drops from M×dsub folds to M table probes, which is
+    # exactly how a PQ index scores (the codes never meet the floats)
+    q_rows = embeddings.where(F.col("vec_id") == query_vec_id) \
+        .select("embedding").collect()
+    dists = []
+    for r in q_rows:
+        if r["embedding"] is None:
+            qxs = None
+        else:
+            qxs = [float(v) for v in r["embedding"]]
+        table = F.array(*[
+            F.array(*[
+                (F.lit(None).cast("double") if qxs is None
+                 or _pq_sqdist_py(qxs, p, j, dsub) is None
+                 else F.lit(_pq_sqdist_py(qxs, p, j, dsub)))
+                for p in pivots])
+            for j in range(m)]) if pivots else None
+        d = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc + (
+                F.lit(None).cast("double") if table is None
+                else F.element_at(
+                    F.element_at(table, (j + 1).cast("int")),
+                    (F.element_at(F.col("codes"), (j + 1).cast("int"))
+                     + 1).cast("int"))),
+        )
+        dists.append(d)
+    base = st.where(F.col("vec_id") != query_vec_id)
+    if not dists:
+        scored = base.select(
+            "vec_id", F.lit(None).cast("double").alias("dist")
+        ).where(F.lit(False))
+    else:
+        parts = [base.select("vec_id", d.alias("dist")) for d in dists]
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionAll(p)
     scored = (
-        st.where(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", dist.alias("dist"))
+        scored
     )
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
     return (

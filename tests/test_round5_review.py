@@ -848,9 +848,12 @@ def test_pq_encode_matches_bruteforce_and_topk_adc(spark):
     assert [r["vec_id"] for r in topk] == want
     assert [r["rank"] for r in topk] == list(range(1, 11))
 
-    # plan shape: encode = broadcast only, no vector shuffle
+    # plan shape: encode never shuffles the vectors — r7 moved the
+    # codebook into the MapInArrow task closure (collected KS-row
+    # pivot model), so the plan is scan -> MapInArrow with no exchange
+    # of any kind on the vector side
     enc_plan = pq_encode(df)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastExchange" in enc_plan
+    assert "MapInArrow" in enc_plan or "BroadcastExchange" in enc_plan
     assert "Exchange hashpartitioning" not in enc_plan
 
     # topk: the GLOBAL lone-rank filter is rewritten by

@@ -356,6 +356,45 @@ def test_feature_hash_vec_arrow_matches_explode_agg(spark):
     assert got == want
 
 
+def test_pq_codes_numpy_matches_expression(spark):
+    """r7 numpy PQ encode == the old broadcast-expression stage
+    (slices, zip-pad NULL kill, NULL-skipping argmin), incl. ragged
+    and NULL embeddings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import similarity as sim
+
+    def reference(embeddings, m=8, dsub=8, ks=16):
+        prow = sim._pivot_row(embeddings, ks)
+        base = embeddings.crossJoin(F.broadcast(prow)).select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.transform("embedding", lambda v: v.cast("double")).alias("xs"),
+            "pivots")
+        dd = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.col("pivots"),
+                lambda p: sim._sqdist(
+                    F.slice(F.col("xs"), j * dsub + 1, dsub),
+                    F.slice(p["p_emb"], j * dsub + 1, dsub))))
+        staged = base.select("vec_id", dd.alias("dd"))
+        codes = F.transform(
+            "dd", lambda d: F.array_position(d, F.array_min(d)) - 1)
+        return staged.select("vec_id", codes.alias("codes"))
+
+    random.seed(43)
+    rows = [(0, None), (1, [0.5] * 30)]  # NULL + ragged
+    for i in range(2, 50):
+        rows.append((i, [random.uniform(-2, 2) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["codes"]
+           for r in sim._pq_staged_np(df).collect()}
+    want = {r["vec_id"]: r["codes"] for r in reference(df).collect()}
+    assert got == want
+
+
 class TestSeparableHalo:
     def test_halo_matches_full_square_dilation(self):
         """decode_bitmap's separable ±3 halo == the full 7×7 shift-OR."""
