@@ -3,12 +3,11 @@ overlap with a benchmark/eval set exceeds a threshold — the standard
 train/test-leak guard in large-scale training-data pipelines.
 
 Scale shape (why this survives 100 TB): the benchmark side is small by
-definition, so its distinct n-grams are aggregated into ONE array row
-and broadcast; every corpus document then computes
-``size(array_intersect(doc_ngrams, bench_ngrams))`` inside whole-stage
-codegen on the scan — ZERO shuffle on the corpus, no explode of corpus
-n-grams, no join. The only shuffle is the benchmark-side distinct
-(bounded by the benchmark's vocabulary).
+definition, so its distinct n-grams (or their fixed-size Bloom filter)
+ship with the task closure; every corpus document shingles, hashes and
+counts in ONE mapInArrow pass over (doc_id, text) — ZERO shuffle of
+corpus grams, no join. The only corpus shuffle carries (doc_id, count)
+longs; the only benchmark-side shuffle is its bounded distinct.
 
 The synthetic "benchmark" is a deterministic slice of the corpus itself
 (doc_id % 50 == 0) so the DuckDB oracle reproduces it exactly; a real
@@ -50,25 +49,22 @@ def decontaminate(
     trivially self-match).
     """
     benchmark, corpus = _default_split(documents, benchmark)
-    # broadcast-hash shape, not per-row array_intersect: the semi-join
-    # builds ONE hash of the benchmark n-grams per task, where an
-    # intersect against a broadcast ARRAY re-hashes ~|bench| entries on
-    # every row (measured 2.3x at sf0.1; also the only shape that holds
-    # when the benchmark outgrows a single array). The corpus-side
-    # explode is a Generate on the scan — the only shuffle carries
-    # (doc_id, partial count).
-    bench_grams = benchmark.select(
-        F.explode(_shingles(F.col("text"), n)).alias("g")
-    ).distinct()
-    grams = corpus.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(_shingles(F.col("text"), n)).alias("g"),
-    )
-    hits = (
-        grams.join(F.broadcast(bench_grams), "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
-    )
+    # r7 (guide §4.2): the benchmark gram set is collected once
+    # (bounded by the eval suite's vocabulary — the same object the
+    # old plan broadcast) and the corpus side counts per-row distinct
+    # gram membership in ONE mapInArrow pass instead of exploding
+    # every gram through a semi-join. String semantics are identical:
+    # _shingles is a bare space-split + ' '-join (regex ' ' == str
+    # .split(' '), no lower()), so the Python gram set equals the
+    # expression's array_distinct exactly — pinned by
+    # tests/test_round7.py::test_decontaminate_python_matches_explode_join.
+    bench_set = frozenset(
+        r["g"] for r in benchmark.select(
+            F.explode(_shingles(F.col("text"), n)).alias("g"))
+        .distinct().collect())
+    hits = _py_gram_counts(
+        corpus, n, lambda grams: sum(1 for g in grams if g in bench_set),
+        "overlap")
     base = corpus.select(F.col("doc_id").cast("bigint").alias("doc_id"))
     return (
         base.join(hits, "doc_id", "left")
@@ -79,6 +75,37 @@ def decontaminate(
             F.when(F.col("overlap") >= threshold, 1).otherwise(0).cast("int").alias("contaminated"),
         )
     )
+
+
+def _py_gram_counts(corpus: DataFrame, n: int, count_fn, out_name: str) -> DataFrame:
+    """(doc_id, <out_name>) per doc: ``count_fn`` applied to each
+    row's distinct word-n-gram set in mapInArrow, then summed per
+    doc_id — the same pooling the old explode + groupBy(doc_id) did
+    for duplicate ids (each row's distinct set counts separately)."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            counts = []
+            for text in texts:
+                grams: set = set()
+                if text is not None:
+                    toks = text.split(" ")
+                    if len(toks) >= n:
+                        grams = {" ".join(toks[i:i + n])
+                                 for i in range(len(toks) - n + 1)}
+                counts.append(int(count_fn(grams)))
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), pa.array(counts, pa.int64())],
+                names=["doc_id", "c"])
+
+    per_row = corpus.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    ).mapInArrow(batches, "doc_id bigint, c bigint")
+    return per_row.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias(out_name))
 
 
 DECONTAMINATE_SQL = """
@@ -159,39 +186,43 @@ def decontaminate_bloom(
         .select(F.explode(_bloom_positions(_gram_hash(F.col("g")))).alias("pos"))
         .distinct()
     )
-    # ONE row: m booleans (the filter), assembled by a numpy scatter in
-    # a single-partition mapInPandas — input is <= m position rows by
-    # construction. (The first cut built this with
-    # transform(sequence(0, m-1), i -> element_at(position_map, i));
-    # Spark maps are scanned LINEARLY per lookup, so that was
-    # m x |positions| ≈ 8e8 comparisons in one task — 80 s at sf0.1.
-    # The scatter is O(m).)
-    def _build_filter(batches):
-        import numpy as np
-        import pandas as pd
+    # the m-bit filter assembles on the driver (<= m bounded position
+    # rows — the same object the old plan built in a one-partition
+    # mapInPandas and broadcast) and rides to the executors in the
+    # task closure as one bytes blob
+    import numpy as np
 
-        bf = np.zeros(_BLOOM_M, dtype=bool)
-        for pdf in batches:
-            bf[pdf["pos"].to_numpy()] = True
-        yield pd.DataFrame({"bf": [bf.tolist()]})
+    bf = np.zeros(_BLOOM_M, dtype=bool)
+    pos_rows = set_bits.collect()
+    if pos_rows:
+        bf[np.array([r["pos"] for r in pos_rows], dtype=np.int64)] = True
+    filt = tuple(bool(x) for x in bf)  # closure-shipped with the task
 
-    filter_row = set_bits.coalesce(1).mapInPandas(
-        _build_filter, "bf array<boolean>")
+    # r7 (guide §4.2): the corpus side — shingle, full-gram polynomial
+    # fold, k bloom probes, distinct-gram count — runs in ONE
+    # mapInArrow pass over (doc_id, text) instead of exploding 1.5M
+    # gram rows through interpreted per-char fold lambdas (~60% of the
+    # old 3.9 s). All-integer hash math and bare space-split strings,
+    # so the Python replay is exact — pinned by
+    # tests/test_round7.py::test_decontaminate_python_matches_explode_join.
+    M, P, K_, A_, B_ = _BLOOM_M, _POLY_M, _BLOOM_K, 2654435761, 40503
 
-    grams = corpus.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.explode(_shingles(F.col("text"), n)).alias("g"),
-    ).crossJoin(F.broadcast(filter_row))
-    passes = F.aggregate(
-        _bloom_positions(_gram_hash(F.col("g"))),
-        F.lit(True),
-        lambda acc, pos: acc & F.element_at(F.col("bf"), pos.cast("int") + 1),
-    )
-    hits = (
-        grams.where(passes)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap_bloom"))
-    )
+    def _bloom_count(grams):
+        cnt = 0
+        for g in grams:
+            h = 0
+            for ch in g:
+                h = (h * 31 + ord(ch)) % P
+            ok = True
+            for j in range(K_):
+                if not filt[((h * (A_ + j) + B_ * (j + 1)) % P) % M]:
+                    ok = False
+                    break
+            if ok:
+                cnt += 1
+        return cnt
+
+    hits = _py_gram_counts(corpus, n, _bloom_count, "overlap_bloom")
     base = corpus.select(F.col("doc_id").cast("bigint").alias("doc_id"))
     return (
         base.join(hits, "doc_id", "left")

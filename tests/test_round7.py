@@ -421,3 +421,89 @@ class TestSeparableHalo:
             out[~halo] += 1 * noise[~halo] * -1  # fg(0) < bg(255): sign = -1
             ref = np.clip(out, 0, 255).astype(np.uint8)
             assert np.array_equal(img, ref)
+
+
+def test_decontaminate_python_matches_explode_join(spark):
+    """r7 mapInArrow decontaminate/decontaminate_bloom == the old
+    explode + semi-join / crossJoin-filter pipelines on random texts
+    incl. multi-space runs, short docs, NULL text and unicode (the
+    shingle path has no lower(), so Python string ops are exact)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import contamination as ct
+    from camelot_spark.tdp.dedup import _shingles
+
+    def ref_decontaminate(documents, n=3, threshold=5):
+        benchmark, corpus = ct._default_split(documents, None)
+        bench_grams = benchmark.select(
+            F.explode(_shingles(F.col("text"), n)).alias("g")).distinct()
+        grams = corpus.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.explode(_shingles(F.col("text"), n)).alias("g"))
+        hits = (grams.join(F.broadcast(bench_grams), "g", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("overlap")))
+        base = corpus.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        return (base.join(hits, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("overlap", F.lit(0)).cast("bigint")
+                        .alias("overlap"))
+                .select("doc_id", "overlap",
+                        F.when(F.col("overlap") >= threshold, 1)
+                        .otherwise(0).cast("int").alias("contaminated")))
+
+    def ref_bloom(documents, n=3, threshold=5):
+        benchmark, corpus = ct._default_split(documents, None)
+        set_bits = (
+            benchmark.select(F.explode(_shingles(F.col("text"), n)).alias("g"))
+            .distinct()
+            .select(F.explode(ct._bloom_positions(
+                ct._gram_hash(F.col("g")))).alias("pos"))
+            .distinct())
+
+        def _build_filter(batches):
+            import numpy as np
+            import pandas as pd
+            bf = np.zeros(ct._BLOOM_M, dtype=bool)
+            for pdf in batches:
+                bf[pdf["pos"].to_numpy()] = True
+            yield pd.DataFrame({"bf": [bf.tolist()]})
+
+        filter_row = set_bits.coalesce(1).mapInPandas(
+            _build_filter, "bf array<boolean>")
+        grams = corpus.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.explode(_shingles(F.col("text"), n)).alias("g"),
+        ).crossJoin(F.broadcast(filter_row))
+        passes = F.aggregate(
+            ct._bloom_positions(ct._gram_hash(F.col("g"))),
+            F.lit(True),
+            lambda acc, pos: acc & F.element_at(F.col("bf"),
+                                                pos.cast("int") + 1))
+        hits = (grams.where(passes).groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("overlap_bloom")))
+        base = corpus.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        return (base.join(hits, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("overlap_bloom", F.lit(0)).cast("bigint")
+                        .alias("overlap_bloom"),
+                        F.when(F.coalesce("overlap_bloom", F.lit(0))
+                               >= threshold, 1)
+                        .otherwise(0).cast("int").alias("contaminated")))
+
+    random.seed(47)
+    words = ["alpha", "beta", "café", "漢字", "x", "the", "of", "and"]
+    rows = [(1, None), (2, ""), (3, "a b"), (4, "a  b  c  d"),
+            (50, "the of and the of and"), (100, "the of and extra pad")]
+    for i in range(5, 45):
+        rows.append((i, " ".join(random.choice(words)
+                                 for _ in range(random.randrange(0, 25)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn, ref in ((ct.decontaminate, ref_decontaminate),
+                    (ct.decontaminate_bloom, ref_bloom)):
+        got = sorted(map(tuple, fn(df).collect()))
+        want = sorted(map(tuple, ref(df).collect()))
+        assert got == want, fn.__name__
