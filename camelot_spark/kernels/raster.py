@@ -199,15 +199,23 @@ def _mask_from_runs(rows, starts, ends, shape) -> np.ndarray:
     than) the unbuffered np.add.at scatter. (_dilate_along_axis must
     keep add.at: its clamped extended boundaries can collide.)"""
     out = np.zeros(shape, dtype=np.int8)
-    if len(rows):
-        delta = np.zeros((shape[0], shape[1] + 1), dtype=np.int8)
-        delta[rows, starts] = 1
-        delta[rows, ends] = -1
-        # numpy promotes integer cumsum to the platform int unless the
-        # dtype is pinned; 0/1 values make int8 exact. The bool compare
-        # VIEWS as int8 (same 0/1 bytes) instead of an astype copy.
-        out = (delta.cumsum(axis=1, dtype=np.int8)[:, :-1] > 0).view(np.int8)
-    return out
+    n = len(rows)
+    if n == 0:
+        return out
+    if n <= 2048:
+        # post-open masks hold a few dozen line runs: direct slice
+        # fills beat three full-plane passes of the cumsum rebuild
+        for r, s0, e0 in zip(rows.tolist(), starts.tolist(),
+                             ends.tolist()):
+            out[r, s0:e0] = 1
+        return out
+    delta = np.zeros((shape[0], shape[1] + 1), dtype=np.int8)
+    delta[rows, starts] = 1
+    delta[rows, ends] = -1
+    # numpy promotes integer cumsum to the platform int unless the
+    # dtype is pinned; 0/1 values make int8 exact. The bool compare
+    # VIEWS as int8 (same 0/1 bytes) instead of an astype copy.
+    return (delta.cumsum(axis=1, dtype=np.int8)[:, :-1] > 0).view(np.int8)
 
 
 def _open_runs(m: np.ndarray, size: int):
@@ -216,9 +224,30 @@ def _open_runs(m: np.ndarray, size: int):
     extent — exactly cv2 erode+dilate with the same 1×size kernel.
     The kept runs ARE the output mask's runs (still disjoint, maximal,
     row-major), so callers can feed them straight into the run-based
-    connected-components without re-scanning the rebuilt mask."""
+    connected-components without re-scanning the rebuilt mask.
+
+    Two exact implementations, dispatched on a sampled run-density
+    probe (r7): sparse line-art masks extract-and-filter their few
+    runs fastest, but a NOISY threshold mask has ~10⁵ speckle runs and
+    the run arrays dominate (measured 30 ms vs 11) — there the
+    cumsum-window erosion finds [i, i+s) all-true positions in O(W)
+    per row and extends each erosion run by s-1, which reconstructs
+    exactly the maximal runs of length >= s (a window can't span a
+    gap, so erosion runs are 1:1 with surviving mask runs)."""
+    s = max(size, 1)
+    H, W = m.shape
+    step = max(H // 16, 1)
+    sample = m[::step]
+    est_transitions = np.count_nonzero(sample[:, 1:] != sample[:, :-1]) \
+        * (H / sample.shape[0])
+    if est_transitions > 100_000 and s <= W:
+        cs = np.zeros((H, W + 1), dtype=np.int32)
+        np.cumsum(m, axis=1, dtype=np.int32, out=cs[:, 1:])
+        e = (cs[:, s:] - cs[:, :-s]) == s
+        rows, starts, ends = _runs_along_rows(e)
+        return rows, starts, ends + (s - 1)
     rows, starts, ends = _runs_along_rows(m)
-    keep = (ends - starts) >= max(size, 1)
+    keep = (ends - starts) >= s
     return rows[keep], starts[keep], ends[keep]
 
 

@@ -904,18 +904,13 @@ def test_feature_hash_embed_matches_python_and_plan(spark):
     with pytest.raises(ValueError):
         feature_hash_vec(df, dim=48)
 
-    # partial aggregation fires BEFORE the first exchange (map-side
-    # combine bounds the shuffle at dim rows per doc), the aggregate
-    # keys are (doc_id[, bucket]) — never the raw token — and there
-    # is no join back (explode_outer keeps tokenless docs in-pipeline)
+    # r7 shape: the hash+scatter runs inside MapInArrow over the
+    # JVM-tokenized arrays, so the only shuffle carries one slim
+    # (doc_id, dim longs) row per input row — the aggregate key is
+    # doc_id, never the raw token, and there is no join back
     plan = (feature_hash_vec(df)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "partial_sum" in plan
-    # the plan string prints root-first, so "below the deepest
-    # Exchange" (= executed before any shuffle) means partial_sum
-    # appears AFTER the last Exchange occurrence
-    below_deepest_exchange = plan[plan.rindex("Exchange"):]
-    assert "partial_sum" in below_deepest_exchange
+    assert "MapInArrow" in plan
     assert "hashpartitioning(tok" not in plan
     assert "Join" not in plan
 
