@@ -306,6 +306,12 @@ def perplexity_bucket_mix(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.coalesce(F.col("lang"), F.lit("und")).alias("lang")).join(
         lm, "doc_id")
+    # the scored rows feed BOTH the histogram/threshold branch and the
+    # final bucket projection; without a barrier the static plan embeds
+    # the whole lm_bigram_score subtree (two corpus-token count
+    # shuffles + joins) once per reference (r7, guide §2.4). The
+    # checkpointed payload is three slim columns per doc.
+    sc = sc.localCheckpoint(eager=False)
     cnt = sc.groupBy("lang", "bits_x1000").agg(
         F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("lang").orderBy("bits_x1000")

@@ -335,15 +335,22 @@ def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     contamination-audit aggregation. The explode→count shuffle is
     inherent to a global aggregate; Spark plans it as map-side partial
     HashAggregate + exchange on the n-gram key + TakeOrdered for the
-    top-k (no global sort)."""
+    top-k (no global sort).
+
+    r7: grams form as explode(arrays_zip of n shifted slices) + ONE
+    post-explode concat_ws projection — every per-gram step is codegen;
+    the old transform(sequence, i -> concat_ws(slice)) ran an
+    interpreted lambda (with an array allocation) per position. Same
+    gram multiset: slices are empty when size < n, NULL text zips to
+    NULL and inner explode drops both."""
     toks = _tokens(F.col("text"))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
+    z = F.col("__ng")
     return (
-        documents.select(F.explode(grams).alias("ngram"))
+        documents.select(F.explode(zipped).alias("__ng"))
+        .select(F.concat_ws(
+            " ", *[z[str(i)] for i in range(n)]).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
@@ -543,12 +550,15 @@ def lm_bigram_score(documents: DataFrame) -> DataFrame:
         F.filter(_tokens(F.lower(F.col("text"))),
                  lambda t: F.length(t) > 0).alias("toks"),
     )
+    # r7: bigram rows via explode(arrays_zip of two shifted slices) +
+    # a codegen field projection — the old transform(sequence, i ->
+    # struct(toks[i-1], toks[i])) lambda was interpreted per position.
+    cnt = F.greatest(F.size("toks") - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice("toks", 1, cnt), F.slice("toks", 2, cnt))
     bi = toks.where(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(sequence(1, size(toks) - 1),"
-            " i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+        "doc_id", F.explode(zipped).alias("bg"),
+    ).select("doc_id", F.col("bg")["0"].alias("w1"),
+             F.col("bg")["1"].alias("w2"))
     uni = (
         toks.select(F.explode("toks").alias("w1"))
         .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -556,11 +566,18 @@ def lm_bigram_score(documents: DataFrame) -> DataFrame:
     big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     surp = (F.length(F.bin(F.col("c1")))
             - F.length(F.bin(F.col("c12")))).cast("bigint")
+    # r7 join reassociation (guide §2.3): attach counts on the SMALL
+    # per-bigram-TYPE table (big ⋈ uni — vocab-sized), then join the
+    # per-occurrence fact rows ``bi`` ONCE on (w1, w2) — the old
+    # bi ⋈ uni ⋈ big chain shuffled the corpus-sized fact table twice
+    # (once by w1, again by (w1, w2)). Integer surprisal per type is
+    # identical, so sums are identical.
+    surp_tab = big.join(uni, "w1").select("w1", "w2", surp.alias("surp"))
     return (
-        bi.join(uni, "w1").join(big, ["w1", "w2"])
+        bi.join(surp_tab, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.sum(surp).alias("sum_bits"))
+             F.sum("surp").alias("sum_bits"))
         .selectExpr(
             "doc_id",
             "CAST(n_bigrams AS BIGINT) AS n_bigrams",

@@ -507,3 +507,143 @@ def test_decontaminate_python_matches_explode_join(spark):
         got = sorted(map(tuple, fn(df).collect()))
         want = sorted(map(tuple, ref(df).collect()))
         assert got == want, fn.__name__
+
+
+def _gram_test_docs(spark, seed=29, n_docs=40):
+    import random
+
+    random.seed(seed)
+    words = ["alpha", "beta", "café", "漢字", "x", "", "the", "of"]
+    rows = [(0, ""), (1, " "), (2, "  "), (3, None), (4, "one"),
+            (5, "a b"), (6, "a b c"), (7, "a a a a a"),
+            (8, "x y z x y z x y z")]
+    for i in range(9, n_docs):
+        rows.append((i, " ".join(random.choice(words)
+                                 for _ in range(random.randrange(0, 30)))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _positional_shingles(col, n=3):
+    """The pre-r7 _shingles: per-position interpreted transform."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def test_shingles_zip_matches_positional(spark):
+    """r7 zip-built _shingles (ngram_jaccard, streaming folds) must
+    equal the old per-position transform form element for element —
+    including NULL text (empty array), short docs and duplicates."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.dedup import _shingles
+
+    df = _gram_test_docs(spark)
+    for n in (2, 3):
+        rows = df.select(
+            "doc_id",
+            _shingles(F.col("text"), n).alias("a"),
+            _positional_shingles(F.col("text"), n).alias("b"),
+        ).collect()
+        for r in rows:
+            assert r["a"] == r["b"], (n, r["doc_id"])
+
+
+def test_prod_minhash_fold_matches_distinct_shingle_fold(spark):
+    """r7 prod minhash (fold over NO-distinct zip grams) must produce
+    the identical signatures the old fold over distinct shingles did:
+    MIN aggregation is duplicate-insensitive, and short/NULL-text docs
+    keep their all-NULL signature."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import dedup
+
+    df = _gram_test_docs(spark, seed=31)
+
+    def reference(documents):
+        d = documents.select(
+            "doc_id", _positional_shingles(F.col("text"), 3).alias("sh"))
+
+        def _seeded(k):
+            return lambda s: dedup._prod_minhash_hash(s, k)
+
+        sig = F.array(*[F.array_min(F.transform("sh", _seeded(k)))
+                        for k in range(32)])
+        return d.select("doc_id", sig.alias("sig"))
+
+    got = {r["doc_id"]: r["sig"]
+           for r in dedup.minhash_signatures(df).collect()}
+    want = {r["doc_id"]: r["sig"] for r in reference(df).collect()}
+    assert got == want
+
+
+def test_top_ngrams_zip_matches_positional(spark):
+    """r7 top_ngrams (explode(arrays_zip) + post-explode concat) must
+    count the identical gram multiset the positional transform did."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import text as tdp_text
+
+    df = _gram_test_docs(spark, seed=37)
+
+    def reference(documents, n=2, k=20):
+        toks = F.split(F.col("text"), " ")
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(idx,
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array().cast("array<string>"))
+        return (documents.select(F.explode(grams).alias("ngram"))
+                .groupBy("ngram")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("ngram")).limit(k))
+
+    got = sorted(map(tuple, tdp_text.top_ngrams(df).collect()))
+    want = sorted(map(tuple, reference(df).collect()))
+    assert got == want
+
+
+def test_lm_bigram_reassociated_join_matches_chain(spark):
+    """r7 lm_bigram_score (counts attached on the per-bigram-TYPE table,
+    fact rows joined once) must equal the old bi⋈uni⋈big chain."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.text import _tokens, lm_bigram_score
+
+    df = _gram_test_docs(spark, seed=41)
+
+    def reference(documents):
+        toks = documents.select(
+            "doc_id",
+            F.filter(_tokens(F.lower(F.col("text"))),
+                     lambda t: F.length(t) > 0).alias("toks"))
+        bi = toks.where(F.size("toks") >= 2).select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+        uni = (toks.select(F.explode("toks").alias("w1"))
+               .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+        big = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        surp = (F.length(F.bin(F.col("c1")))
+                - F.length(F.bin(F.col("c12")))).cast("bigint")
+        return (bi.join(uni, "w1").join(big, ["w1", "w2"])
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                     F.sum(surp).alias("sum_bits"))
+                .selectExpr(
+                    "doc_id",
+                    "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+                    "CAST(sum_bits AS BIGINT) AS sum_bits",
+                    "CAST((sum_bits * CAST(1000 AS BIGINT)) DIV n_bigrams"
+                    " AS BIGINT) AS bits_x1000"))
+
+    got = sorted(map(tuple, lm_bigram_score(df).collect()))
+    want = sorted(map(tuple, reference(df).collect()))
+    assert got == want
