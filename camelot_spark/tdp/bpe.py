@@ -52,16 +52,23 @@ def _initial_state(documents: DataFrame) -> DataFrame:
 
 
 def _pair_counts(state: DataFrame) -> DataFrame:
-    toks = F.filter(F.split(F.col("s"), " "), lambda t: F.length(t) > 0)
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
-    )
+    # r7: pairs via explode(arrays_zip of two shifted slices) — fully
+    # codegen; the old filter()+zip_with() lambdas were interpreted per
+    # token PER ROUND. The state string is single-space separated with
+    # one leading/trailing pad, so the only empty tokens are the two
+    # ends; pairing the raw token array and dropping ''-touching pairs
+    # in the guard filter yields the identical pair multiset (an end
+    # token has exactly one neighbor, so removing it creates no new
+    # adjacency).
+    toks = F.split(F.col("s"), " ")
+    cnt = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(toks, 1, cnt), F.slice(toks, 2, cnt))
+    p = F.col("p")
     return (
-        state.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .where((F.col("l") != "|") & (F.col("r") != "|"))
+        state.select(F.explode(zipped).alias("p"))
+        .select(p["0"].alias("l"), p["1"].alias("r"))
+        .where((F.col("l") != "|") & (F.col("r") != "|")
+               & (F.col("l") != "") & (F.col("r") != ""))
         .groupBy("l", "r")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

@@ -229,27 +229,33 @@ def link_rank(edges: DataFrame, iters: int = 8,
     Dangling mass is dropped (documented deviation from the stochastic
     normalization — monotone ordering is what curation consumes).
 
-    Plan shape: outdeg/nodes computed once and checkpointed; each round
-    is one edge⋈rank join + one partial-agg groupBy on dst shuffling
-    (long, long) only, plan-truncated per round like the CC loops."""
+    Plan shape (r7): outdeg is joined into the edge list ONCE up front
+    (the old loop re-joined it every round — 8 redundant joins), and
+    edges/nodes are checkpointed pre-partitioned on their join keys
+    (src / id) so each round's edge⋈rank and nodes⋈agg joins are
+    co-partitioned: the only per-round exchange is the partial-agg
+    groupBy on dst shuffling (long, long) — the one shuffle PageRank
+    fundamentally needs per iteration. Plan-truncated per round like
+    the CC loops."""
     e = edges.select(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
-    ).distinct().localCheckpoint(eager=True)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("c")) \
-        .localCheckpoint(eager=True)
+    ).distinct()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    e_out = (e.join(outdeg, "src").repartition("src")
+             .localCheckpoint(eager=True))
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .repartition("id")
         .localCheckpoint(eager=True)
     )
     base = _MU * (100 - damping_pct) // 100
     ranks = nodes.select("id", F.lit(_MU).cast("long").alias("rank"))
     for _ in range(iters):
         contrib = (
-            e.join(ranks, e.src == ranks.id)
-            .join(outdeg, "src")
+            e_out.join(ranks, e_out.src == ranks.id)
             .selectExpr("dst",
                         f"((rank * {damping_pct}) DIV 100) DIV c AS contrib")
         )

@@ -647,3 +647,31 @@ def test_lm_bigram_reassociated_join_matches_chain(spark):
     got = sorted(map(tuple, lm_bigram_score(df).collect()))
     want = sorted(map(tuple, reference(df).collect()))
     assert got == want
+
+
+def test_bpe_pair_counts_zip_matches_filtered_zipwith(spark):
+    """r7 _pair_counts (raw-token zip-explode + ''-guard) must count
+    the identical pair multiset the old filter()+zip_with() form did
+    on arbitrary state strings (the padded single-space invariant)."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp.bpe import _initial_state, _pair_counts
+
+    def reference(state):
+        toks = F.filter(F.split(F.col("s"), " "),
+                        lambda t: F.length(t) > 0)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda l, r: F.struct(l.alias("l"), r.alias("r")))
+        return (state.select(F.explode(pairs).alias("p"))
+                .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .where((F.col("l") != "|") & (F.col("r") != "|"))
+                .groupBy("l", "r")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+    df = _gram_test_docs(spark, seed=43)
+    state = _initial_state(df)
+    got = sorted(map(tuple, _pair_counts(state).collect()))
+    want = sorted(map(tuple, reference(state).collect()))
+    assert got == want
