@@ -675,3 +675,79 @@ def test_bpe_pair_counts_zip_matches_filtered_zipwith(spark):
     got = sorted(map(tuple, _pair_counts(state).collect()))
     want = sorted(map(tuple, reference(state).collect()))
     assert got == want
+
+
+def test_portable_sig_arrow_matches_mix_groupby(spark):
+    """r7 numpy seed-mix/segment-min seam for portable minhash must
+    equal the r6 explode + 32-projection + groupBy-MIN shape — incl.
+    NULL text, short docs, and docs spanning Arrow batch boundaries
+    (forced via a 1-row-batch config would be slow; a long doc plus
+    many docs per partition covers the carry path at the default batch
+    size only when rows exceed it, so we ALSO drive the generator
+    directly on a tiny batch iterator below)."""
+    import numpy as np  # noqa: F401  (seam imports inside)
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import dedup, spread
+    from camelot_spark.tdp.dedup import _shingle_rows
+    from camelot_spark.tdp.text import _POLY_M, portable_token_hash
+
+    def reference(documents, num_hashes=32, n=3):
+        ex = _shingle_rows(spread(documents), n)
+        ex = ex.select(
+            "doc_id", portable_token_hash(F.col("__mh_s")).alias("ph"))
+        mixes = [((F.col("ph") * (2654435761 + k) + 40503 * (k + 1))
+                  % _POLY_M).alias(f"h{k}") for k in range(num_hashes)]
+        agg = (ex.select("doc_id", *mixes).groupBy("doc_id")
+               .agg(*[F.min(f"h{k}").alias(f"m{k}")
+                      for k in range(num_hashes)]))
+        return agg.select(
+            "doc_id", F.array(*[F.col(f"m{k}")
+                                for k in range(num_hashes)]).alias("sig"))
+
+    df = _gram_test_docs(spark, seed=53, n_docs=60)
+    got = {r["doc_id"]: r["sig"]
+           for r in dedup.minhash_signatures(df, portable=True).collect()}
+    want = {r["doc_id"]: r["sig"] for r in reference(df).collect()}
+    assert got == want
+
+    # batch-boundary carry: drive the seam's Arrow generator directly
+    # on hand-built tiny batches where one doc's rows span three
+    # batches (the default 8000-row batch never splits the tiny
+    # Spark-side corpora above)
+    def run_gen(rows, num_hashes=4):
+        captured = {}
+
+        class FakeDF:
+            def mapInArrow(self, f, schema):
+                captured["fn"] = f
+                return None
+
+        dedup._portable_sig_arrow(FakeDF(), num_hashes)
+        f = captured["fn"]
+        schema = pa.schema([("doc_id", pa.int64()), ("__mh_ph", pa.int64())])
+        batches = [pa.RecordBatch.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(phs, pa.int64())],
+            schema=schema) for ids, phs in rows]
+        out = []
+        for ob in f(iter(batches)):
+            for i in range(ob.num_rows):
+                out.append((ob.column("doc_id")[i].as_py(),
+                            ob.column("sig")[i].as_py()))
+        return out
+
+    M = _POLY_M
+
+    def mix(ph, k):
+        return (ph * (2654435761 + k) + 40503 * (k + 1)) % M
+
+    rows = [([7, 7], [10, 20]), ([7], [5]), ([7, 8], [30, None]),
+            ([9], [None]), ([10, 10], [None, 3])]
+    out = run_gen(rows)
+    assert out[0][0] == 7
+    assert out[0][1] == [min(mix(p, k) for p in (10, 20, 5, 30))
+                         for k in range(4)]
+    assert out[1] == (8, [None] * 4)
+    assert out[2] == (9, [None] * 4)
+    assert out[3] == (10, [mix(3, k) for k in range(4)])
