@@ -751,3 +751,50 @@ def test_portable_sig_arrow_matches_mix_groupby(spark):
     assert out[1] == (8, [None] * 4)
     assert out[2] == (9, [None] * 4)
     assert out[3] == (10, [mix(3, k) for k in range(4)])
+
+
+def test_simhash_portable32_arrow_matches_expression_fold(spark):
+    """r7 Arrow majority seam for the 32-bit portable simhash must
+    equal the old per-bit ±1 expression fold (NULL text, empty, lone
+    spaces, unicode, repeated tokens)."""
+    from pyspark.sql import functions as F
+
+    from camelot_spark.tdp import dedup
+    from camelot_spark.tdp.text import _POLY_M, portable_token_hash
+
+    def reference(documents):
+        ph = F.transform(F.split("text", " "), portable_token_hash)
+
+        def h32(p):
+            m1 = (p * 48271 + 11) % _POLY_M
+            m2 = (p * 69621 + 97) % _POLY_M
+            return (m1.bitwiseAND(F.lit(0xFFFF))
+                    + m2.bitwiseAND(F.lit(0xFFFF)) * F.lit(65536))
+
+        ws = F.transform(ph, h32)
+
+        def bits_of(h):
+            return F.array(*[
+                F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+                       != F.lit(0), F.lit(1))
+                .otherwise(F.lit(-1)).cast("long") for b in range(32)])
+
+        counters = F.aggregate(
+            ws, F.array_repeat(F.lit(0).cast("long"), 32),
+            lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y))
+        sim = F.aggregate(
+            F.zip_with(counters,
+                       F.array(*[F.lit(1 << b).cast("long")
+                                 for b in range(32)]),
+                       lambda cnt, w: F.when(cnt > 0, w)
+                       .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return documents.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            sim.cast("bigint").alias("simhash"))
+
+    df = _gram_test_docs(spark, seed=59, n_docs=45)
+    got = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_portable32(df).collect()}
+    want = {r["doc_id"]: r["simhash"] for r in reference(df).collect()}
+    assert got == want
