@@ -639,14 +639,21 @@ def boilerplate_strip(
     """
     toks = documents.select(
         "doc_id", "source", _tokens(F.col("text")).alias("toks"))
-    grams = toks.withColumn(
-        "grams",
-        F.when(
-            F.size("toks") >= n,
-            F.expr(f"transform(sequence(0, size(toks) - {n}),"
-                   f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    # r7: gram array via arrays_zip of n shifted slices + one concat
+    # per element — the old per-position transform(sequence, i ->
+    # concat_ws(slice)) allocated an array per element inside the
+    # interpreted HOF evaluator (~1.5× on the gram stage, and this
+    # subtree is evaluated by BOTH the document-frequency branch and
+    # the hit-position branch)
+    cnt = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, cnt) for i in range(n)])
+    gram_arr = F.when(
+        F.size("toks") >= n,
+        F.transform(zipped, lambda z: F.concat_ws(
+            " ", *[z[str(i)] for i in range(n)])),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.withColumn("grams", gram_arr)
     # df = docs-containing-gram: dedup WITHIN the doc map-side
     # (array_distinct) so the shuffle is a plain partial-agg count of
     # one row per (doc, distinct gram) — a countDistinct over raw
