@@ -798,3 +798,4 @@ def test_simhash_portable32_arrow_matches_expression_fold(spark):
            for r in dedup.simhash_portable32(df).collect()}
     want = {r["doc_id"]: r["simhash"] for r in reference(df).collect()}
     assert got == want
+
